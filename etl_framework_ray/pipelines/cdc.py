@@ -1,0 +1,358 @@
+"""The CDC apply pipeline: changelog epoch → shuffle by conv_id → per-
+partition LWW merge → exactly-once commit.
+
+Ray-Data-first realization of the reference's MERGE upsert
+(/root/reference/src/models/writer.py:42-67) at binlog scale:
+
+1. ``ray.data.read_parquet(epoch segments)`` — zero-copy Arrow blocks.
+2. ``map_batches(prep)`` — normalize each batch to the (possibly evolved)
+   epoch schema, run the vectorized LWW *combiner* (drops superseded events
+   before the shuffle — the partial-aggregation pattern), stamp the
+   partition id ``pid = siphash(conv_id) % P``.
+3. ``groupby("pid").map_groups(apply_partition)`` — the only shuffle; all
+   events of a conversation land in one group. Each group task does a
+   partition-local copy-on-write merge: read that partition's committed
+   Parquet files, concat with the changes, LWW-reduce on
+   ``(conv_id, turn_idx)`` by ``(ts, _lsn)``, sort by the key (stable turn
+   ordering), and stage one new deterministic-named file. Retries are
+   idempotent: same input → same bytes → same path (atomic replace).
+4. Driver collects the (tiny) per-partition meta rows, writes lineage
+   metrics, and commits one new manifest version atomically. Readers only
+   ever see manifest-listed files, so a kill at ANY point either replays a
+   not-yet-visible epoch or skips a committed one — exactly-once.
+
+Scale notes (100 TB): ``num_partitions`` bounds the COW unit — size it so
+one partition's live data fits a worker (e.g. 4096+ partitions for a 100 TB
+table); an epoch only rewrites partitions it touches. The combiner bounds
+shuffle volume for hot conversations; residual skew is one group per
+partition, mitigated by raising ``num_partitions`` (hot *keys* stay
+partition-local by design — per-key LWW needs co-location; the combiner is
+the salting stage because it collapses each key to ≤1 row per input block
+before the exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..context import DEFAULT_NUM_PARTITIONS, RunContext
+from ..functions.hashing import partition_ids
+from ..sources.changelog import ChangeLog, Epoch
+from ..stages.lww import lww_reduce
+from ..state.manifest import Manifest, ManifestStore, PartitionState
+from ..state.planner import plan_evolution
+from ..state.schema import (
+    DELETED_COL,
+    LSN_COL,
+    TRANSCRIPTS,
+    TableSpec,
+    lake_schema,
+    merge_schemas,
+    normalize_table,
+    schema_to_b64,
+)
+from . import metrics as metrics_mod
+
+_META_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int64()),
+        pa.field("path", pa.string()),
+        pa.field("rows_live", pa.int64()),
+        pa.field("tombstones", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("events", pa.int64()),
+    ]
+)
+
+#: changelog envelope columns that are not row payload
+_ENVELOPE = ("lsn", "op")
+
+
+@dataclass
+class ReplayStats:
+    epochs_applied: int = 0
+    epochs_skipped: int = 0
+    events: int = 0
+    seconds: float = 0.0
+    schema_changes: list[str] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events / self.seconds if self.seconds > 0 else 0.0
+
+
+def _changes_to_lake_rows(changes: pa.Table, lake_sch: pa.Schema) -> pa.Table:
+    """Changelog rows → lake-row form: payload + ts + _lsn + _deleted."""
+    cols = []
+    for f in lake_sch:
+        if f.name == LSN_COL:
+            cols.append(changes.column("lsn").cast(pa.int64()))
+        elif f.name == DELETED_COL:
+            cols.append(pc.equal(changes.column("op"), "D"))
+        else:
+            cols.append(changes.column(f.name).cast(f.type))
+    return pa.Table.from_arrays(cols, schema=lake_sch)
+
+
+def _read_partition_files(files: list[str], lake_sch: pa.Schema) -> pa.Table | None:
+    if not files:
+        return None
+    tables = [normalize_table(pq.read_table(f), lake_sch) for f in files]
+    return pa.concat_tables(tables) if tables else None
+
+
+def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
+    """Build the per-partition merge fn for ``groupby('pid').map_groups``.
+
+    ``ctx_ref`` is a ``ray.put`` broadcast of the (small) apply context —
+    partition→files map, target lake schema, epoch id, table dir — fetched
+    once per task from the local object store instead of re-shipped per
+    group (SURVEY.md §4.2 broadcast pattern).
+    """
+
+    def apply_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _META_SCHEMA.empty_table()
+        ctx = ray.get(ctx_ref)
+        lake_sch = ctx["lake_schema"]
+        pid = group.column("pid")[0].as_py()
+        n_events = group.num_rows
+
+        changes = _changes_to_lake_rows(group.drop_columns(["pid"]), lake_sch)
+        existing = _read_partition_files(ctx["part_files"].get(pid, []), lake_sch)
+        merged = (
+            pa.concat_tables([existing, changes]) if existing is not None else changes
+        )
+        merged = lww_reduce(merged, key_cols, ("ts", LSN_COL))
+        # stable turn ordering at write (lww_reduce leaves rows key-sorted,
+        # but be explicit — the invariant is load-bearing)
+        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+
+        out_dir = os.path.join(
+            ctx["table_dir"], "data", f"part={pid:05d}", f"epoch={ctx['epoch_id']:012d}"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, path)  # idempotent under retry: deterministic content+path
+
+        tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
+        return pa.Table.from_pylist(
+            [
+                {
+                    "pid": pid,
+                    "path": path,
+                    "rows_live": merged.num_rows - tombstones,
+                    "tombstones": tombstones,
+                    "bytes": os.path.getsize(path),
+                    "events": n_events,
+                }
+            ],
+            schema=_META_SCHEMA,
+        )
+
+    return apply_partition
+
+
+class CDCEngine:
+    """Replays a changelog into a committed Parquet lake table.
+
+    One instance per logical table; safe to re-create after a crash — all
+    durable state lives in the table directory (manifest + data files).
+    """
+
+    def __init__(
+        self,
+        table_dir: str,
+        spec: TableSpec = TRANSCRIPTS,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        run_context: RunContext | None = None,
+    ):
+        self.table_dir = table_dir
+        self.spec = spec
+        self.store = ManifestStore(table_dir)
+        self.run_context = run_context or RunContext()
+        man = self.store.load()
+        if man is None:
+            # create-if-missing (reference CreateExecutor semantics,
+            # /root/reference/src/delta_engine/execute/create_executor.py:26-57)
+            man = Manifest(
+                table=spec.name,
+                version=1,
+                num_partitions=num_partitions,
+                schema_b64=schema_to_b64(lake_schema(spec)),
+                primary_key=list(spec.primary_key),
+                properties=dict(spec.properties),
+            )
+            self.store.commit(man)
+        self.manifest = man
+
+    # ------------------------------------------------------------------
+    @property
+    def key_cols(self) -> tuple[str, ...]:
+        return tuple(self.manifest.primary_key)
+
+    def _public_schema(self) -> pa.Schema:
+        lake = self.manifest.schema
+        return pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
+
+    def _epoch_schemas(self, epoch: Epoch) -> tuple[pa.Schema, pa.Schema, list[str]]:
+        """Resolve schema evolution for this epoch.
+
+        Returns ``(changelog_schema, new_lake_schema, changes)`` where
+        changelog_schema = envelope + evolved payload columns.
+        """
+        schemas = [pq.read_schema(p) for p in epoch.paths]
+        incoming = schemas[0]
+        for s in schemas[1:]:
+            incoming, _ = merge_schemas(incoming, s)  # widening-aware unify
+        payload = pa.schema([f for f in incoming if f.name not in _ENVELOPE])
+        new_public, changes = plan_evolution(
+            self._public_schema(), payload, primary_key=self.key_cols
+        )
+        new_lake = pa.schema(
+            list(new_public)
+            + [pa.field(LSN_COL, pa.int64(), nullable=False), pa.field(DELETED_COL, pa.bool_(), nullable=False)]
+        )
+        chg_schema = pa.schema(
+            [incoming.field("lsn"), incoming.field("op")] + list(new_public)
+        )
+        return chg_schema, new_lake, changes
+
+    # ------------------------------------------------------------------
+    def apply_epoch(self, epoch: Epoch) -> dict | None:
+        """Apply one epoch exactly once. Returns commit info, or ``None`` if
+        the epoch is already committed (resume / duplicate delivery)."""
+        man = self.manifest
+        if epoch.epoch_id <= man.applied_lsn:
+            return None
+        t0 = time.perf_counter()
+
+        chg_schema, new_lake, schema_changes = self._epoch_schemas(epoch)
+        num_partitions = man.num_partitions
+        key_cols = self.key_cols
+
+        ctx_ref = ray.put(
+            {
+                "table_dir": self.table_dir,
+                "lake_schema": new_lake,
+                "epoch_id": epoch.epoch_id,
+                "part_files": {pid: ps.files for pid, ps in man.partitions.items()},
+            }
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            batch = normalize_table(batch, chg_schema)
+            batch = lww_reduce(batch, key_cols, ("ts", "lsn"))  # shuffle combiner
+            pid = partition_ids(batch.column("conv_id"), num_partitions)
+            return batch.append_column("pid", pa.array(pid, pa.int64()))
+
+        ds = ray.data.read_parquet(epoch.paths)
+        ds = ds.map_batches(prep, batch_format="pyarrow")
+        metas_ds = ds.groupby("pid").map_groups(
+            make_partition_applier(ctx_ref, key_cols), batch_format="pyarrow"
+        )
+        metas = metas_ds.take_all()  # one small row per touched partition
+
+        # raw change-event count for throughput accounting (footer-only read)
+        events_raw = sum(pq.read_metadata(p).num_rows for p in epoch.paths)
+        dur = time.perf_counter() - t0
+        rc = self.run_context.as_dict()
+        metrics_rows = [
+            {
+                "epoch_id": epoch.epoch_id,
+                "partition": m["pid"],
+                "events_applied": m["events"],
+                "rows_live": m["rows_live"],
+                "tombstones": m["tombstones"],
+                "bytes_written": m["bytes"],
+                "applied_lsn": epoch.epoch_id,
+                "duration_s": dur,
+                **rc,
+            }
+            for m in metas
+        ]
+        metrics_mod.write_epoch_metrics(self.table_dir, epoch.epoch_id, metrics_rows)
+
+        new_man = Manifest.from_json(man.to_json())  # deep copy
+        new_man.version = man.version + 1
+        new_man.applied_lsn = epoch.epoch_id
+        if schema_changes:
+            new_man.set_schema(new_lake)
+            new_man.schema_version += 1
+        for m in metas:
+            new_man.partitions[int(m["pid"])] = PartitionState(
+                files=[m["path"]], applied_lsn=epoch.epoch_id, rows=int(m["rows_live"])
+            )
+        new_man.history.append(
+            {
+                "epoch_id": epoch.epoch_id,
+                "version": new_man.version,
+                "events": events_raw,
+                "partitions_touched": len(metas),
+                "schema_changes": schema_changes,
+                "duration_s": round(dur, 4),
+                **rc,
+            }
+        )
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return new_man.history[-1]
+
+    def replay(
+        self, changelog: ChangeLog, segments_per_epoch: int = 4, vacuum: bool = True
+    ) -> ReplayStats:
+        """Apply all not-yet-committed epochs; resumes from the manifest
+        watermark (FIXTURES.md F6)."""
+        stats = ReplayStats()
+        t0 = time.perf_counter()
+        for epoch in changelog.epochs(segments_per_epoch, after_lsn=self.manifest.applied_lsn):
+            info = self.apply_epoch(epoch)
+            if info is None:
+                stats.epochs_skipped += 1
+            else:
+                stats.epochs_applied += 1
+                stats.events += info["events"]
+                stats.schema_changes.extend(info["schema_changes"])
+        stats.seconds = time.perf_counter() - t0
+        if vacuum and stats.epochs_applied:
+            self.store.vacuum(self.manifest)
+        return stats
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> "ray.data.Dataset":
+        """Committed live rows as a streaming Dataset (manifest-listed files
+        only; tombstones filtered; public columns)."""
+        public = self._public_schema()
+        files = self.manifest.data_files()
+        if not files:
+            return ray.data.from_arrow(public.empty_table())
+        lake = self.manifest.schema
+
+        def to_public(batch: pa.Table) -> pa.Table:
+            batch = normalize_table(batch, lake)
+            batch = batch.filter(pc.invert(batch.column(DELETED_COL)))
+            return batch.select(public.names)
+
+        return ray.data.read_parquet(files).map_batches(to_public, batch_format="pyarrow")
+
+    def snapshot_arrow(self) -> pa.Table:
+        """Driver-side committed state (no Ray) — for tests/oracles on small
+        tables. Sorted by primary key (stable turn ordering)."""
+        public = self._public_schema()
+        files = self.manifest.data_files()
+        if not files:
+            return public.empty_table()
+        lake = self.manifest.schema
+        parts = [normalize_table(pq.read_table(f), lake) for f in files]
+        t = pa.concat_tables(parts)
+        t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
+        return t.sort_by([(k, "ascending") for k in self.key_cols])

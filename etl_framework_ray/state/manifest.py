@@ -1,0 +1,171 @@
+"""Per-table manifest / checkpoint log with atomic two-phase commit.
+
+The manifest is the SINGLE source of visibility for lake data files
+(SURVEY.md §4.2): appliers stage immutable Parquet files under
+``data/part=<pid>/``, then the driver commits one new manifest version via
+an atomic pointer swap (``os.replace``). A job killed mid-epoch leaves only
+invisible garbage; re-running the epoch is safe because staged file names
+are deterministic in ``(partition, epoch)`` and the epoch watermark makes
+re-application a no-op. This replaces the ACID guarantees the reference
+inherits from Delta Lake (/root/reference/src/models/writer.py:34-67) with
+an explicit commit protocol.
+
+Layout::
+
+    <table_dir>/
+      _manifest/
+        CURRENT            # text file: committed version number (atomic swap)
+        v00000001.json     # full manifest snapshot per version
+      data/part=<pid>/epoch=<eid>/part-<pid>-<eid>.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .schema import schema_from_b64, schema_to_b64
+
+
+@dataclass
+class PartitionState:
+    """Committed state of one hash partition: its live files and the
+    applied-LSN high-watermark (per-partition lineage, north-rule req)."""
+
+    files: list[str] = field(default_factory=list)
+    applied_lsn: int = 0
+    rows: int = 0  # live rows (tombstones excluded)
+
+    def to_json(self) -> dict:
+        return {"files": self.files, "applied_lsn": self.applied_lsn, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionState":
+        return PartitionState(list(d["files"]), int(d["applied_lsn"]), int(d["rows"]))
+
+
+@dataclass
+class Manifest:
+    table: str
+    version: int
+    num_partitions: int
+    schema_b64: str
+    schema_version: int = 1
+    applied_lsn: int = 0  # epoch watermark: max committed epoch_id
+    partitions: dict[int, PartitionState] = field(default_factory=dict)
+    properties: dict = field(default_factory=dict)
+    primary_key: list[str] = field(default_factory=list)
+    #: append-only lineage: one entry per committed epoch
+    history: list[dict] = field(default_factory=list)
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_b64(self.schema_b64)
+
+    def set_schema(self, schema: pa.Schema) -> None:
+        self.schema_b64 = schema_to_b64(schema)
+
+    def data_files(self) -> list[str]:
+        out: list[str] = []
+        for pid in sorted(self.partitions):
+            out.extend(self.partitions[pid].files)
+        return out
+
+    def to_json(self) -> dict:
+        return {
+            "table": self.table,
+            "version": self.version,
+            "num_partitions": self.num_partitions,
+            "schema_b64": self.schema_b64,
+            "schema_version": self.schema_version,
+            "applied_lsn": self.applied_lsn,
+            "partitions": {str(k): v.to_json() for k, v in self.partitions.items()},
+            "properties": self.properties,
+            "primary_key": self.primary_key,
+            "history": self.history,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            table=d["table"],
+            version=int(d["version"]),
+            num_partitions=int(d["num_partitions"]),
+            schema_b64=d["schema_b64"],
+            schema_version=int(d.get("schema_version", 1)),
+            applied_lsn=int(d["applied_lsn"]),
+            partitions={int(k): PartitionState.from_json(v) for k, v in d["partitions"].items()},
+            properties=dict(d.get("properties", {})),
+            primary_key=list(d.get("primary_key", [])),
+            history=list(d.get("history", [])),
+        )
+
+
+class ManifestStore:
+    """Load/commit manifest versions with an atomic CURRENT pointer."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.manifest_dir = os.path.join(table_dir, "_manifest")
+
+    # -- read side ---------------------------------------------------------
+    def current_version(self) -> int | None:
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def load(self) -> Manifest | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(os.path.join(self.manifest_dir, f"v{v:08d}.json")) as f:
+            return Manifest.from_json(json.load(f))
+
+    # -- write side (phase 2 of the 2PC) -----------------------------------
+    def commit(self, manifest: Manifest) -> None:
+        """Atomically publish ``manifest`` as the next version.
+
+        Refuses to skip/replay versions: ``manifest.version`` must be exactly
+        ``current + 1`` (single-writer protocol; optimistic check catches a
+        concurrent committer or a stale in-memory manifest).
+        """
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        cur = self.current_version()
+        expected = (cur or 0) + 1
+        if manifest.version != expected:
+            raise RuntimeError(
+                f"manifest version conflict: committing v{manifest.version}, expected v{expected}"
+            )
+        vpath = os.path.join(self.manifest_dir, f"v{manifest.version:08d}.json")
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, vpath)
+        ptmp = os.path.join(self.manifest_dir, "CURRENT.tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(manifest.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, os.path.join(self.manifest_dir, "CURRENT"))
+
+    def vacuum(self, manifest: Manifest) -> int:
+        """Delete data files not referenced by the committed manifest
+        (orphans from replaced COW partitions or crashed attempts). Safe to
+        run any time after commit; returns number of files removed."""
+        live = set(manifest.data_files())
+        removed = 0
+        data_dir = os.path.join(self.table_dir, "data")
+        for root, _dirs, files in os.walk(data_dir):
+            for name in files:
+                p = os.path.join(root, name)
+                if p not in live:
+                    os.remove(p)
+                    removed += 1
+        return removed
