@@ -1,0 +1,76 @@
+"""Publish/gold layer tests: snapshot export, rollups, broadcast join, PK
+invariant (SURVEY.md §2.4 J1, §2.5 A4, §3.1 gold stage)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.pipelines.publish import (
+    attach_role_group,
+    conversation_rollup,
+    pk_violations,
+    publish_snapshot,
+)
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import GenConfig, generate_changelog, oracle_replay
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("publish")
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=100, seed=5))
+    clog = ChangeLog(str(tmp / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp / "tbl"), num_partitions=4)
+    eng.replay(clog)
+    return eng, log, tmp
+
+
+def test_publish_snapshot_partitioned(engine):
+    eng, log, tmp = engine
+    out = str(tmp / "out")
+    publish_snapshot(eng, out)
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert files
+    dirs = {f.split("pid=")[1].split("/")[0] for f in files if "pid=" in f}
+    assert len(dirs) > 1  # one directory per hash partition (resumable layout)
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == len(oracle_replay(log))
+
+
+def test_conversation_rollup_matches_pandas(engine):
+    eng, log, tmp = engine
+    got = conversation_rollup(eng.snapshot()).to_pandas().set_index("conv_id").sort_index()
+    exp_rows = eng.snapshot_arrow().to_pandas()
+    exp = exp_rows.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_assistant_turns=("role", lambda s: (s == "assistant").sum()),
+        total_chars=("text", lambda s: s.fillna("").str.len().sum()),
+        last_ts=("ts", "max"),
+    )
+    assert (got["n_turns"] == exp["n_turns"]).all()
+    assert (got["n_assistant_turns"] == exp["n_assistant_turns"]).all()
+    assert (got["total_chars"] == exp["total_chars"]).all()
+    assert (got["last_ts"] == exp["last_ts"]).all()
+
+
+def test_broadcast_role_dim_join(engine):
+    eng, log, tmp = engine
+    rows = attach_role_group(eng.snapshot()).take(200)
+    for r in rows:
+        if r["role"] in ("user",):
+            assert r["role_group"] == "human"
+        elif r["role"] in ("assistant",):
+            assert r["role_group"] == "model"
+        elif r["role"] in ("system", "tool"):
+            assert r["role_group"] == "control"
+
+
+def test_pk_uniqueness_invariant(engine):
+    eng, log, tmp = engine
+    assert pk_violations(eng.snapshot(), ("conv_id", "turn_idx")) == 0
+    # and a deliberately duplicated dataset is caught
+    dup = eng.snapshot().union(eng.snapshot().limit(10))
+    assert pk_violations(dup, ("conv_id", "turn_idx")) == 10
