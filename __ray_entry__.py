@@ -1,44 +1,390 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship CDC replay on a deterministic synthetic changelog
+(sf0.001 scale). ``queries()`` — one callable per implemented operator
+family from SURVEY.md §2 plus the training-data extensions; each takes an
+``sf_dir`` and returns a Dataset / DataFrame / Arrow table. ``oracle_sql``
+— DuckDB-equivalent SQL for every SQL-expressible query (same column
+names; float aggregates rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+#: deterministic changelog cache shared between the Ray queries and the
+#: DuckDB oracle (the oracle reads the same parquet via read_parquet()).
+CDC_CACHE_ROOT = "/tmp/etl_cdc_cache"
+
+_CDC_SIZES = {  # events, conversations — scaled per sf tier
+    "sf0.001": (20_000, 400),
+    "sf0.01": (80_000, 1_600),
+    "sf0.1": (400_000, 8_000),
+}
+_CDC_SEED = 42
+
+
+def _sf_name(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return name if name in _CDC_SIZES else "sf0.01"
+
+
+def _changelog_dir(sf_name: str) -> str:
+    return os.path.join(CDC_CACHE_ROOT, sf_name, "changelog")
+
+
+def _ensure_changelog(sf_name: str) -> str:
+    """Write the deterministic changelog for one sf tier (idempotent)."""
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    d = _changelog_dir(sf_name)
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    n_events, n_convs = _CDC_SIZES[sf_name]
+    log = generate_changelog(
+        GenConfig(
+            num_events=n_events,
+            num_conversations=n_convs,
+            seed=_CDC_SEED,
+            hot_key_frac=0.1,
+            out_of_order=True,
+        )
+    )
+    ChangeLog(d).write_segments(log, segment_rows=max(10_000, n_events // 8))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _cdc_replay(sf_dir: str):
+    """Flagship: replay the changelog into a fresh lake table, return the
+    committed snapshot (public columns, utf8 for cross-engine compare)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_rollup(sf_dir: str):
+    """Gold rollup over the committed CDC snapshot (per-conversation)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.publish import conversation_rollup
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_roll_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    return conversation_rollup(eng.snapshot())
+
+
+def _cdc_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _cdc_rollup_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text, ts
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_assistant_turns,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+               MAX(ts) AS last_ts
+        FROM snap GROUP BY conv_id
+    """
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: CDC changelog replay → committed
+    snapshot Dataset."""
+    return _cdc_replay("/root/testdata/sf0.001")
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import text_stats
+
+    return (
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .map_batches(text_stats, batch_format="pyarrow")
+        .drop_columns(["text"])
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import embedding_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dedup(ds, threshold=0.95).select_columns(["vec_id", "is_dup"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.similarity import ann_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return minhash_dedup(ds)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(ds)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import LangId
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).drop_columns(["text"])
+
+
+def _q_quality_score(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import QualityScorer
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4)).drop_columns(["text"])
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").drop_columns(["text"])
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.similarity import ann_lsh_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import decode_images, synth_media_batch
+
+    ds = ray.data.from_arrow(synth_media_batch(256, seed=7))
+    return decode_images(ds, batch_size=32, concurrency=(1, 2))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from etl_framework_ray.pipelines import medallion as m
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine (the north-star pipeline)
+        "cdc_replay": _cdc_replay,
+        "cdc_rollup": _cdc_rollup,
+        # reference operator parity (SURVEY.md §2)
+        "clean_orders": m.clean_orders,
+        "clean_parts": m.clean_parts,
+        "supplier_star_join": m.supplier_nation_region,
+        "revenue_by_brand": m.revenue_by_brand,
+        "pricing_summary": m.pricing_summary,
+        "events_timeliness": m.events_timeliness,
+        "distinct_order_status": m.distinct_order_status,
+        "lineitem_pk_dups": m.lineitem_pk_dups,
+        "top_orders": m.top_orders,
+        "latest_event_per_user": m.latest_event_per_user,
+        # training-data extensions
+        "text_stats": _q_text_stats,
+        "exact_dedup_docs": _q_exact_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "ann_topk": _q_ann_topk,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "langid": _q_langid,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query. Column names and
+    float rounding match the Ray pipelines exactly. Non-SQL-expressible
+    ops (LSH/minhash/simhash clustering, heuristic scoring, approximate
+    ANN, stubbed multimodal decode) are intentionally omitted → the driver
+    records rows-only checks for them."""
+    # the changelog parquet the oracle reads is (re)generated when
+    # queries() runs; ensure it exists even if the oracle runs first
+    for sf in _CDC_SIZES:
+        try:
+            _ensure_changelog(sf)
+        except Exception:
+            pass
+    sf = "sf0.01"  # driver's correctness tier
+    from etl_framework_ray.functions.text import TOKEN_PATTERN
+
+    return {
+        "cdc_replay": _cdc_oracle_sql(sf),
+        "cdc_rollup": _cdc_rollup_oracle_sql(sf),
+        "clean_orders": """
+            SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+                   o_orderstatus AS order_status, o_totalprice,
+                   o_orderpriority AS order_priority
+            FROM orders""",
+        "clean_parts": """
+            SELECT p_partkey, p_name, p_type, CAST(p_size AS BIGINT) AS p_size
+            FROM part WHERE regexp_matches(p_type, '^PROMO')""",
+        "supplier_star_join": """
+            SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey""",
+        "revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) / 100.0
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) / 100.0
+                       AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "events_timeliness": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_before_9
+            FROM events GROUP BY event_type""",
+        "distinct_order_status": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+        "lineitem_pk_dups": """
+            SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1""",
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10""",
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn = 1""",
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
+                       AS n_bpe_tokens,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+            FROM documents""",
+        "exact_dedup_docs": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text""",
+        "embedding_dedup": """
+            SELECT a.vec_id,
+                   COALESCE(BOOL_OR(
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) >= 0.95),
+                            FALSE) AS is_dup
+            FROM embeddings a LEFT JOIN embeddings b ON b.vec_id < a.vec_id
+            GROUP BY a.vec_id""",
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, t.vec_id,
+                   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(t.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings q CROSS JOIN embeddings t
+            WHERE q.vec_id IN (0, 1, 2, 3, 4) AND t.vec_id <> q.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(t.embedding AS DOUBLE[])) DESC,
+                         t.vec_id) <= 5""",
+    }

@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+These are the engine's training-data extensions (not present in the
+reference, which has no text operators — SURVEY.md §2.8 notes only
+regex/cast/string-escape helpers). All hot paths are vectorized: Arrow
+``count_substring_regex`` kernels for counting, pandas explode+merge for
+the stopword scorer, numpy rolling hashes per document for fingerprints.
+Stateful pieces (compiled regexes, stopword tables) live in actor-pool
+classes — built once per actor in ``__init__``, used per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import stable_hash_array
+
+#: BPE-ish token pattern: word runs or single non-space punctuation.
+#: RE2-compatible (both pyarrow and DuckDB use RE2) so the SQL oracle can
+#: count the same tokens with regexp_extract_all.
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stateless per-batch stats: chars, whitespace tokens, BPE-ish tokens,
+    alpha chars. Pure Arrow kernels; SQL-oracle-expressible by design."""
+    text = batch.column(text_col)
+    out = batch.append_column("n_chars_actual", pc.utf8_length(text).cast(pa.int64()))
+    out = out.append_column("n_tokens", pc.count_substring_regex(text, r"\S+").cast(pa.int64()))
+    out = out.append_column(
+        "n_bpe_tokens", pc.count_substring_regex(text, TOKEN_PATTERN).cast(pa.int64())
+    )
+    out = out.append_column(
+        "n_alpha", pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
+    )
+    return out
+
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language identifier (public-knowledge word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "den", "von"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "une", "un", "dans", "que", "pour"},
+    "zh": {"的", "是", "了", "在", "我", "有", "和", "就", "不", "人", "这", "中"},
+}
+
+
+class LangId:
+    """Actor-pool language identifier: stopword-hit scoring with a CJK
+    codepoint-ratio prior. Profiles built once per actor; per batch it is
+    one pandas explode + merge (vectorized), no per-row Python."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        rows = [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws]
+        self.profile = pd.DataFrame(rows, columns=["token", "lang"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col).to_pandas().fillna("")
+        toks = text.str.lower().str.findall(r"[^\W\d_]+")
+        exploded = toks.explode().rename("token").reset_index()
+        hits = exploded.merge(self.profile, on="token", how="inner")
+        scores = hits.groupby(["index", "lang"]).size().unstack(fill_value=0)
+        n_docs = len(text)
+        best = scores.idxmax(axis=1) if len(scores) else pd.Series(dtype=object)
+        pred = pd.Series(["unknown"] * n_docs, index=range(n_docs), dtype=object)
+        pred.update(best)
+        # CJK ratio overrides stopword score (zh text rarely space-splits)
+        cjk = text.str.count(r"[一-鿿]")
+        total = text.str.len().clip(lower=1)
+        pred[cjk / total > 0.2] = "zh"
+        return batch.append_column("lang_pred", pa.array(pred.to_numpy(dtype=object), pa.string()))
+
+
+class QualityScorer:
+    """Actor-pool quality scoring: length/punct/stopword ratios combined
+    into a [0,1] heuristic score (training-data filtering staple)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.en_stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col).to_pandas().fillna("")
+        n_chars = text.str.len().clip(lower=1)
+        n_tokens = text.str.count(r"\S+")
+        punct_ratio = text.str.count(r"[^\w\s]") / n_chars
+        toks = text.str.lower().str.findall(r"[a-z]+")
+        stop_hits = toks.map(lambda ws: sum(1 for w in ws if w in self.en_stop))
+        stop_ratio = stop_hits / n_tokens.clip(lower=1)
+        len_score = (n_tokens.clip(upper=512) / 512.0) ** 0.5
+        score = (
+            0.4 * len_score + 0.3 * (1.0 - punct_ratio.clip(upper=1.0)) + 0.3 * stop_ratio.clip(upper=1.0)
+        )
+        out = batch.append_column("punct_ratio", pa.array(punct_ratio.to_numpy(np.float64)))
+        out = out.append_column("stop_ratio", pa.array(stop_ratio.to_numpy(np.float64)))
+        return out.append_column("quality_score", pa.array(score.to_numpy(np.float64)))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash / winnowing-lite)
+# ---------------------------------------------------------------------------
+
+_FP_WINDOW = 4
+_FP_MUL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_fingerprint(token_hashes: np.ndarray, window: int = _FP_WINDOW) -> np.uint64:
+    """XOR of rolling-window hashes over the token-hash stream. Equal docs
+    → equal fingerprints; local edits only perturb nearby windows (used as
+    a cheap near-dup prefilter and content address)."""
+    h = token_hashes.astype(np.uint64)
+    if len(h) == 0:
+        return np.uint64(0)
+    if len(h) < window:
+        acc = np.uint64(0)
+        for v in h:
+            acc = np.uint64((int(acc) * int(_FP_MUL) + int(v)) % (1 << 64))
+        return acc
+    # rolling polynomial over each window, fully vectorized via strides
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    acc = np.zeros(len(win), dtype=np.uint64)
+    for j in range(window):  # window is a small constant (4)
+        acc = acc * _FP_MUL + win[:, j]
+    return np.bitwise_xor.reduce(acc)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc rolling-hash fingerprint. Token hashing is vectorized per
+    document; the outer loop is per doc (bounded by batch size)."""
+    text = batch.column(text_col).to_pandas().fillna("")
+    toks = text.str.lower().str.findall(r"\S+")
+    fps = np.zeros(len(toks), dtype=np.uint64)
+    for i, words in enumerate(toks):
+        if words:
+            fps[i] = _doc_fingerprint(stable_hash_array(np.asarray(words, dtype=object)))
+    return batch.append_column("fingerprint", pa.array(fps.astype(np.int64), pa.int64()))

@@ -60,10 +60,24 @@ from ..state.schema import (
 )
 from . import metrics as metrics_mod
 
+def _single_threaded_arrow() -> None:
+    """Pin Arrow's intra-kernel thread pool to 1 inside Ray workers.
+
+    Ray schedules one task per CPU; pyarrow kernels (sort_indices, take,
+    parquet encode) otherwise fan out onto Arrow's global pool sized to ALL
+    cores, so N concurrent tasks × N Arrow threads oversubscribe the node
+    quadratically — measured 3× slowdown at 32 CPUs. Idempotent, per
+    worker process."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
+
 _META_SCHEMA = pa.schema(
     [
         pa.field("pid", pa.int64()),
         pa.field("path", pa.string()),
+        pa.field("mode", pa.string()),  # delta | base (compaction)
         pa.field("rows_live", pa.int64()),
         pa.field("tombstones", pa.int64()),
         pa.field("bytes", pa.int64()),
@@ -101,11 +115,17 @@ def _changes_to_lake_rows(changes: pa.Table, lake_sch: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=lake_sch)
 
 
-def _read_partition_files(files: list[str], lake_sch: pa.Schema) -> pa.Table | None:
+def merge_partition_files(
+    files: list[str], lake_sch: pa.Schema, key_cols: tuple[str, ...]
+) -> pa.Table:
+    """Merge-on-read of one partition: concat its base+delta files (oldest
+    first), LWW-reduce on the key. Output is key-sorted and still carries
+    tombstones + bookkeeping columns."""
     if not files:
-        return None
+        return lake_sch.empty_table()
     tables = [normalize_table(pq.read_table(f), lake_sch) for f in files]
-    return pa.concat_tables(tables) if tables else None
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    return lww_reduce(t, key_cols, ("ts", LSN_COL))
 
 
 def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
@@ -120,26 +140,34 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
     def apply_partition(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _META_SCHEMA.empty_table()
+        _single_threaded_arrow()
         ctx = ray.get(ctx_ref)
         lake_sch = ctx["lake_schema"]
         pid = group.column("pid")[0].as_py()
         n_events = group.num_rows
 
         changes = _changes_to_lake_rows(group.drop_columns(["pid"]), lake_sch)
-        existing = _read_partition_files(ctx["part_files"].get(pid, []), lake_sch)
-        merged = (
-            pa.concat_tables([existing, changes]) if existing is not None else changes
-        )
-        merged = lww_reduce(merged, key_cols, ("ts", LSN_COL))
-        # stable turn ordering at write (lww_reduce leaves rows key-sorted,
-        # but be explicit — the invariant is load-bearing)
-        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+        changes = lww_reduce(changes, key_cols, ("ts", LSN_COL))  # key-sorted
+
+        existing = ctx["part_files"].get(pid, [])
+        if len(existing) + 1 > ctx["compact_every"]:
+            # compaction: fold base+deltas+changes into one base file.
+            # Amortized write volume = changes + table/compact_every per
+            # epoch (LSM-style merge-on-read, SURVEY.md §7.4 COW note).
+            merged = merge_partition_files(existing, lake_sch, key_cols)
+            merged = lww_reduce(pa.concat_tables([merged, changes]), key_cols, ("ts", LSN_COL))
+            mode = "base"
+        else:
+            # delta write: the epoch's reduced changes only — apply never
+            # touches existing data outside compaction epochs
+            merged = changes
+            mode = "delta"
 
         out_dir = os.path.join(
             ctx["table_dir"], "data", f"part={pid:05d}", f"epoch={ctx['epoch_id']:012d}"
         )
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
+        path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
         tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(merged, tmp)
         os.replace(tmp, path)  # idempotent under retry: deterministic content+path
@@ -150,6 +178,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
                 {
                     "pid": pid,
                     "path": path,
+                    "mode": mode,
                     "rows_live": merged.num_rows - tombstones,
                     "tombstones": tombstones,
                     "bytes": os.path.getsize(path),
@@ -160,6 +189,91 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
         )
 
     return apply_partition
+
+
+# ---------------------------------------------------------------------------
+# Direct hash exchange (raw Ray tasks)
+#
+# The Dataset route (`groupby("pid").map_groups`) is a sort-based all-to-all:
+# sample → sort-map → sort-reduce → apply, four scheduling rounds with a
+# barrier, which measures at <20% CPU utilization for epoch-sized inputs on
+# this machine. Since the apply only needs *hash grouping* (never a global
+# order), the exchange is expressible as one map round (a task per segment
+# file, returning P hash-split sub-tables via ``num_returns``) and one
+# reduce round (a task per partition consuming its B pieces) — the classic
+# Ray map-reduce shuffle. Partitioning assumption: B×P object refs per
+# epoch must stay bounded (segments_per_epoch × num_partitions ≲ 1e5); for
+# cluster-scale epochs beyond that, pass ``exchange="sort"`` to use Ray
+# Data's sort shuffle, which consolidates via push-based exchange.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_partitions: int):
+    """Read one changelog segment, normalize, LWW-combine, hash-split by
+    conv_id into ``num_partitions`` sub-tables (one gather + zero-copy
+    slices)."""
+    import numpy as np
+
+    _single_threaded_arrow()
+    t = normalize_table(pq.read_table(path), chg_schema)
+    t = lww_reduce(t, key_cols, ("ts", "lsn"))
+    pid = partition_ids(t.column("conv_id"), num_partitions)
+    order = np.argsort(pid, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
+    return tuple(
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
+    )
+
+
+@ray.remote
+def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
+    """Per-partition reduce: concat this partition's pieces from every
+    segment, LWW-reduce, write the delta (or compact) file. Same body
+    semantics as ``make_partition_applier`` — deterministic staged file
+    names keep retries idempotent."""
+    import numpy as np  # noqa: F401
+
+    _single_threaded_arrow()
+    parts = [p for p in pieces if p.num_rows]
+    if not parts:
+        return None
+    changes = pa.concat_tables(parts)
+    changes = lww_reduce(changes, key_cols, ("ts", "lsn"))
+    lake_sch = ctx["lake_schema"]
+    changes = _changes_to_lake_rows(changes, lake_sch)
+    n_events = sum(p.num_rows for p in parts)
+
+    existing = ctx["part_files"].get(pid, [])
+    if len(existing) + 1 > ctx["compact_every"]:
+        merged = merge_partition_files(existing, lake_sch, key_cols)
+        merged = lww_reduce(
+            pa.concat_tables([merged, changes]), key_cols, ("ts", LSN_COL)
+        )
+        mode = "base"
+    else:
+        merged = changes
+        mode = "delta"
+
+    out_dir = os.path.join(
+        ctx["table_dir"], "data", f"part={pid:05d}", f"epoch={ctx['epoch_id']:012d}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, path)
+    tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
+    return {
+        "pid": pid,
+        "path": path,
+        "mode": mode,
+        "rows_live": merged.num_rows - tombstones,
+        "tombstones": tombstones,
+        "bytes": os.path.getsize(path),
+        "events": n_events,
+    }
 
 
 class CDCEngine:
@@ -175,9 +289,17 @@ class CDCEngine:
         spec: TableSpec = TRANSCRIPTS,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         run_context: RunContext | None = None,
+        compact_every: int = 4,
+        exchange: str = "ray",  # "ray" (direct hash exchange) | "sort" (Dataset groupby)
     ):
         self.table_dir = table_dir
         self.spec = spec
+        #: a partition compacts when it would exceed this many live files
+        #: (merge-on-read depth / write-amplification trade-off)
+        self.compact_every = compact_every
+        if exchange not in ("ray", "sort"):
+            raise ValueError(f"exchange must be 'ray' or 'sort', got {exchange!r}")
+        self.exchange = exchange
         self.store = ManifestStore(table_dir)
         self.run_context = run_context or RunContext()
         man = self.store.load()
@@ -245,22 +367,49 @@ class CDCEngine:
                 "table_dir": self.table_dir,
                 "lake_schema": new_lake,
                 "epoch_id": epoch.epoch_id,
+                "compact_every": self.compact_every,
                 "part_files": {pid: ps.files for pid, ps in man.partitions.items()},
             }
         )
 
-        def prep(batch: pa.Table) -> pa.Table:
-            batch = normalize_table(batch, chg_schema)
-            batch = lww_reduce(batch, key_cols, ("ts", "lsn"))  # shuffle combiner
-            pid = partition_ids(batch.column("conv_id"), num_partitions)
-            return batch.append_column("pid", pa.array(pid, pa.int64()))
+        if self.exchange == "ray":
+            # direct hash exchange: one map task per segment (hash-split by
+            # conv_id via num_returns), one reduce task per partition
+            prep_refs = [
+                _prep_segment_task.options(num_returns=num_partitions).remote(
+                    p, chg_schema, key_cols, num_partitions
+                )
+                for p in epoch.paths
+            ]
+            if num_partitions == 1:  # num_returns=1 yields a bare ref
+                prep_refs = [[r] for r in prep_refs]
+            apply_refs = [
+                _apply_pid_task.remote(
+                    ctx_ref, pid, key_cols, *[refs[pid] for refs in prep_refs]
+                )
+                for pid in range(num_partitions)
+            ]
+            metas = [m for m in ray.get(apply_refs) if m is not None]
+        else:
+            def prep(batch: pa.Table) -> pa.Table:
+                _single_threaded_arrow()
+                batch = normalize_table(batch, chg_schema)
+                batch = lww_reduce(batch, key_cols, ("ts", "lsn"))  # shuffle combiner
+                pid = partition_ids(batch.column("conv_id"), num_partitions)
+                return batch.append_column("pid", pa.array(pid, pa.int64()))
 
-        ds = ray.data.read_parquet(epoch.paths)
-        ds = ds.map_batches(prep, batch_format="pyarrow")
-        metas_ds = ds.groupby("pid").map_groups(
-            make_partition_applier(ctx_ref, key_cols), batch_format="pyarrow"
-        )
-        metas = metas_ds.take_all()  # one small row per touched partition
+            # segment files are typically far below the 128 MiB block
+            # target, so the default read yields one block per file and the
+            # prep stage's parallelism would be capped at len(paths) — far
+            # below the CPU count. Split the read so every core gets work.
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            blocks = max(len(epoch.paths), 2 * n_cpus)
+            ds = ray.data.read_parquet(epoch.paths, override_num_blocks=blocks)
+            ds = ds.map_batches(prep, batch_format="pyarrow")
+            metas_ds = ds.groupby("pid").map_groups(
+                make_partition_applier(ctx_ref, key_cols), batch_format="pyarrow"
+            )
+            metas = metas_ds.take_all()  # one small row per touched partition
 
         # raw change-event count for throughput accounting (footer-only read)
         events_raw = sum(pq.read_metadata(p).num_rows for p in epoch.paths)
@@ -289,8 +438,14 @@ class CDCEngine:
             new_man.set_schema(new_lake)
             new_man.schema_version += 1
         for m in metas:
-            new_man.partitions[int(m["pid"])] = PartitionState(
-                files=[m["path"]], applied_lsn=epoch.epoch_id, rows=int(m["rows_live"])
+            pid = int(m["pid"])
+            prev = new_man.partitions.get(pid)
+            if m["mode"] == "base" or prev is None:
+                files = [m["path"]]  # compaction replaces the whole stack
+            else:
+                files = [*prev.files, m["path"]]  # delta appends (oldest first)
+            new_man.partitions[pid] = PartitionState(
+                files=files, applied_lsn=epoch.epoch_id, rows=int(m["rows_live"])
             )
         new_man.history.append(
             {
@@ -329,30 +484,52 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
     def snapshot(self) -> "ray.data.Dataset":
-        """Committed live rows as a streaming Dataset (manifest-listed files
-        only; tombstones filtered; public columns)."""
+        """Committed live rows as a streaming Dataset.
+
+        Merge-on-read: each task resolves ONE hash partition — reads its
+        manifest-listed base+delta files, LWW-reduces, drops tombstones,
+        projects public columns. Rows are key-sorted WITHIN a partition
+        (stable turn ordering is partition-local; ``publish_snapshot``
+        preserves it per partition directory)."""
         public = self._public_schema()
-        files = self.manifest.data_files()
-        if not files:
+        man = self.manifest
+        parts = [
+            {"pid": pid, "files": man.partitions[pid].files}
+            for pid in sorted(man.partitions)
+            if man.partitions[pid].files
+        ]
+        if not parts:
             return ray.data.from_arrow(public.empty_table())
-        lake = self.manifest.schema
+        lake = man.schema
+        key_cols = self.key_cols
 
-        def to_public(batch: pa.Table) -> pa.Table:
-            batch = normalize_table(batch, lake)
-            batch = batch.filter(pc.invert(batch.column(DELETED_COL)))
-            return batch.select(public.names)
+        def resolve(batch: pa.Table) -> pa.Table:
+            _single_threaded_arrow()
+            out = []
+            for row in batch.to_pylist():
+                t = merge_partition_files(list(row["files"]), lake, key_cols)
+                t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
+                out.append(t)
+            return pa.concat_tables(out) if out else public.empty_table()
 
-        return ray.data.read_parquet(files).map_batches(to_public, batch_format="pyarrow")
+        return ray.data.from_items(parts).map_batches(
+            resolve, batch_format="pyarrow", batch_size=1
+        )
 
     def snapshot_arrow(self) -> pa.Table:
         """Driver-side committed state (no Ray) — for tests/oracles on small
         tables. Sorted by primary key (stable turn ordering)."""
         public = self._public_schema()
-        files = self.manifest.data_files()
-        if not files:
+        man = self.manifest
+        lake = man.schema
+        parts = []
+        for pid in sorted(man.partitions):
+            files = man.partitions[pid].files
+            if not files:
+                continue
+            t = merge_partition_files(files, lake, self.key_cols)
+            parts.append(t.filter(pc.invert(t.column(DELETED_COL))).select(public.names))
+        if not parts:
             return public.empty_table()
-        lake = self.manifest.schema
-        parts = [normalize_table(pq.read_table(f), lake) for f in files]
         t = pa.concat_tables(parts)
-        t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
         return t.sort_by([(k, "ascending") for k in self.key_cols])

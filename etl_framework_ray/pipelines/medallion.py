@@ -1,0 +1,280 @@
+"""Reference-parity medallion pipelines over the TPC-H-ish test tables.
+
+Each function is the Ray-Data-first re-expression of one operator family
+from SURVEY.md §2, shaped ``fn(sf_dir) -> ray.data.Dataset`` so the driver
+can compare it against an ANSI-SQL oracle on the same Parquet files
+(``__ray_entry__.queries`` / ``oracle_sql``). Column names are part of the
+contract — they must match the oracle's aliases exactly.
+
+The reference's own tables (instacart orders/products/aisles/departments)
+don't exist here; the *operators* are what is ported — project/cast/rename
+(silver cleaners, /root/reference/src/silver/*.py), regex row filters
+(product.py:70-84), star joins (gold/product_dimension.py:62-74),
+conditional aggregates and temporal filters (metadata/slo/*.py), MERGE's
+per-key latest-event reduction (models/writer.py:42-67 → LWW).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.transforms import cast_columns, filter_regex, project, rename_columns
+from ..stages.lww import lww_reduce
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(names: list[str]):
+    """Snap float aggregates to cents, bit-identically across engines.
+
+    Reduce order makes the low bits of a float sum nondeterministic, and
+    ``round(x, 2)`` itself differs between numpy/Arrow and DuckDB at the
+    ULP level. ``int64(round(x*100)) / 100.0`` is the same double on both
+    sides (oracle: ``CAST(ROUND(x*100) AS BIGINT) / 100.0``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for n in names:
+            i = batch.schema.get_field_index(n)
+            cents = pc.round(pc.multiply(batch.column(n), pa.scalar(100.0)), 0)
+            snapped = pc.divide(pc.cast(cents, pa.int64()).cast(pa.float64()), pa.scalar(100.0))
+            batch = batch.set_column(i, n, snapped)
+        return batch
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# M1: project + cast + rename (clean_orders analogue,
+# /root/reference/src/silver/order.py:73-83)
+# ---------------------------------------------------------------------------
+
+
+def clean_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Silver cleaner: narrow casts + renames + declared column order."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = cast_columns(batch, {"o_custkey": pa.int32()})
+        batch = rename_columns(
+            batch, {"o_orderpriority": "order_priority", "o_orderstatus": "order_status"}
+        )
+        return project(batch, ["o_orderkey", "o_custkey", "order_status", "o_totalprice", "order_priority"])
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ).map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M2: regex row filter + cast (clean_products analogue,
+# /root/reference/src/silver/product.py:70-84, regex at :19)
+# ---------------------------------------------------------------------------
+
+
+def clean_parts(sf_dir: str) -> "ray.data.Dataset":
+    """Rows whose p_name contains a 'digit-run' token pattern, then cast."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = filter_regex(batch, "p_type", "^PROMO")
+        return cast_columns(batch, {"p_size": pa.int64()})
+
+    return _read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"]).map_batches(
+        clean, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: star-schema dimension join — small sides broadcast
+# (/root/reference/src/gold/product_dimension.py:62-74)
+# ---------------------------------------------------------------------------
+
+
+def supplier_nation_region(sf_dir: str) -> "ray.data.Dataset":
+    """supplier ⋈ nation ⋈ region with both dims broadcast (ray.put once,
+    pandas merge per batch — no shuffle; dims are tiny)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        out = batch.merge(d, left_on="s_nationkey", right_on="n_nationkey", how="inner")
+        return out[["s_suppkey", "s_name", "n_name", "r_name"]].rename(
+            columns={"n_name": "nation_name", "r_name": "region_name"}
+        )
+
+    return _read(sf_dir, "supplier").map_batches(join, batch_format="pandas")
+
+
+def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
+    """Fact ⋈ broadcast dim ⋈ aggregate: lineitem joined to part (small),
+    revenue per brand. The join is a per-batch pandas merge against a
+    broadcast dim; the groupby shuffles one partial row per (brand, block)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    part_ref = ray.put(part)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        d = ray.get(part_ref)
+        j = df.merge(d, left_on="l_partkey", right_on="p_partkey", how="inner")
+        g = j.groupby("p_brand", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: grouped + conditional aggregates (TPC-H Q1 shape; SLO conditional
+# counts /root/reference/src/metadata/slo/quality.py:43-59)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """Per (returnflag, linestatus): sums and counts, partial-aggregated
+    per batch before the shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .map_batches(_round_cols(["sum_qty", "sum_base_price", "sum_disc_price"]), batch_format="pyarrow")
+    )
+
+
+def events_timeliness(sf_dir: str) -> "ray.data.Dataset":
+    """Conditional counts per event_type: total + how many before 09:00
+    (hour() filter + when/otherwise counting — timeliness.py:81-89,
+    quality.py:43-59)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        before9 = pc.less(pc.hour(batch.column("ts")), 9)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "before_9": pc.if_else(before9, 1, 0).to_pandas(),
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n_events=("event_type", "size"), n_before_9=("before_9", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_before_9", alias_name="n_before_9"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A5/O: distinct, dup check, top-k
+# ---------------------------------------------------------------------------
+
+
+def distinct_order_status(sf_dir: str) -> "ray.data.Dataset":
+    """``df.distinct()`` (A3) via groupby over all projected columns."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def lineitem_pk_dups(sf_dir: str) -> "ray.data.Dataset":
+    """A4 PK-uniqueness: duplicated (l_orderkey, l_linenumber) tuples."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        .groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """A5/O2: global top-k by total price (deterministic tiebreak on key)."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, True])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The MERGE/LWW kernel on generic data: latest event per user (J3/S4
+# semantics — per-key "latest wins", /root/reference/src/models/writer.py:42-67)
+# ---------------------------------------------------------------------------
+
+
+def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Per user_id, the event with max (ts, event_id) — batch-level LWW
+    combiner then per-group reduce; same kernel as the CDC apply."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return lww_reduce(batch, ("user_id",), ("ts", "event_id"))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        return lww_reduce(group, ("user_id",), ("ts", "event_id"))
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

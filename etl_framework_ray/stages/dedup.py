@@ -1,0 +1,378 @@
+"""Deduplication stages for training-data pipelines.
+
+Five dedup families, each expressed Ray-Data-first:
+
+- **exact**: content-hash routing (``groupby(hash)``) + per-group
+  keep-min-id over distinct texts — the generalization of the reference's
+  ``distinct`` (A3, /root/reference/src/models/data_quality_evaluator.py:64)
+  to content dedup at scale. Only the 64-bit hash shuffles the full rows'
+  group routing; equal-hash groups compare true text (hash collisions safe).
+- **MinHash + LSH**: word-shingle → k-minhash signature → banded LSH
+  bucketing (``groupby(band, band_hash)``) → candidate pairs → signature
+  Jaccard verify → connected components → keep min id per cluster.
+- **n-gram Jaccard**: same LSH candidate generation, but verified with
+  EXACT shingle-set Jaccard.
+- **SimHash**: 64-bit simhash, banded into 4×16-bit keys, hamming-≤-t
+  verify.
+- **embedding cosine**: keep a vector iff no lower-id vector has cosine
+  ≥ τ (greedy-by-id rule — SQL-expressible for the oracle).
+
+Scale notes: signatures/bands shuffle instead of full texts; candidate
+pairs are verified from a broadcast signature matrix (``ray.put`` once).
+Connected components run driver-side over the verified-pair edge list —
+valid while pairs ≪ corpus (the LSH design goal); for adversarial corpora
+swap in iterative min-label propagation (a few groupby rounds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import stable_hash_array
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct text. Returns the kept rows."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = stable_hash_array(batch.column(text_col)).astype(np.int64)
+        return batch.append_column("_h", pa.array(h, pa.int64()))
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(id_col).drop_duplicates(text_col, keep="first").drop(columns=["_h"])
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash signatures
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    num_perm: int = 64
+    bands: int = 16  # rows per band = num_perm // bands
+    shingle_size: int = 3  # word n-grams
+    jaccard_threshold: float = 0.8
+    seed: int = 7
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    words = text.lower().split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(stable_hash_array(np.asarray(shingles, dtype=object)))
+
+
+class MinHasher:
+    """Actor-pool signature stage: permutation params drawn once per actor
+    in ``__init__`` from the config seed; per batch the k×m universal-hash
+    min is one numpy matmul-shaped reduction per doc."""
+
+    def __init__(self, cfg: MinHashConfig, text_col: str = "text", id_col: str = "doc_id"):
+        self.cfg = cfg
+        self.text_col = text_col
+        self.id_col = id_col
+        rng = np.random.default_rng(cfg.seed)
+        self.a = rng.integers(1, int(_MERSENNE), cfg.num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), cfg.num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        s = _shingle_hashes(text, self.cfg.shingle_size)
+        if len(s) == 0:
+            return np.full(self.cfg.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (k, m) universal hashes, min over shingles — vectorized
+        hs = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
+        return hs.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pandas().fillna("")
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(t) for t in texts])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+            }
+        )
+
+
+def _band_rows(sig_batch: pa.Table, cfg: MinHashConfig, id_col: str) -> pa.Table:
+    """Explode signatures into (band, band_hash, id) rows for LSH bucketing."""
+    ids = sig_batch.column(id_col).to_numpy(zero_copy_only=False)
+    sigs = np.stack(sig_batch.column("sig").to_pandas().to_numpy()).astype(np.uint64)
+    r = cfg.num_perm // cfg.bands
+    out_ids, out_band, out_hash = [], [], []
+    for b in range(cfg.bands):
+        seg = sigs[:, b * r : (b + 1) * r]
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(r):
+            h = h * np.uint64(1099511628211) + seg[:, j]
+        out_ids.append(ids)
+        out_band.append(np.full(len(ids), b, dtype=np.int64))
+        out_hash.append(h.astype(np.int64))
+    return pa.table(
+        {
+            id_col: pa.array(np.concatenate(out_ids)),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, id_col: str, max_bucket: int = 200) -> pd.DataFrame:
+    """All candidate pairs (a<b) within one LSH bucket. Buckets larger than
+    ``max_bucket`` are truncated (logged upstream) — a giant bucket means
+    near-identical boilerplate where any spanning pairing suffices."""
+    ids = np.sort(group[id_col].to_numpy())[:max_bucket]
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+
+def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over the verified edge list (driver-side; pairs ≪ corpus)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    cfg: MinHashConfig = MinHashConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_verify: bool = False,
+) -> pa.Table:
+    """Full MinHash-LSH near-dup pipeline. Returns a small driver-side
+    table ``(id, cluster_id, is_kept)`` for ALL ids (cluster = min id).
+
+    ``exact_verify=True`` re-checks candidates with exact shingle-set
+    Jaccard (the n-gram-Jaccard dedup variant); otherwise the signature
+    estimate (mean equal components) is used.
+    """
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(cfg, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),  # autoscaling actor pool: never deadlocks small sessions
+    ).materialize()  # small: (id, 64×int64) per doc; reused twice below
+
+    bands = sigs.map_batches(lambda b: _band_rows(b, cfg, id_col), batch_format="pyarrow")
+    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
+    )
+    pairs = pairs_ds.to_pandas().drop_duplicates()
+
+    # broadcast signature matrix for verification (scale path: co-partition
+    # join of pairs against sigs instead of a broadcast)
+    sig_df = sigs.to_pandas()
+    sig_mat = {int(i): np.asarray(s, dtype=np.int64) for i, s in zip(sig_df[id_col], sig_df["sig"])}
+    shingle_sets: dict[int, np.ndarray] = {}
+    if exact_verify:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            texts = batch.column(text_col).to_pandas().fillna("")
+            for i, t in zip(batch.column(id_col).to_pylist(), texts):
+                shingle_sets[int(i)] = _shingle_hashes(t, cfg.shingle_size)
+
+    verified: list[tuple[int, int]] = []
+    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
+        if exact_verify:
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+        else:
+            j = float(np.mean(sig_mat[a] == sig_mat[b]))
+        if j >= cfg.jaccard_threshold:
+            verified.append((a, b))
+
+    comp = _connected_components(verified)
+    all_ids = sorted(sig_mat)
+    cluster = [comp.get(i, i) for i in all_ids]
+    return pa.table(
+        {
+            id_col: pa.array(all_ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "is_kept": pa.array([c == i for i, c in zip(all_ids, cluster)], pa.bool_()),
+        }
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: "ray.data.Dataset", cfg: MinHashConfig = MinHashConfig(), **kw
+) -> pa.Table:
+    """MinHash-LSH candidates verified with EXACT n-gram Jaccard."""
+    return minhash_dedup(ds, cfg, exact_verify=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit simhash per doc: sign of the token-hash bit-vote sum."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bit_idx = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        words = text.lower().split()
+        if not words:
+            return np.uint64(0)
+        h = stable_hash_array(np.asarray(words, dtype=object))
+        bits = (h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)  # (m, 64)
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+        return np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pandas().fillna("")
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sh = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        return pa.table({self.id_col: pa.array(ids), "simhash": pa.array(sh.astype(np.int64))})
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Near-dup by simhash hamming distance ≤ t. Banding: 4×16-bit keys —
+    any pair within distance 3 shares at least one exact band (pigeonhole)."""
+    sh = ds.map_batches(
+        SimHasher,
+        fn_constructor_args=(text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_i, out_b, out_k = [], [], []
+        for b in range(4):
+            out_i.append(ids)
+            out_b.append(np.full(len(ids), b, dtype=np.int64))
+            out_k.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_i)),
+                "band": pa.array(np.concatenate(out_b)),
+                "key": pa.array(np.concatenate(out_k)),
+                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order][:200], hs[order][:200]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []}, dtype=np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a": ids[ia], "b": ids[ib], "ha": hs[ia].astype(np.int64), "hb": hs[ib].astype(np.int64)}
+        )
+
+    pairs = (
+        sh.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+    )
+    if len(pairs):
+        x = pairs["ha"].to_numpy().astype(np.uint64) ^ pairs["hb"].to_numpy().astype(np.uint64)
+        dist = np.array([bin(int(v)).count("1") for v in x])
+        keep = dist <= max_hamming
+        verified = list(zip(pairs["a"][keep].astype(int), pairs["b"][keep].astype(int)))
+    else:
+        verified = []
+    comp = _connected_components(verified)
+    all_ids = sorted(int(i) for i in ds.select_columns([id_col]).to_pandas()[id_col])
+    cluster = [comp.get(i, i) for i in all_ids]
+    return pa.table(
+        {
+            id_col: pa.array(all_ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "is_kept": pa.array([c == i for i, c in zip(all_ids, cluster)], pa.bool_()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Keep a vector iff no LOWER-id vector has cosine ≥ threshold.
+
+    Greedy-by-id — deterministic and SQL-expressible (the oracle is an
+    anti-join). The reference matrix is L2-normalized once on the driver
+    and broadcast (``ray.put``); each batch is one blocked matmul. Scale
+    path: LSH/IVF-bucket the vectors and compare within buckets only.
+    """
+    import pyarrow.compute as _pc  # noqa: F401
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    ids = full[id_col].to_numpy()
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bvec = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
+        bvec /= np.maximum(np.linalg.norm(bvec, axis=1, keepdims=True), 1e-12)
+        sims = bvec @ m.T  # (B, N)
+        earlier = all_ids[None, :] < bids[:, None]
+        dup = ((sims >= threshold) & earlier).any(axis=1)
+        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -72,8 +72,10 @@ def lww_reduce(
         return tbl
     sort_keys = [(k, "ascending") for k in (*key_cols, *order_cols)]
     idx = pc.sort_indices(tbl, sort_keys=sort_keys)
-    srt = tbl.take(idx)
-    mask = last_per_key_mask(srt, key_cols)
-    if mask.all():
-        return srt
-    return srt.filter(pa.array(mask))
+    # boundary detection on the NARROW key columns only; the single wide
+    # gather of payload happens once, on the surviving rows (memory-bound
+    # pipelines live and die by copies of the text column)
+    keys_sorted = tbl.select(list(key_cols)).take(idx)
+    mask = last_per_key_mask(keys_sorted, key_cols)
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    return tbl.take(pa.array(idx_np[mask]))

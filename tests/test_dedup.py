@@ -1,0 +1,99 @@
+"""Dedup stage tests: exact, MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine — positive (planted dups caught) and negative (distinct
+docs kept) cases on synthesized corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.stages.dedup import (
+    MinHashConfig,
+    embedding_dedup,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+
+def _corpus():
+    """40 distinct docs + planted exact dups + planted near-dups."""
+    rng = np.random.default_rng(0)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = {}
+    for i in range(40):
+        docs[i] = " ".join(rng.choice(vocab, 60))
+    docs[100] = docs[0]  # exact dup of 0
+    docs[101] = docs[1]  # exact dup of 1
+    near2 = docs[2].split()
+    near2[5] = "CHANGED"
+    docs[102] = " ".join(near2)  # near dup of 2 (1 token of 60)
+    near3 = docs[3].split()
+    near3[10], near3[40] = "X", "Y"
+    docs[103] = " ".join(near3)  # near dup of 3 (2 tokens of 60)
+    ids = sorted(docs)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array([docs[i] for i in ids], pa.string())}
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_corpus()).repartition(4)
+
+
+def test_exact_dedup(corpus_ds):
+    kept = exact_dedup(corpus_ds).to_pandas()
+    assert len(kept) == 42  # 44 rows − 2 exact dups
+    assert 100 not in set(kept.doc_id) and 101 not in set(kept.doc_id)
+    assert 0 in set(kept.doc_id) and 1 in set(kept.doc_id)  # min id kept
+    assert 102 in set(kept.doc_id)  # near-dup is NOT an exact dup
+
+
+def test_minhash_lsh_dedup(corpus_ds):
+    out = minhash_dedup(corpus_ds, MinHashConfig(jaccard_threshold=0.7)).to_pandas()
+    by_id = out.set_index("doc_id")
+    # exact + near dups clustered to their originals, originals kept
+    assert by_id.loc[100].cluster_id == 0 and not by_id.loc[100].is_kept
+    assert by_id.loc[102].cluster_id == 2 and not by_id.loc[102].is_kept
+    assert by_id.loc[103].cluster_id == 3 and not by_id.loc[103].is_kept
+    assert by_id.loc[0].is_kept and by_id.loc[2].is_kept
+    # distinct docs form singleton clusters
+    distinct = by_id.loc[4:40]
+    assert distinct.is_kept.all()
+    assert (distinct.index == distinct.cluster_id).all()
+
+
+def test_ngram_jaccard_exact_verify(corpus_ds):
+    out = ngram_jaccard_dedup(corpus_ds, MinHashConfig(jaccard_threshold=0.5)).to_pandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[102].cluster_id == 2
+    assert by_id.loc[4:40].is_kept.all()
+
+
+def test_simhash_dedup(corpus_ds):
+    out = simhash_dedup(corpus_ds, max_hamming=10).to_pandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[100].cluster_id == 0 and not by_id.loc[100].is_kept  # exact dup
+    assert by_id.loc[4:40].is_kept.all()  # distinct docs survive
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup():
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + 0.001 * rng.standard_normal(16).astype(np.float32)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(31), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_dedup(ray.data.from_arrow(t), threshold=0.95).to_pandas().set_index("vec_id")
+    assert bool(out.loc[30].is_dup)  # near-copy of vec 0 flagged
+    assert not out.loc[0].is_dup  # earliest copy kept
+    assert out.loc[1:29].is_dup.sum() == 0  # random gaussians aren't near-dups

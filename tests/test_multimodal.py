@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: binary columns through an actor-pool decode
+stage (codec stubbed; schema/batching/feature layout real)."""
+
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.stages.multimodal import (
+    MEDIA_SCHEMA,
+    FrameSampler,
+    ImageDecoder,
+    decode_images,
+    synth_media_batch,
+)
+
+
+def test_synth_batch_schema():
+    t = synth_media_batch(8, seed=1)
+    assert t.schema.equals(MEDIA_SCHEMA)
+    assert t.equals(synth_media_batch(8, seed=1))  # deterministic
+
+
+def test_decoder_unit():
+    t = synth_media_batch(4, seed=2)
+    out = ImageDecoder()(t)
+    assert out.column_names == ["media_id", "media_type", "mime", "height", "width", "channels", "mean_intensity"]
+    rows = out.to_pylist()
+    assert all(16 <= r["height"] < 64 and r["channels"] == 3 for r in rows)
+    assert all(0 <= r["mean_intensity"] <= 255 for r in rows)
+
+
+def test_decoder_rejects_garbage():
+    bad = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"nonsense"], pa.large_binary()),
+            "mime": pa.array(["image/fake"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="FAKEIMG1"):
+        ImageDecoder()(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_decode_pipeline():
+    import ray.data
+
+    ds = ray.data.from_arrow(synth_media_batch(64, seed=3))
+    out = decode_images(ds, batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 64
+    assert "payload" not in out.columns  # heavy bytes dropped after decode
+
+
+def test_frame_sampler_is_declared_stub():
+    with pytest.raises(NotImplementedError):
+        FrameSampler()(synth_media_batch(1))

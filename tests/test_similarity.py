@@ -1,0 +1,56 @@
+"""ANN tests: brute-force vs numpy oracle; LSH recall vs brute force."""
+
+import numpy as np
+import pytest
+
+from etl_framework_ray.stages.similarity import ann_lsh_topk, ann_topk
+
+SF = "/root/testdata/sf0.001"
+QUERIES = [0, 1, 2, 3, 4]
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.stack(tbl.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ds, ids, mat
+
+
+def _numpy_topk(ids, mat, q, k):
+    sims = mat[q] @ mat.T
+    order = np.argsort(-sims)
+    return [int(ids[j]) for j in order if ids[j] != q][:k]
+
+
+def test_bruteforce_matches_numpy(emb):
+    ds, ids, mat = emb
+    got = ann_topk(ds, QUERIES, k=K).to_pandas()
+    for q in QUERIES:
+        g = got[got.query_id == q].sort_values("sim", ascending=False)
+        assert len(g) == K
+        exp = _numpy_topk(ids, mat, q, K)
+        assert list(g.vec_id) == exp, f"query {q}"
+        # sims are true cosines (rounded to 4dp)
+        top_sim = float(mat[q] @ mat[exp[0]].T)
+        assert abs(g.sim.iloc[0] - round(top_sim, 4)) < 1e-9
+
+
+def test_lsh_recall_reasonable(emb):
+    ds, ids, mat = emb
+    exact = {q: set(_numpy_topk(ids, mat, q, K)) for q in QUERIES}
+    got = ann_lsh_topk(ds, QUERIES, k=K, num_planes=4).to_pandas()
+    recalls = []
+    for q in QUERIES:
+        approx = set(got[got.query_id == q].vec_id)
+        recalls.append(len(approx & exact[q]) / K)
+    # bucketed scan: every query must return somethig from its own bucket
+    # and aggregate recall must beat random chance by a wide margin
+    assert got.groupby("query_id").size().min() >= 1
+    assert np.mean(recalls) >= 0.2

@@ -1,0 +1,99 @@
+"""Text analysis tests: stats vs DuckDB, langid accuracy, fingerprints."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.functions.text import (
+    LangId,
+    QualityScorer,
+    TOKEN_PATTERN,
+    fingerprint_batch,
+    text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_stats_match_duckdb():
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = (
+        ds.map_batches(text_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT doc_id, length(text) AS n_chars_actual,
+              length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+              length(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_bpe_tokens,
+              length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    for c in ["n_chars_actual", "n_tokens", "n_bpe_tokens", "n_alpha"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_langid_accuracy_on_labeled_docs():
+    import ray.data
+
+    # testdata "lang" labels are synthetic (all text is English word-soup),
+    # so accuracy is asserted on real sample sentences instead
+    samples = {
+        "en": "the cat sat on the mat and it is a fine day for a walk in the park",
+        "es": "el perro corre por la calle y una mujer mira los coches con un niño",
+        "de": "der Hund läuft und die Katze ist nicht mit einem Ball zu sehen",
+        "fr": "le chien est dans la maison et les enfants jouent dans une rue pour le plaisir",
+        "zh": "今天的天气很好我们一起去公园散步这是一个不错的主意",
+    }
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(samples))), "text": pa.array(list(samples.values()))}
+    )
+    ds = ray.data.from_arrow(batch)
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert list(out.lang_pred) == list(samples.keys())
+    # and the word-soup corpus classifies overwhelmingly as English
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    soup = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert (soup.lang_pred == "en").mean() > 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_scorer_ranges():
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert out.quality_score.between(0, 1).all()
+    assert out.punct_ratio.between(0, 1).all()
+    # an empty-ish doc scores lower than a long clean doc
+    t = pa.table({"doc_id": pa.array([1, 2]), "text": pa.array(["x.", "the quick brown fox is in the field and it is fine " * 20])})
+    s = QualityScorer()(t).to_pylist()
+    assert s[1]["quality_score"] > s[0]["quality_score"]
+
+
+def test_fingerprint_properties():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3]),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon zeta",  # identical
+                    "alpha beta gamma delta epsilon eta",  # one-token edit
+                    "",
+                ]
+            ),
+        }
+    )
+    out = fingerprint_batch(t).to_pylist()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]  # equal docs equal fp
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+    assert out[3]["fingerprint"] == 0
