@@ -52,6 +52,30 @@ def hour_of(tbl: pa.Table, ts_col: str) -> pa.ChunkedArray:
     return pc.hour(tbl.column(ts_col))
 
 
+def explode_struct_list(tbl: pa.Table, column: str, keep: list[str] | None = None) -> pa.Table:
+    """``F.explode(list<struct>)`` then struct-field access — the reference's
+    DQ-failure flattening (/root/reference/src/models/data_quality_evaluator.py:53-65):
+    one output row per list element, struct fields become top-level columns,
+    ``keep`` columns are repeated per element. Rows with empty/null lists
+    produce no output (explode, not explode_outer)."""
+    col = tbl.column(column).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(col)  # drops nulls/empties, concatenates elements
+    import numpy as np
+
+    parent = np.repeat(np.arange(len(tbl)), lengths)
+    out_cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for name in keep or []:
+        out_cols[name] = tbl.column(name).take(pa.array(parent))
+    struct_type = col.type.value_type
+    for i in range(struct_type.num_fields):
+        f = struct_type.field(i)
+        out_cols[f.name] = pc.struct_field(flat, f.name)
+    return pa.table(out_cols)
+
+
 def with_constants(tbl: pa.Table, consts: dict[str, tuple]) -> pa.Table:
     """Stamp constant metadata columns (table_name/job_id/run_id/date
     literals — /root/reference/src/models/data_quality_evaluator.py:70-79).

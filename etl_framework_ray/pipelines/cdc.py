@@ -1,34 +1,46 @@
-"""The CDC apply pipeline: changelog epoch → shuffle by conv_id → per-
-partition LWW merge → exactly-once commit.
+"""The CDC apply pipeline: changelog epoch → hash exchange by conv_id →
+per-partition LWW merge-on-read deltas → exactly-once commit.
 
-Ray-Data-first realization of the reference's MERGE upsert
+Ray-first realization of the reference's MERGE upsert
 (/root/reference/src/models/writer.py:42-67) at binlog scale:
 
-1. ``ray.data.read_parquet(epoch segments)`` — zero-copy Arrow blocks.
-2. ``map_batches(prep)`` — normalize each batch to the (possibly evolved)
-   epoch schema, run the vectorized LWW *combiner* (drops superseded events
-   before the shuffle — the partial-aggregation pattern), stamp the
-   partition id ``pid = siphash(conv_id) % P``.
-3. ``groupby("pid").map_groups(apply_partition)`` — the only shuffle; all
-   events of a conversation land in one group. Each group task does a
-   partition-local copy-on-write merge: read that partition's committed
-   Parquet files, concat with the changes, LWW-reduce on
-   ``(conv_id, turn_idx)`` by ``(ts, _lsn)``, sort by the key (stable turn
-   ordering), and stage one new deterministic-named file. Retries are
-   idempotent: same input → same bytes → same path (atomic replace).
-4. Driver collects the (tiny) per-partition meta rows, writes lineage
-   metrics, and commits one new manifest version atomically. Readers only
-   ever see manifest-listed files, so a kill at ANY point either replays a
-   not-yet-visible epoch or skips a committed one — exactly-once.
+1. **Map round** — one task per changelog segment: zero-copy Arrow read,
+   normalize to the (possibly evolved) epoch schema, vectorized LWW
+   *combiner* (drops superseded events before any exchange — the
+   partial-aggregation pattern, and the salting story for hot
+   conversations: each key collapses to ≤1 row per segment), hash-split
+   by ``siphash(conv_id) % P`` into P sub-tables (``num_returns=P``).
+2. **Reduce round** — one task per partition: concat its pieces from all
+   segments, LWW-reduce on ``(conv_id, turn_idx)`` by ``(ts, _lsn)``, and
+   write ONE file: a *delta* (just this epoch's reduced changes — apply
+   never touches existing data) or, past ``compact_every`` live files, a
+   *base* that folds the partition's stack (LSM merge-on-read; write
+   volume O(changes) + O(table)/compact_every). Tombstones stay in lake
+   files so late re-delivery of an older event cannot resurrect a deleted
+   key. Retries are idempotent: deterministic content + path, atomic
+   replace.
+3. **Commit** — the driver collects the tiny per-partition meta rows,
+   writes lineage metrics, and atomically publishes one new manifest
+   version. Readers only see manifest-listed files, so a kill at ANY
+   point either replays a not-yet-visible epoch or skips a committed one —
+   exactly-once.
 
-Scale notes (100 TB): ``num_partitions`` bounds the COW unit — size it so
-one partition's live data fits a worker (e.g. 4096+ partitions for a 100 TB
-table); an epoch only rewrites partitions it touches. The combiner bounds
-shuffle volume for hot conversations; residual skew is one group per
-partition, mitigated by raising ``num_partitions`` (hot *keys* stay
-partition-local by design — per-key LWW needs co-location; the combiner is
-the salting stage because it collapses each key to ≤1 row per input block
-before the exchange).
+Snapshot reads are per-partition merge-on-read (base+deltas → LWW →
+drop tombstones), key-sorted within partitions (stable turn ordering is
+partition-local by design).
+
+Two exchange implementations (``exchange=`` ctor arg):
+- ``"ray"`` (default): the direct two-round map/reduce above — minimal
+  scheduling rounds; assumes segments_per_epoch × num_partitions object
+  refs stay bounded (≲1e5 per epoch).
+- ``"sort"``: ``Dataset.groupby("pid").map_groups`` sort-shuffle — more
+  fixed cost per epoch, but consolidates for cluster-scale epochs where
+  the ref-matrix would explode.
+
+Scale notes (100 TB): ``num_partitions`` bounds the merge unit — size it
+so one partition's live data fits a worker (4096+ partitions for a 100 TB
+table); an epoch only writes partitions it touches, and compaction
+amortizes the full rewrite across ``compact_every`` epochs.
 """
 
 from __future__ import annotations
@@ -115,6 +127,13 @@ def _changes_to_lake_rows(changes: pa.Table, lake_sch: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=lake_sch)
 
 
+def _lww_order(schema: pa.Schema, lsn_col: str) -> tuple[str, ...]:
+    """LWW order columns: event-time ``ts`` (when the table has one) broken
+    by log position; pure-LSN order for tables without an event-time
+    column (e.g. metadata/SLO tables keyed on natural keys)."""
+    return ("ts", lsn_col) if "ts" in schema.names else (lsn_col,)
+
+
 def merge_partition_files(
     files: list[str], lake_sch: pa.Schema, key_cols: tuple[str, ...]
 ) -> pa.Table:
@@ -125,7 +144,9 @@ def merge_partition_files(
         return lake_sch.empty_table()
     tables = [normalize_table(pq.read_table(f), lake_sch) for f in files]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    return lww_reduce(t, key_cols, ("ts", LSN_COL))
+    if not key_cols:
+        return t  # PK-less (append-only) table: plain concat, no reduce
+    return lww_reduce(t, key_cols, _lww_order(lake_sch, LSN_COL))
 
 
 def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
@@ -147,7 +168,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
         n_events = group.num_rows
 
         changes = _changes_to_lake_rows(group.drop_columns(["pid"]), lake_sch)
-        changes = lww_reduce(changes, key_cols, ("ts", LSN_COL))  # key-sorted
+        changes = lww_reduce(changes, key_cols, _lww_order(lake_sch, LSN_COL))  # key-sorted
 
         existing = ctx["part_files"].get(pid, [])
         if len(existing) + 1 > ctx["compact_every"]:
@@ -155,7 +176,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
             # Amortized write volume = changes + table/compact_every per
             # epoch (LSM-style merge-on-read, SURVEY.md §7.4 COW note).
             merged = merge_partition_files(existing, lake_sch, key_cols)
-            merged = lww_reduce(pa.concat_tables([merged, changes]), key_cols, ("ts", LSN_COL))
+            merged = lww_reduce(pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL))
             mode = "base"
         else:
             # delta write: the epoch's reduced changes only — apply never
@@ -217,8 +238,11 @@ def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_pa
 
     _single_threaded_arrow()
     t = normalize_table(pq.read_table(path), chg_schema)
-    t = lww_reduce(t, key_cols, ("ts", "lsn"))
-    pid = partition_ids(t.column("conv_id"), num_partitions)
+    t = lww_reduce(t, key_cols, _lww_order(chg_schema, "lsn"))
+    # partition on the FIRST primary-key column only: all turns of a
+    # conversation (all rows of an entity) co-locate, which is what makes
+    # per-key LWW and stable ordering partition-local (SURVEY.md §4.2)
+    pid = partition_ids(t.column(key_cols[0]), num_partitions)
     order = np.argsort(pid, kind="stable")
     t = t.take(pa.array(order))
     bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
@@ -240,7 +264,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     if not parts:
         return None
     changes = pa.concat_tables(parts)
-    changes = lww_reduce(changes, key_cols, ("ts", "lsn"))
+    changes = lww_reduce(changes, key_cols, _lww_order(changes.schema, "lsn"))
     lake_sch = ctx["lake_schema"]
     changes = _changes_to_lake_rows(changes, lake_sch)
     n_events = sum(p.num_rows for p in parts)
@@ -249,7 +273,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     if len(existing) + 1 > ctx["compact_every"]:
         merged = merge_partition_files(existing, lake_sch, key_cols)
         merged = lww_reduce(
-            pa.concat_tables([merged, changes]), key_cols, ("ts", LSN_COL)
+            pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL)
         )
         mode = "base"
     else:
@@ -394,8 +418,8 @@ class CDCEngine:
             def prep(batch: pa.Table) -> pa.Table:
                 _single_threaded_arrow()
                 batch = normalize_table(batch, chg_schema)
-                batch = lww_reduce(batch, key_cols, ("ts", "lsn"))  # shuffle combiner
-                pid = partition_ids(batch.column("conv_id"), num_partitions)
+                batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
+                pid = partition_ids(batch.column(key_cols[0]), num_partitions)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))
 
             # segment files are typically far below the 128 MiB block
@@ -532,4 +556,6 @@ class CDCEngine:
         if not parts:
             return public.empty_table()
         t = pa.concat_tables(parts)
+        if not self.key_cols:
+            return t  # PK-less table: no ordering contract
         return t.sort_by([(k, "ascending") for k in self.key_cols])

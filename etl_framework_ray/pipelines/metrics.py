@@ -49,6 +49,31 @@ def write_epoch_metrics(table_dir: str, epoch_id: int, rows: list[dict]) -> str:
     return path
 
 
+def detect_skew(table_dir: str, factor: float = 4.0) -> list[dict]:
+    """Hot-partition detection from the lineage table (SURVEY.md §7.4):
+    partitions whose applied-event count in their latest epoch exceeds
+    ``factor`` × the median partition. The per-batch LWW combiner already
+    collapses hot keys to ≤1 row per key per segment before the exchange;
+    this surfaces residual imbalance so operators can raise
+    ``num_partitions`` (more hash buckets) for the affected table."""
+    t = read_metrics(table_dir)
+    if t.num_rows == 0:
+        return []
+    df = t.to_pandas()
+    last = df[df.epoch_id == df.epoch_id.max()]
+    med = max(1.0, float(last.events_applied.median()))
+    hot = last[last.events_applied > factor * med]
+    return [
+        {
+            "partition": int(r.partition),
+            "events_applied": int(r.events_applied),
+            "median_events": med,
+            "ratio": round(float(r.events_applied) / med, 2),
+        }
+        for r in hot.itertuples()
+    ]
+
+
 def read_metrics(table_dir: str) -> pa.Table:
     paths = sorted(glob.glob(os.path.join(metrics_dir(table_dir), "epoch-*.parquet")))
     if not paths:

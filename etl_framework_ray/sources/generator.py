@@ -48,6 +48,12 @@ class GenConfig:
     #: fraction of events forced onto conversation 0 (hot-key skew mode);
     #: 0.0 = uniform
     hot_key_frac: float = 0.0
+    #: turn-index range for the hot conversation (None → same as max_turns).
+    #: A hot conversation with MANY turns produces residual post-combiner
+    #: skew (many distinct keys on one partition), the case detect_skew
+    #: exists for; a hot conversation with few turns is absorbed by the
+    #: LWW combiner entirely.
+    hot_max_turns: int | None = None
     #: shuffle row order within windows of this many rows (out-of-order mode,
     #: FIXTURES.md F2d: out-of-order WITHIN a segment — real binlog readers
     #: see bounded reordering, not arbitrary global shuffles, so keep the
@@ -71,6 +77,9 @@ def generate_changelog(cfg: GenConfig) -> pa.Table:
         hot = rng.random(n) < cfg.hot_key_frac
         conv[hot] = 0
     turn = rng.integers(0, cfg.max_turns, n).astype(np.int32)
+    if cfg.hot_key_frac > 0 and cfg.hot_max_turns:
+        is_hot = conv == 0
+        turn[is_hot] = rng.integers(0, cfg.hot_max_turns, int(is_hot.sum())).astype(np.int32)
     is_del = rng.random(n) < cfg.delete_frac
 
     ts_us = _EPOCH_START_US + (lsn // cfg.ts_tie_every) * 1_000_000

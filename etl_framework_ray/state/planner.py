@@ -124,6 +124,12 @@ def validate_plan(plan: TablePlan, primary_key: tuple[str, ...] = ()) -> None:
     align = plan.align
     if align is None:
         return
+    if align.pk_drop is not None and align.pk_add is None:
+        # a CDC table without its key cannot apply upserts; key REPLACEMENT
+        # (drop+add) is allowed, silent removal is not
+        raise ValidationError(
+            f"{plan.table}: refusing to remove the primary key constraint without a replacement"
+        )
     for add in align.adds:
         if not add.nullable:
             # "add NULLABLE → backfill → SET NOT NULL" rule (rules.py:90-106)

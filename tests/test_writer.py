@@ -1,0 +1,114 @@
+"""LakeWriter parity tests: gated overwrite, PK MERGE (source wins),
+PK-less append, no-PK merge error — reference DeltaWriter semantics
+(/root/reference/src/models/writer.py) plus the SLO-metrics upsert shape
+(/root/reference/src/metadata/slo/timeliness.py:92-101, keyed
+(date, job_name), no event-time column → pure-LSN LWW order)."""
+
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.functions.quality import DQError
+from etl_framework_ray.pipelines.writer import LakeWriter
+from etl_framework_ray.state.schema import ColumnSpec, QualityRule, TableSpec
+
+SLO_SPEC = TableSpec(
+    name="timeliness",
+    columns=(
+        ColumnSpec("date", pa.string(), nullable=False),
+        ColumnSpec("job_name", pa.string(), nullable=False),
+        ColumnSpec("ready_by_09", pa.bool_()),
+    ),
+    primary_key=("date", "job_name"),
+)
+
+AUDIT_SPEC = TableSpec(  # PK-less audit-log table
+    name="dq_checks",
+    columns=(ColumnSpec("rule", pa.string()), ColumnSpec("failed", pa.int64())),
+)
+
+GATED_SPEC = TableSpec(
+    name="gated",
+    columns=(
+        ColumnSpec("k", pa.int64(), nullable=False),
+        ColumnSpec("price", pa.float64(), quality=QualityRule(criticality="error", min_value=0)),
+    ),
+    primary_key=("k",),
+)
+
+
+def _ds(rows, **cols):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(cols))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_upsert_source_wins(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "slo"), SLO_SPEC, num_partitions=2)
+    w.merge(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17", "2026-08-17"],
+        "job_name": ["a", "b"],
+        "ready_by_09": [True, False],
+    })))
+    # second merge: update (2026-08-17, b) and insert (2026-08-18, a)
+    w.merge(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17", "2026-08-18"],
+        "job_name": ["b", "a"],
+        "ready_by_09": [True, True],
+    })))
+    got = {(r["date"], r["job_name"]): r["ready_by_09"] for r in w.read().take_all()}
+    assert got == {
+        ("2026-08-17", "a"): True,
+        ("2026-08-17", "b"): True,  # updated — source wins
+        ("2026-08-18", "a"): True,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_requires_primary_key(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    with pytest.raises(ValueError, match="primary key"):
+        w.merge(ray.data.from_arrow(pa.table({"rule": ["r"], "failed": [1]})))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_accumulates_duplicates(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    t = pa.table({"rule": ["r1", "r1"], "failed": [1, 1]})
+    w.append(ray.data.from_arrow(t))
+    w.append(ray.data.from_arrow(t))
+    rows = w.read().take_all()
+    assert len(rows) == 4  # no dedup on append tables
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overwrite_replaces_and_projects(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "t"), GATED_SPEC, num_partitions=2)
+    # extra column in source is projected away; declared order enforced
+    w.overwrite(ray.data.from_arrow(pa.table({"extra": [9, 9], "price": [1.0, 2.0], "k": [1, 2]})))
+    rows = w.read().take_all()
+    assert sorted(r["k"] for r in rows) == [1, 2]
+    assert list(rows[0].keys()) == ["k", "price"]
+    w.overwrite(ray.data.from_arrow(pa.table({"k": [7], "price": [3.0]})))
+    assert [r["k"] for r in w.read().take_all()] == [7]  # full replace
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overwrite_error_gate_aborts_before_write(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "t"), GATED_SPEC, num_partitions=2)
+    w.overwrite(ray.data.from_arrow(pa.table({"k": [1], "price": [5.0]})))
+    v = w.engine.manifest.version
+    with pytest.raises(DQError):
+        w.overwrite(ray.data.from_arrow(pa.table({"k": [2], "price": [-1.0]})))
+    assert w.engine.manifest.version == v  # nothing committed
+    assert [r["k"] for r in w.read().take_all()] == [1]  # table unchanged
