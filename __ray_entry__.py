@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_parts": m.clean_parts,
         "supplier_star_join": m.supplier_nation_region,
         "revenue_by_brand": m.revenue_by_brand,
+        "revenue_by_mktsegment": m.revenue_by_mktsegment,
         "pricing_summary": m.pricing_summary,
         "events_timeliness": m.events_timeliness,
         "distinct_order_status": m.distinct_order_status,
@@ -330,6 +331,11 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand""",
+        "revenue_by_mktsegment": """
+            SELECT c_mktsegment,
+                   CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) / 100.0 AS sum_qty,

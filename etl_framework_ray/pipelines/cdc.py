@@ -246,9 +246,11 @@ def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_pa
     order = np.argsort(pid, kind="stable")
     t = t.take(pa.array(order))
     bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
-    return tuple(
+    slices = tuple(
         t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
     )
+    # with num_returns=1 Ray treats a tuple as ONE value — return the table
+    return slices if num_partitions > 1 else slices[0]
 
 
 @ray.remote

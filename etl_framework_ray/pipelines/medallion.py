@@ -145,6 +145,36 @@ def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def revenue_by_mktsegment(sf_dir: str) -> "ray.data.Dataset":
+    """Large-large hash join: orders ⋈ customer on custkey via
+    ``Dataset.join`` (Ray's hash-partitioned join), then revenue per market
+    segment. The broadcast pattern (J1) doesn't apply when neither side
+    fits a worker — this is the shuffle-join path for that case."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=8,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"].sum().reset_index()
+        return pa.Table.from_pandas(g.rename(columns={"o_totalprice": "revenue"}), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1/A2: grouped + conditional aggregates (TPC-H Q1 shape; SLO conditional
 # counts /root/reference/src/metadata/slo/quality.py:43-59)

@@ -89,6 +89,25 @@ def track_timeliness(
     return writer.read()
 
 
+def check_failures(audit_dir: str, date: str, threshold: int = 1) -> int:
+    """Post-run alert check — the SQL alert task's semantics
+    (/root/reference/src/metadata/data_quality/check_failures.sql:1-8,
+    ``assert_true(count <= 1)`` over today's ERROR failures): raises if
+    more than ``threshold`` ERROR rules failed on ``date``."""
+    audit = read_audit(audit_dir)
+    if audit.num_rows == 0:
+        return 0
+    pdf = audit.to_pandas()
+    n = int(
+        ((pdf.date == date) & (pdf.criticality == "error") & (pdf.failed_rows > 0)).sum()
+    )
+    if n > threshold:
+        raise AssertionError(
+            f"{n} ERROR-level DQ failures on {date} exceeds threshold {threshold}"
+        )
+    return n
+
+
 def track_quality(
     audit_dir: str, lake_root: str, run_context: RunContext | None = None
 ) -> "ray.data.Dataset":

@@ -1,0 +1,68 @@
+"""Property-based convergence: ANY changelog replay equals the dict oracle.
+
+Hypothesis generates arbitrary event sequences (random keys from a small
+pool, random op/ts, arbitrary delivery order and segmentation) — the
+committed state must always equal the (ts, lsn)-ordered dict replay, with
+unique sorted keys. This is the commutativity/idempotence claim of
+SURVEY.md §2.9 stated as a property, not an example.
+"""
+
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA, oracle_replay
+
+_EVENT = st.tuples(
+    st.integers(0, 5),  # conv
+    st.integers(0, 3),  # turn
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, 8),  # ts bucket (coarse → plenty of (ts) ties)
+    st.text(alphabet="abcxyz", min_size=0, max_size=6),
+)
+
+
+def _to_table(events: list[tuple]) -> pa.Table:
+    n = len(events)
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(1, n + 1), pa.int64()),  # lsn by delivery order
+            pa.array([e[2] for e in events], pa.string()),
+            pa.array([e[3] * 1_000_000 for e in events], pa.timestamp("us")),
+            pa.array([f"c{e[0]}" for e in events], pa.string()),
+            pa.array([e[1] for e in events], pa.int32()),
+            pa.array([None if e[2] == "D" else "user" for e in events], pa.string()),
+            pa.array([None if e[2] == "D" else e[4] for e in events], pa.large_string()),
+            pa.array([None] * n, pa.string()),
+        ],
+        schema=CHANGELOG_SCHEMA,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(_EVENT, min_size=1, max_size=60),
+    segment_rows=st.sampled_from([7, 20, 100]),
+    num_partitions=st.sampled_from([1, 3]),
+)
+def test_replay_always_matches_oracle(tmp_path_factory, events, segment_rows, num_partitions):
+    tmp = tmp_path_factory.mktemp("prop")
+    log = _to_table(events)
+    clog = ChangeLog(str(tmp / "log"))
+    clog.write_segments(log, segment_rows=segment_rows)
+    eng = CDCEngine(str(tmp / "tbl"), num_partitions=num_partitions)
+    eng.replay(clog, segments_per_epoch=2)
+
+    oracle = oracle_replay(log)
+    got = eng.snapshot_arrow().to_pylist()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert len(got) == len(oracle)
+    for r in got:
+        exp = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == exp["text"]
+        assert r["ts"] == exp["ts"]
