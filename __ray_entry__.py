@@ -258,6 +258,17 @@ def _q_multimodal_decode(sf_dir: str):
     return decode_images(ds, batch_size=32, concurrency=(1, 2))
 
 
+def _q_multimodal_audio(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import AudioFeatures, synth_audio_batch
+
+    ds = ray.data.from_arrow(synth_audio_batch(128, seed=8))
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 2)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_framework_ray.pipelines import medallion as m
 
@@ -290,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 

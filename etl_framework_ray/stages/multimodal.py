@@ -113,6 +113,65 @@ def decode_images(ds: "object", batch_size: int = 64, concurrency=(1, 4)):
     )
 
 
+_AMAGIC = b"FAKEAUD1"
+_AHEADER = struct.Struct("<8sII")  # magic, sample_rate, n_samples
+
+
+def synth_audio_batch(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic audio table (int16 PCM behind a fake header)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for _ in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(sr // 4, sr))  # 0.25–1 s
+        pcm = (rng.standard_normal(ns) * 3000).astype(np.int16)
+        payloads.append(_AHEADER.pack(_AMAGIC, sr, ns) + pcm.tobytes())
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(n), pa.int64()),
+            pa.array(["audio"] * n, pa.string()),
+            pa.array(payloads, pa.large_binary()),
+            pa.array(["audio/fake"] * n, pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class AudioFeatures:
+    """Actor-pool audio decode/feature stage (codec STUBBED like
+    ``ImageDecoder``): emits ``sample_rate, duration_s, rms`` per clip.
+    Swap ``_decode_fake`` for librosa/soundfile when available."""
+
+    def __init__(self):
+        try:
+            import librosa  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode_fake(self, buf: bytes) -> tuple[int, float, float]:
+        if len(buf) < _AHEADER.size or buf[:8] != _AMAGIC:
+            raise ValueError("not a FAKEAUD1 payload (real audio codecs unavailable)")
+        _, sr, ns = _AHEADER.unpack_from(buf)
+        pcm = np.frombuffer(buf, np.int16, count=ns, offset=_AHEADER.size).astype(np.float64)
+        return sr, ns / sr, float(np.sqrt(np.mean(pcm**2)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._real:
+            raise NotImplementedError("real audio codecs are not available in this environment")
+        sr = np.zeros(batch.num_rows, np.int32)
+        dur = np.zeros(batch.num_rows, np.float64)
+        rms = np.zeros(batch.num_rows, np.float64)
+        payloads = batch.column("payload")
+        for i in range(batch.num_rows):  # payload decode is inherently per-item
+            sr[i], dur[i], rms[i] = self._decode_fake(payloads[i].as_py())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sample_rate", pa.array(sr, pa.int32()))
+        out = out.append_column("duration_s", pa.array(dur, pa.float64()))
+        return out.append_column("rms", pa.array(rms, pa.float64()))
+
+
 class FrameSampler:
     """Video frame-sampling stage (STUB): the sampling plumbing (per-item
     fan-out via flat rows) is real; decode raises until a codec exists."""

@@ -1,0 +1,70 @@
+"""Both exchange implementations produce identical committed state, and
+compaction composes with mid-replay schema evolution."""
+
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import GenConfig, generate_changelog, oracle_replay
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_exchange_equals_ray_exchange(tmp_path):
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=80, seed=21))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+
+    a = CDCEngine(str(tmp_path / "a"), num_partitions=4, exchange="ray")
+    a.replay(clog, segments_per_epoch=2)
+    b = CDCEngine(str(tmp_path / "b"), num_partitions=4, exchange="sort")
+    b.replay(clog, segments_per_epoch=2)
+
+    assert a.snapshot_arrow().equals(b.snapshot_arrow())
+    oracle = oracle_replay(log)
+    assert a.snapshot_arrow().num_rows == len(oracle)
+
+
+def test_invalid_exchange_rejected(tmp_path):
+    with pytest.raises(ValueError, match="exchange"):
+        CDCEngine(str(tmp_path / "x"), exchange="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_composes_with_schema_evolution(tmp_path):
+    """Old (pre-evolution) delta files must normalize correctly when a
+    compaction folds them under the evolved schema."""
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec_v1 = TableSpec(
+        name="transcripts",
+        columns=(
+            ColumnSpec("conv_id", pa.string(), nullable=False),
+            ColumnSpec("turn_idx", pa.int32(), nullable=False),
+            ColumnSpec("role", pa.string()),
+            ColumnSpec("text", pa.large_string()),
+            ColumnSpec("ts", pa.timestamp("us"), nullable=False),
+        ),
+        primary_key=("conv_id", "turn_idx"),
+    )
+    log = generate_changelog(GenConfig(num_events=3000, num_conversations=40, seed=31))
+    early = log.slice(0, 1500).drop_columns(["tool"])
+    late = log.slice(1500)
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(early, segment_rows=300)  # 5 pre-evolution segments
+    clog.write_segments(late, segment_rows=300)  # 5 evolved segments
+
+    # compact_every=2 → multiple compactions, some folding old-schema files
+    eng = CDCEngine(str(tmp_path / "tbl"), spec=spec_v1, num_partitions=4, compact_every=2)
+    stats = eng.replay(clog, segments_per_epoch=1)
+    assert any("add tool" in c for c in stats.schema_changes)
+
+    early_as_fed = log.slice(0, 1500).set_column(
+        log.schema.get_field_index("tool"), "tool", pa.nulls(1500, pa.string())
+    )
+    oracle = oracle_replay(pa.concat_tables([early_as_fed, late]))
+    got = eng.snapshot_arrow().to_pylist()
+    assert len(got) == len(oracle)
+    for r in got:
+        exp = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == exp["text"] and r["tool"] == exp["tool"]

@@ -51,6 +51,22 @@ def test_actor_pool_decode_pipeline():
     assert "payload" not in out.columns  # heavy bytes dropped after decode
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_audio_features_pipeline():
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import AudioFeatures, synth_audio_batch
+
+    ds = ray.data.from_arrow(synth_audio_batch(32, seed=4))
+    out = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+    ).to_pandas()
+    assert len(out) == 32
+    assert out.duration_s.between(0.2, 1.05).all()
+    assert (out.rms > 0).all()
+    assert set(out.sample_rate) <= {8000, 16000}
+
+
 def test_frame_sampler_is_declared_stub():
     with pytest.raises(NotImplementedError):
         FrameSampler()(synth_media_batch(1))
