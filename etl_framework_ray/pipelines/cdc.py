@@ -177,6 +177,13 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
             # epoch (LSM-style merge-on-read, SURVEY.md §7.4 COW note).
             merged = merge_partition_files(existing, lake_sch, key_cols)
             merged = lww_reduce(pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL))
+            ttl = ctx.get("tombstone_ttl_lsn")
+            if ttl is not None:
+                expired = pc.and_(
+                    merged.column(DELETED_COL),
+                    pc.less(merged.column(LSN_COL), ctx["epoch_id"] - ttl),
+                )
+                merged = merged.filter(pc.invert(expired))
             mode = "base"
         else:
             # delta write: the epoch's reduced changes only — apply never
@@ -277,6 +284,15 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
         merged = lww_reduce(
             pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL)
         )
+        ttl = ctx.get("tombstone_ttl_lsn")
+        if ttl is not None:
+            # GC tombstones older than the out-of-orderness horizon: an
+            # event that could still resurrect the key can no longer arrive
+            expired = pc.and_(
+                merged.column(DELETED_COL),
+                pc.less(merged.column(LSN_COL), ctx["epoch_id"] - ttl),
+            )
+            merged = merged.filter(pc.invert(expired))
         mode = "base"
     else:
         merged = changes
@@ -317,6 +333,7 @@ class CDCEngine:
         run_context: RunContext | None = None,
         compact_every: int = 4,
         exchange: str = "ray",  # "ray" (direct hash exchange) | "sort" (Dataset groupby)
+        tombstone_ttl_lsn: int | None = None,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -326,6 +343,13 @@ class CDCEngine:
         if exchange not in ("ray", "sort"):
             raise ValueError(f"exchange must be 'ray' or 'sort', got {exchange!r}")
         self.exchange = exchange
+        #: tombstone GC horizon: at compaction, delete-markers whose _lsn is
+        #: more than this many LSNs behind the epoch watermark are dropped.
+        #: A tombstone only matters while an OLDER event for its key can
+        #: still arrive (bounded out-of-orderness of the log); None keeps
+        #: tombstones forever (always safe, grows with total deletes — at
+        #: 10^10 events set this to the source's re-delivery horizon).
+        self.tombstone_ttl_lsn = tombstone_ttl_lsn
         self.store = ManifestStore(table_dir)
         self.run_context = run_context or RunContext()
         man = self.store.load()
@@ -394,6 +418,7 @@ class CDCEngine:
                 "lake_schema": new_lake,
                 "epoch_id": epoch.epoch_id,
                 "compact_every": self.compact_every,
+                "tombstone_ttl_lsn": self.tombstone_ttl_lsn,
                 "part_files": {pid: ps.files for pid, ps in man.partitions.items()},
             }
         )

@@ -64,6 +64,8 @@ class GenConfig:
     ts_tie_every: int = 4
     #: approximate extra payload characters appended to each text
     text_pad: int = 96
+    #: first LSN (> 0); lets callers generate a long log in chunks
+    lsn_start: int = 1
 
 
 def generate_changelog(cfg: GenConfig) -> pa.Table:
@@ -71,7 +73,7 @@ def generate_changelog(cfg: GenConfig) -> pa.Table:
     n = cfg.num_events
     rng = np.random.default_rng(cfg.seed)
 
-    lsn = np.arange(1, n + 1, dtype=np.int64)
+    lsn = np.arange(cfg.lsn_start, cfg.lsn_start + n, dtype=np.int64)
     conv = rng.integers(0, cfg.num_conversations, n)
     if cfg.hot_key_frac > 0:
         hot = rng.random(n) < cfg.hot_key_frac
