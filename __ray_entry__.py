@@ -269,6 +269,18 @@ def _q_multimodal_audio(sf_dir: str):
     )
 
 
+def _q_tumbling(sf_dir: str):
+    from etl_framework_ray.pipelines.windows import tumbling_counts
+
+    return tumbling_counts(sf_dir, window_s=3600)
+
+
+def _q_sessions(sf_dir: str):
+    from etl_framework_ray.pipelines.windows import session_windows
+
+    return session_windows(sf_dir, gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_framework_ray.pipelines import medallion as m
 
@@ -288,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pk_dups": m.lineitem_pk_dups,
         "top_orders": m.top_orders,
         "latest_event_per_user": m.latest_event_per_user,
+        "tumbling_counts": _q_tumbling,
+        "session_windows": _q_sessions,
         # training-data extensions
         "text_stats": _q_text_stats,
         "exact_dedup_docs": _q_exact_dedup,
@@ -376,6 +390,28 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) t
             WHERE rn = 1""",
+        "tumbling_counts": """
+            SELECT event_type,
+                   to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600)::TIMESTAMP
+                       AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "session_windows": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts - LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_id""",
         "text_stats": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_actual,

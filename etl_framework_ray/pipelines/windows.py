@@ -1,0 +1,96 @@
+"""Windowed aggregates over an event stream — custom operators Ray Data
+lacks natively (task-spec "windowed aggregate"; guide: streaming-shaped
+workloads).
+
+Ray Data has no event-time windows; both operators follow the documented
+pattern: express the window as a *key* (tumbling) or as partition-local
+ordered state (session) and let groupby/map_groups do the rest.
+
+- ``tumbling_counts``: window start = ``floor(epoch(ts)/w)*w`` computed
+  vectorized per batch, then pre-aggregated partials → small groupby.
+  SQL-expressible → oracle-checked.
+- ``session_windows``: gap-based sessionization per key. All events of a
+  key co-locate via ``groupby(key)``; inside the group a pandas cumsum
+  over ``gap > timeout`` assigns session ids on the (ts, event_id)-sorted
+  stream. Ordering assumption: session state is PARTITION-LOCAL per key —
+  the same co-location contract the CDC applier uses. Also
+  SQL-expressible (window functions) → oracle-checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def tumbling_counts(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """Events per (event_type, tumbling window): count + value sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # unit-safe TRUNCATING epoch seconds: normalize to [us] then floor-
+        # divide (pandas' datetime64[s] cast ROUNDS sub-seconds — boundary
+        # events would land in the next window vs SQL's epoch() truncation)
+        epoch_s = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        df["window_start"] = pd.to_datetime((epoch_s // window_s) * window_s, unit="s")
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("sum_value")
+        cents = pc.round(pc.multiply(batch.column("sum_value"), pa.scalar(100.0)), 0)
+        batch = batch.set_column(
+            i, "sum_value", pc.divide(pc.cast(cents, pa.int64()).cast(pa.float64()), pa.scalar(100.0))
+        )
+        j = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            j, "window_start", batch.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(snap, batch_format="pyarrow")
+
+
+def session_windows(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
+    """Per-user sessions: a new session starts when the gap since the
+    previous event exceeds ``gap_s``. Output one row per session."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        g["session_id"] = (gap > gap_s).fillna(False).cumsum()
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
