@@ -432,8 +432,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.vec_id""",
         "ann_topk": """
             SELECT q.vec_id AS query_id, t.vec_id,
-                   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                CAST(t.embedding AS DOUBLE[])), 4) AS sim
+                   CAST(ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(t.embedding AS DOUBLE[])) * 10000)
+                        AS BIGINT) / 10000.0 AS sim
             FROM embeddings q CROSS JOIN embeddings t
             WHERE q.vec_id IN (0, 1, 2, 3, 4) AND t.vec_id <> q.vec_id
             QUALIFY ROW_NUMBER() OVER (

@@ -57,7 +57,7 @@ import ray
 from ..context import DEFAULT_NUM_PARTITIONS, RunContext
 from ..functions.hashing import partition_ids
 from ..sources.changelog import ChangeLog, Epoch
-from ..stages.lww import lww_reduce
+from ..stages.lww import lww_reduce, lww_survivor_indices
 from ..state.manifest import Manifest, ManifestStore, PartitionState
 from ..state.planner import plan_evolution
 from ..state.schema import (
@@ -83,6 +83,14 @@ def _single_threaded_arrow() -> None:
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
+        try:
+            # keep jemalloc pages resident per worker: the default (decay 0)
+            # returns every large allocation to the OS immediately, so each
+            # task re-faults its whole working set — measurable contention
+            # when many memory-heavy tasks start together
+            pa.jemalloc_set_decay_ms(-1)
+        except (NotImplementedError, OSError):  # non-jemalloc builds
+            pass
 
 
 _META_SCHEMA = pa.schema(
@@ -238,21 +246,34 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
 
 @ray.remote
 def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_partitions: int):
-    """Read one changelog segment, normalize, LWW-combine, hash-split by
-    conv_id into ``num_partitions`` sub-tables (one gather + zero-copy
-    slices)."""
+    """Read one changelog segment, LWW-combine (adaptively), hash-split by
+    the leading key into ``num_partitions`` sub-tables.
+
+    The wide ``text`` column is gathered exactly ONCE: survivor selection
+    runs on narrow key/order columns only, the hash-partition order is
+    composed with the survivor indices, and a single fused ``take``
+    produces the pid-grouped table (two separate gathers measured ~2×
+    this stage's wall at 8-way concurrency — gathers of wide strings are
+    the memory-bandwidth hot spot). The combiner only reorders-by-key when
+    it actually shrinks the batch (hot logs); otherwise rows route in
+    arrival order and the per-partition reduce performs the dedup.
+    """
     import numpy as np
 
     _single_threaded_arrow()
     t = normalize_table(pq.read_table(path), chg_schema)
-    t = lww_reduce(t, key_cols, _lww_order(chg_schema, "lsn"))
+
+    surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
+    if len(surv) > 0.9 * t.num_rows:
+        surv = np.arange(t.num_rows, dtype=np.int64)  # combiner wouldn't pay
+
     # partition on the FIRST primary-key column only: all turns of a
     # conversation (all rows of an entity) co-locate, which is what makes
     # per-key LWW and stable ordering partition-local (SURVEY.md §4.2)
-    pid = partition_ids(t.column(key_cols[0]), num_partitions)
-    order = np.argsort(pid, kind="stable")
-    t = t.take(pa.array(order))
-    bounds = np.searchsorted(pid[order], np.arange(num_partitions + 1))
+    pid_surv = partition_ids(t.column(key_cols[0]).take(pa.array(surv)), num_partitions)
+    order = np.argsort(pid_surv, kind="stable")
+    t = t.take(pa.array(surv[order]))  # the single wide gather
+    bounds = np.searchsorted(pid_surv[order], np.arange(num_partitions + 1))
     slices = tuple(
         t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
     )
@@ -352,6 +373,10 @@ class CDCEngine:
         self.tombstone_ttl_lsn = tombstone_ttl_lsn
         self.store = ManifestStore(table_dir)
         self.run_context = run_context or RunContext()
+        #: per-path schema cache — segment files are immutable, so the
+        #: driver reads each footer at most once per replay (the serial
+        #: driver fraction between epochs is what Amdahl charges scaling)
+        self._schema_cache: dict[str, pa.Schema] = {}
         man = self.store.load()
         if man is None:
             # create-if-missing (reference CreateExecutor semantics,
@@ -382,7 +407,10 @@ class CDCEngine:
         Returns ``(changelog_schema, new_lake_schema, changes)`` where
         changelog_schema = envelope + evolved payload columns.
         """
-        schemas = [pq.read_schema(p) for p in epoch.paths]
+        for p in epoch.paths:
+            if p not in self._schema_cache:
+                self._schema_cache[p] = pq.read_schema(p)
+        schemas = [self._schema_cache[p] for p in epoch.paths]
         incoming = schemas[0]
         for s in schemas[1:]:
             incoming, _ = merge_schemas(incoming, s)  # widening-aware unify
@@ -462,8 +490,11 @@ class CDCEngine:
             )
             metas = metas_ds.take_all()  # one small row per touched partition
 
-        # raw change-event count for throughput accounting (footer-only read)
-        events_raw = sum(pq.read_metadata(p).num_rows for p in epoch.paths)
+        # raw change-event count for throughput accounting. Segment names
+        # carry their LSN range; ranges are dense for engine-written logs
+        # (generator, writer staging), so no footer read is needed —
+        # metrics-only accounting, not a correctness input.
+        events_raw = sum(s.max_lsn - s.min_lsn + 1 for s in epoch.segments)
         dur = time.perf_counter() - t0
         rc = self.run_context.as_dict()
         metrics_rows = [

@@ -55,6 +55,26 @@ def last_per_key_mask(sorted_tbl: pa.Table, key_cols: tuple[str, ...]) -> np.nda
     return mask
 
 
+def lww_survivor_indices(
+    tbl: pa.Table,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_cols: tuple[str, ...] = ("ts", "lsn"),
+) -> np.ndarray:
+    """Original-row indices of the per-key winners, in key-sorted order.
+
+    Touches ONLY the narrow key/order columns (sort + boundary mask) — no
+    payload bytes move. Callers decide when to pay the single wide gather,
+    and can fuse it with other reorderings (e.g. the hash-partition split)
+    so the text column is copied exactly once per stage.
+    """
+    narrow = tbl.select([*key_cols, *order_cols])
+    sort_keys = [(k, "ascending") for k in (*key_cols, *order_cols)]
+    idx = pc.sort_indices(narrow, sort_keys=sort_keys)
+    keys_sorted = narrow.select(list(key_cols)).take(idx)
+    mask = last_per_key_mask(keys_sorted, key_cols)
+    return idx.to_numpy(zero_copy_only=False)[mask]
+
+
 def lww_reduce(
     tbl: pa.Table,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -70,12 +90,4 @@ def lww_reduce(
     """
     if tbl.num_rows <= 1:
         return tbl
-    sort_keys = [(k, "ascending") for k in (*key_cols, *order_cols)]
-    idx = pc.sort_indices(tbl, sort_keys=sort_keys)
-    # boundary detection on the NARROW key columns only; the single wide
-    # gather of payload happens once, on the surviving rows (memory-bound
-    # pipelines live and die by copies of the text column)
-    keys_sorted = tbl.select(list(key_cols)).take(idx)
-    mask = last_per_key_mask(keys_sorted, key_cols)
-    idx_np = idx.to_numpy(zero_copy_only=False)
-    return tbl.take(pa.array(idx_np[mask]))
+    return tbl.take(pa.array(lww_survivor_indices(tbl, key_cols, order_cols)))

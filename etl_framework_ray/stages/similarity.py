@@ -87,7 +87,11 @@ def ann_topk(
     def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", id_col], ascending=[False, True]).head(k)
         if round_to is not None:
-            g = g.assign(sim=g["sim"].round(round_to))
+            # exact-integer round-trip: int64(round(sim*10^d))/10^d yields
+            # the IDENTICAL double in any engine, unlike round(x, d) whose
+            # result can differ at the ULP level across implementations
+            scale = float(10**round_to)
+            g = g.assign(sim=np.round(g["sim"].to_numpy() * scale).astype(np.int64) / scale)
         return g
 
     return (

@@ -1,0 +1,95 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__ray_entry__.queries()`` entry at the given sf tier and
+compares row count, column set, and values against the matching
+``oracle_sql()`` via DuckDB (order-insensitive; float columns compared at
+1e-9). Queries without an oracle report row counts only.
+
+Usage::
+
+    PYTHONPATH=. python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_df(res) -> pd.DataFrame:
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+def main(sf_dir: str) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    fails = []
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            got = to_df(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            fails.append(name)
+            print(f"{name:24s} RAY ERROR: {e}")
+            continue
+        dur = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(got):8d} rows   ({dur:.1f}s)")
+            continue
+        exp = con.sql(oracles[name]).df()
+        problems = []
+        if len(got) != len(exp):
+            problems.append(f"ROWS {len(got)} vs {len(exp)}")
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            problems.append(f"COLS {gc} vs {ec}")
+        if not problems:
+            g = got[gc].sort_values(gc).reset_index(drop=True)
+            x = exp[gc].sort_values(gc).reset_index(drop=True)
+            for c in gc:
+                a, b = g[c], x[c]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                else:
+                    ok = (
+                        a.astype(object).where(pd.notna(a), None).equals(
+                            b.astype(object).where(pd.notna(b), None)
+                        )
+                    )
+                if not ok:
+                    problems.append(f"VAL {c}")
+        tag = "OK" if not problems else "MISMATCH " + "; ".join(problems)
+        print(f"{name:24s} {tag}   ({len(got)} rows, {dur:.1f}s)")
+        if problems:
+            fails.append(name)
+
+    print("\n" + ("ALL QUERIES MATCH" if not fails else f"FAILURES: {fails}"))
+    ray.shutdown()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
