@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_star_join": m.supplier_nation_region,
         "revenue_by_brand": m.revenue_by_brand,
         "revenue_by_mktsegment": m.revenue_by_mktsegment,
+        "shipping_priority": m.shipping_priority,
+        "events_props_k": m.events_props_k,
         "pricing_summary": m.pricing_summary,
         "events_timeliness": m.events_timeliness,
         "distinct_order_status": m.distinct_order_status,
@@ -362,6 +364,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) / 100.0 AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) / 100.0
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey DESC LIMIT 10""",
+        "events_props_k": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM events GROUP BY 1""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) / 100.0 AS sum_qty,

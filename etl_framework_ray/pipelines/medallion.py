@@ -175,6 +175,87 @@ def revenue_by_mktsegment(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-01-01") -> "ray.data.Dataset":
+    """TPC-H Q3-shaped composition: filter + broadcast semi-join + shuffle
+    join + grouped aggregate + global top-k.
+
+    customer(segment) ⋉ orders(date < cutoff) ⋈ lineitem(ship > cutoff) →
+    revenue per order → top 10. The customer side reduces to a key SET
+    broadcast into the orders filter (semi-join pattern); orders⋈lineitem
+    is the shuffle join."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    cust = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column("c_custkey")
+    keyset_ref = ray.put(keys.to_numpy(zero_copy_only=False))
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keyset_ref)
+        mask = pc.and_(
+            pc.less(batch.column("o_orderdate"), pa.scalar(cut)),
+            pa.array(np.isin(batch.column("o_custkey").to_numpy(zero_copy_only=False), ks)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filter_orders, batch_format="pyarrow"
+    )
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut))),
+        batch_format="pyarrow",
+    )
+    joined = items.join(
+        orders, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, True])
+        .limit(10)
+    )
+
+
+def events_props_k(sf_dir: str) -> "ray.data.Dataset":
+    """JSON-ish field extraction from the props column (regex on both
+    engines — RE2 parity like text_stats): mean value per extracted k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kv = pc.struct_field(k, "k").cast(pa.int64())
+        df = pa.table({"k": kv, "value": batch.column("value")}).to_pandas()
+        g = df.groupby("k", sort=False).agg(n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", ["props", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1/A2: grouped + conditional aggregates (TPC-H Q1 shape; SLO conditional
 # counts /root/reference/src/metadata/slo/quality.py:43-59)
