@@ -432,6 +432,12 @@ class CDCEngine:
         """Apply one epoch exactly once. Returns commit info, or ``None`` if
         the epoch is already committed (resume / duplicate delivery)."""
         man = self.manifest
+        if not self.key_cols:
+            # parity with the reference's merge guard (writer.py:48-51):
+            # CDC apply IS a keyed MERGE; PK-less tables are append-only
+            raise ValueError(
+                f"CDC apply requires a primary key on table {man.table!r}"
+            )
         if epoch.epoch_id <= man.applied_lsn:
             return None
         t0 = time.perf_counter()

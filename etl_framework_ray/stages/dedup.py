@@ -43,22 +43,33 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct text. Returns the kept rows."""
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Keep the min-id row per distinct text. Returns the kept rows.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = stable_hash_array(batch.column(text_col)).astype(np.int64)
-        return batch.append_column("_h", pa.array(h, pa.int64()))
+    Content-hash → COARSE bucket (``hash % num_buckets``) → groupby over
+    buckets → one vectorized pandas dedup per bucket. Grouping on the raw
+    hash pays one UDF dispatch per distinct text (measured 3s vs <1s for
+    5k docs); buckets bound dispatches at ``num_buckets`` while equal
+    texts still co-locate. Size ``num_buckets`` so a bucket (corpus /
+    buckets) fits one worker. Hash collisions are safe — the bucket
+    compares actual text."""
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.sort_values(id_col).drop_duplicates(text_col, keep="first").drop(columns=["_h"])
-        )
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = stable_hash_array(batch.column(text_col)) % np.uint64(num_buckets)
+        return batch.append_column("_b", pa.array(h.astype(np.int64), pa.int64()))
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).drop_duplicates(text_col, keep="first").drop(columns=["_b"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(keep_first, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
 
 
