@@ -157,7 +157,10 @@ def run_bench() -> dict:
         lake = tempfile.mkdtemp(prefix="etl_bench_lake_")
         eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=64)
         t0 = time.perf_counter()
-        s = eng.replay(ChangeLog(clog_dir), segments_per_epoch=8)
+        # pipelined: epoch N+1's map round overlaps epoch N's reduce+commit,
+        # making fine-grained exactly-once checkpoints (~2M events/epoch)
+        # nearly free (measured: spe=4 pipelined ≈ spe=8 sequential)
+        s = eng.replay(ChangeLog(clog_dir), segments_per_epoch=4, pipelined=True)
         sec = time.perf_counter() - t0
         if headline_sec is None or sec < headline_sec:
             headline_sec, stats = sec, s

@@ -401,11 +401,16 @@ class CDCEngine:
         lake = self.manifest.schema
         return pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
 
-    def _epoch_schemas(self, epoch: Epoch) -> tuple[pa.Schema, pa.Schema, list[str]]:
+    def _epoch_schemas(
+        self, epoch: Epoch, public_schema: pa.Schema | None = None
+    ) -> tuple[pa.Schema, pa.Schema, list[str]]:
         """Resolve schema evolution for this epoch.
 
         Returns ``(changelog_schema, new_lake_schema, changes)`` where
         changelog_schema = envelope + evolved payload columns.
+        ``public_schema`` overrides the manifest's current public schema —
+        pipelined replay plans epoch N+1 against the schema epoch N will
+        commit (evolution is schema-deterministic, independent of data).
         """
         for p in epoch.paths:
             if p not in self._schema_cache:
@@ -416,7 +421,9 @@ class CDCEngine:
             incoming, _ = merge_schemas(incoming, s)  # widening-aware unify
         payload = pa.schema([f for f in incoming if f.name not in _ENVELOPE])
         new_public, changes = plan_evolution(
-            self._public_schema(), payload, primary_key=self.key_cols
+            public_schema if public_schema is not None else self._public_schema(),
+            payload,
+            primary_key=self.key_cols,
         )
         new_lake = pa.schema(
             list(new_public)
@@ -427,10 +434,28 @@ class CDCEngine:
         )
         return chg_schema, new_lake, changes
 
+    def _submit_prep(self, epoch: Epoch, chg_schema: pa.Schema) -> list:
+        """Submit the map round for an epoch (prep tasks are pure — they
+        read immutable segments and never touch the manifest, so pipelined
+        replay may launch them before the previous epoch commits)."""
+        num_partitions = self.manifest.num_partitions
+        refs = [
+            _prep_segment_task.options(num_returns=num_partitions).remote(
+                p, chg_schema, self.key_cols, num_partitions
+            )
+            for p in epoch.paths
+        ]
+        if num_partitions == 1:  # num_returns=1 yields a bare ref
+            refs = [[r] for r in refs]
+        return refs
+
     # ------------------------------------------------------------------
-    def apply_epoch(self, epoch: Epoch) -> dict | None:
+    def apply_epoch(self, epoch: Epoch, _precomputed: tuple | None = None) -> dict | None:
         """Apply one epoch exactly once. Returns commit info, or ``None`` if
-        the epoch is already committed (resume / duplicate delivery)."""
+        the epoch is already committed (resume / duplicate delivery).
+
+        ``_precomputed`` (pipelined replay): ``(schemas_triple, prep_refs)``
+        produced by ``_epoch_schemas``/``_submit_prep`` for THIS epoch."""
         man = self.manifest
         if not self.key_cols:
             # parity with the reference's merge guard (writer.py:48-51):
@@ -442,7 +467,11 @@ class CDCEngine:
             return None
         t0 = time.perf_counter()
 
-        chg_schema, new_lake, schema_changes = self._epoch_schemas(epoch)
+        if _precomputed is not None:
+            (chg_schema, new_lake, schema_changes), pre_prep = _precomputed
+        else:
+            chg_schema, new_lake, schema_changes = self._epoch_schemas(epoch)
+            pre_prep = None
         num_partitions = man.num_partitions
         key_cols = self.key_cols
 
@@ -460,14 +489,7 @@ class CDCEngine:
         if self.exchange == "ray":
             # direct hash exchange: one map task per segment (hash-split by
             # conv_id via num_returns), one reduce task per partition
-            prep_refs = [
-                _prep_segment_task.options(num_returns=num_partitions).remote(
-                    p, chg_schema, key_cols, num_partitions
-                )
-                for p in epoch.paths
-            ]
-            if num_partitions == 1:  # num_returns=1 yields a bare ref
-                prep_refs = [[r] for r in prep_refs]
+            prep_refs = pre_prep if pre_prep is not None else self._submit_prep(epoch, chg_schema)
             apply_refs = [
                 _apply_pid_task.remote(
                     ctx_ref, pid, key_cols, *[refs[pid] for refs in prep_refs]
@@ -551,20 +573,62 @@ class CDCEngine:
         return new_man.history[-1]
 
     def replay(
-        self, changelog: ChangeLog, segments_per_epoch: int = 4, vacuum: bool = True
+        self,
+        changelog: ChangeLog,
+        segments_per_epoch: int = 4,
+        vacuum: bool = True,
+        pipelined: bool = False,
     ) -> ReplayStats:
         """Apply all not-yet-committed epochs; resumes from the manifest
-        watermark (FIXTURES.md F6)."""
+        watermark (FIXTURES.md F6).
+
+        ``pipelined=True`` (ray exchange only) overlaps epoch N+1's map
+        round with epoch N's reduce+commit — the "keep tailing the binlog
+        while applying" shape of a continuous ingester. Safe because prep
+        tasks are pure (immutable segments, no manifest reads) and the
+        schema for N+1 is computable from the schema N WILL commit
+        (evolution is schema-deterministic); commits stay strictly
+        serialized, so exactly-once semantics are unchanged."""
         stats = ReplayStats()
         t0 = time.perf_counter()
-        for epoch in changelog.epochs(segments_per_epoch, after_lsn=self.manifest.applied_lsn):
-            info = self.apply_epoch(epoch)
-            if info is None:
-                stats.epochs_skipped += 1
-            else:
-                stats.epochs_applied += 1
-                stats.events += info["events"]
-                stats.schema_changes.extend(info["schema_changes"])
+        epochs = changelog.epochs(segments_per_epoch, after_lsn=self.manifest.applied_lsn)
+        if not (pipelined and self.exchange == "ray"):
+            for epoch in epochs:
+                info = self.apply_epoch(epoch)
+                if info is None:
+                    stats.epochs_skipped += 1
+                else:
+                    stats.epochs_applied += 1
+                    stats.events += info["events"]
+                    stats.schema_changes.extend(info["schema_changes"])
+        else:
+            public = self._public_schema()
+            pending: tuple | None = None
+            for i, epoch in enumerate(epochs):
+                if pending is None:
+                    schemas = self._epoch_schemas(epoch, public)
+                    prep = self._submit_prep(epoch, schemas[0])
+                else:
+                    schemas, prep = pending
+                # the public schema AFTER this epoch commits (new_lake minus
+                # the internal bookkeeping columns)
+                next_public = pa.schema(
+                    [f for f in schemas[1] if f.name not in (LSN_COL, DELETED_COL)]
+                )
+                if i + 1 < len(epochs):  # prefetch window = 1 epoch
+                    nxt = epochs[i + 1]
+                    nschemas = self._epoch_schemas(nxt, next_public)
+                    pending = (nschemas, self._submit_prep(nxt, nschemas[0]))
+                else:
+                    pending = None
+                info = self.apply_epoch(epoch, _precomputed=(schemas, prep))
+                public = next_public
+                if info is None:
+                    stats.epochs_skipped += 1
+                else:
+                    stats.epochs_applied += 1
+                    stats.events += info["events"]
+                    stats.schema_changes.extend(info["schema_changes"])
         stats.seconds = time.perf_counter() - t0
         if vacuum and stats.epochs_applied:
             self.store.vacuum(self.manifest)
