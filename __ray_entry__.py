@@ -258,6 +258,13 @@ def _q_multimodal_decode(sf_dir: str):
     return decode_images(ds, batch_size=32, concurrency=(1, 2))
 
 
+def _q_curate_documents(sf_dir: str):
+    from etl_framework_ray.pipelines.curation import curate_documents
+
+    ds, _funnel = curate_documents(sf_dir, report=False)
+    return ds.select_columns(["doc_id", "lang_pred", "quality_score", "n_tokens"])
+
+
 def _q_multimodal_audio(sf_dir: str):
     import ray.data
 
@@ -318,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "curate_documents": _q_curate_documents,
     }
 
 
