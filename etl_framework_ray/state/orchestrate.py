@@ -199,6 +199,7 @@ class Orchestrator:
         validator: Validator | None = None,
         runner: ActionRunner | None = None,
     ):
+        self.lake_root = lake_root
         self.reader = reader or CatalogReader(lake_root)
         self.plan_fn = plan_fn
         self.validator = validator or Validator()
@@ -217,7 +218,46 @@ class Orchestrator:
             self.validator.validate(spec, plan)
             plans.append(plan)
         applied = self.runner.apply({s.name: s for s in specs}, plans)
+        applied += self._ensure_foreign_keys(specs, set(observed))
         return SyncResult(plans=plans, applied=applied)
+
+    def _ensure_foreign_keys(self, specs: Sequence[TableSpec], known: set[str]) -> list[str]:
+        """Sync informational FK metadata into manifests after tables exist
+        (reference ensure-FKs pass, /root/reference/src/ddl/utils.py:71-117:
+        introspect → diff → add; failures collected into one error,
+        utils.py:120-133). Metadata-only — never enforced on data."""
+        from ..functions.naming import constraint_name
+
+        known = known | {s.name for s in specs}
+        errors: list[str] = []
+        applied: list[str] = []
+        for spec in specs:
+            fks = spec.foreign_keys
+            desired = {
+                col: {
+                    "references": f"{fk.table}.{fk.column}",
+                    "name": constraint_name("fk", spec.name, (col,)),
+                }
+                for col, fk in fks.items()
+            }
+            bad = [col for col, fk in fks.items() if fk.table not in known]
+            if bad:
+                errors.extend(
+                    f"{spec.name}.{col}: FK target table {fks[col].table!r} unknown" for col in bad
+                )
+                continue  # collect and keep processing other tables
+            store = ManifestStore(os.path.join(self.lake_root, spec.name))
+            man = store.load()
+            if man is None:
+                continue
+            if man.properties.get("foreign_keys", {}) != desired:
+                man.properties["foreign_keys"] = desired
+                man.version += 1
+                store.commit(man)
+                applied.append(f"fks {spec.name}")
+        if errors:
+            raise RuntimeError("; ".join(errors))
+        return applied
 
 
 def discover_specs(module) -> list[TableSpec]:

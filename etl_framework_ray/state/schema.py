@@ -44,12 +44,24 @@ class QualityRule:
 
 
 @dataclass(frozen=True)
+class ForeignKey:
+    """Informational FK reference (``table.column``) — metadata-only, not
+    enforced on the data path, matching the reference's Unity Catalog
+    constraints (/root/reference/src/models/column.py:14-41; SURVEY.md
+    §1.1 notes UC constraints are informational)."""
+
+    table: str
+    column: str
+
+
+@dataclass(frozen=True)
 class ColumnSpec:
     name: str
     dtype: pa.DataType
     nullable: bool = True
     comment: str = ""
     quality: QualityRule | None = None
+    foreign_key: ForeignKey | None = None
 
     @property
     def field(self) -> pa.Field:
@@ -87,6 +99,11 @@ class TableSpec:
     @property
     def column_names(self) -> list[str]:
         return [c.name for c in self.columns]
+
+    @property
+    def foreign_keys(self) -> dict[str, "ForeignKey"]:
+        """column name → FK reference (informational)."""
+        return {c.name: c.foreign_key for c in self.columns if c.foreign_key is not None}
 
     @property
     def schema(self) -> pa.Schema:

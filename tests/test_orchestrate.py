@@ -125,6 +125,46 @@ def test_align_order_is_deterministic(tmp_path):
     assert not state.schema.field("name").nullable
 
 
+def test_foreign_keys_synced_and_validated(tmp_path):
+    from etl_framework_ray.state.manifest import ManifestStore
+    from etl_framework_ray.state.schema import ForeignKey
+
+    parent = TableSpec(
+        name="aisles",
+        columns=(ColumnSpec("aisle_id", pa.int32(), nullable=False),),
+        primary_key=("aisle_id",),
+    )
+    child = TableSpec(
+        name="products",
+        columns=(
+            ColumnSpec("product_id", pa.int32(), nullable=False),
+            ColumnSpec("aisle_id", pa.int32(), foreign_key=ForeignKey("aisles", "aisle_id")),
+        ),
+        primary_key=("product_id",),
+    )
+    lake = str(tmp_path)
+    res = Orchestrator(lake).sync([parent, child])
+    assert "fks products" in res.applied
+    man = ManifestStore(f"{lake}/products").load()
+    fk = man.properties["foreign_keys"]["aisle_id"]
+    assert fk["references"] == "aisles.aisle_id"
+    assert fk["name"].startswith("fk_products_aisle_id_")
+    # idempotent: second sync doesn't re-commit fks
+    res2 = Orchestrator(lake).sync([parent, child])
+    assert "fks products" not in res2.applied
+
+    orphan = TableSpec(
+        name="orders",
+        columns=(
+            ColumnSpec("order_id", pa.int32(), nullable=False),
+            ColumnSpec("ghost_id", pa.int32(), foreign_key=ForeignKey("ghost", "id")),
+        ),
+        primary_key=("order_id",),
+    )
+    with pytest.raises(RuntimeError, match="ghost"):
+        Orchestrator(lake).sync([orphan])
+
+
 def test_discover_specs_scans_module():
     import types
 
