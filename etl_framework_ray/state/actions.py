@@ -52,6 +52,13 @@ class SetTableComment(Action):
 
 
 @dataclass(frozen=True)
+class SetColumnComments(Action):
+    """column name → comment (align step 7 in the reference order)."""
+
+    comments: tuple[tuple[str, str], ...]
+
+
+@dataclass(frozen=True)
 class SetTableProperties(Action):
     properties: tuple[tuple[str, str], ...]
 
@@ -87,6 +94,7 @@ class AlignTable(Action):
     nullability: tuple[ColumnNullabilityChange, ...] = ()
     pk_add: PrimaryKeyAdd | None = None
     comment: SetTableComment | None = None
+    column_comments: "SetColumnComments | None" = None
     properties: SetTableProperties | None = None
 
     @property
@@ -99,6 +107,7 @@ class AlignTable(Action):
             or self.nullability
             or self.pk_add
             or self.comment
+            or self.column_comments
             or self.properties
         )
 

@@ -170,6 +170,12 @@ class ActionRunner:
             fields[nc.name] = pa.field(f.name, f.type, nullable=nc.nullable, metadata=f.metadata)
         if align.pk_add is not None:
             man.primary_key = list(align.pk_add.columns)
+        if align.column_comments is not None:
+            for name, comment in align.column_comments.comments:
+                f = fields[name]
+                meta = dict(f.metadata or {})
+                meta[b"comment"] = comment.encode()
+                fields[name] = pa.field(f.name, f.type, nullable=f.nullable, metadata=meta)
         if align.comment is not None:
             man.properties["comment"] = align.comment.comment
         if align.properties is not None:

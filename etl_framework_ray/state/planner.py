@@ -28,6 +28,7 @@ from .actions import (
     CreateTable,
     PrimaryKeyAdd,
     PrimaryKeyDrop,
+    SetColumnComments,
     TablePlan,
     TypeWiden,
 )
@@ -93,6 +94,7 @@ def plan_table(
 
     widens: list[TypeWiden] = []
     nullability: list[ColumnNullabilityChange] = []
+    comment_changes: list[tuple[str, str]] = []
     for c in spec.columns:
         if c.name in missing:
             continue
@@ -101,6 +103,9 @@ def plan_table(
             widens.append(TypeWiden(c.name, obs.type, widen(obs.type, c.dtype)))
         if obs.nullable != c.nullable:
             nullability.append(ColumnNullabilityChange(c.name, c.nullable))
+        obs_comment = (obs.metadata or {}).get(b"comment", b"").decode()
+        if c.comment and c.comment != obs_comment:
+            comment_changes.append((c.name, c.comment))
 
     pk_changed = tuple(observed_pk) != tuple(spec.primary_key)
     align = AlignTable(
@@ -111,6 +116,7 @@ def plan_table(
         widens=tuple(widens),
         nullability=tuple(nullability),
         pk_add=PrimaryKeyAdd(tuple(spec.primary_key)) if pk_changed and spec.primary_key else None,
+        column_comments=SetColumnComments(tuple(comment_changes)) if comment_changes else None,
     )
     return TablePlan(table=spec.name, align=None if align.is_noop else align)
 

@@ -125,6 +125,25 @@ def test_align_order_is_deterministic(tmp_path):
     assert not state.schema.field("name").nullable
 
 
+def test_column_comments_synced(tmp_path):
+    lake = str(tmp_path)
+    Orchestrator(lake).sync([SPEC_V1])
+    commented = TableSpec(
+        name="t1",
+        columns=(
+            ColumnSpec("id", pa.int32(), nullable=False, comment="entity id"),
+            ColumnSpec("name", pa.string()),
+        ),
+        primary_key=("id",),
+    )
+    res = Orchestrator(lake).sync([commented])
+    assert res.applied == ["align t1"]
+    state = CatalogReader(lake).snapshot(["t1"])["t1"]
+    assert state.schema.field("id").metadata[b"comment"] == b"entity id"
+    # idempotent once synced
+    assert Orchestrator(lake).sync([commented]).plans[0].is_noop
+
+
 def test_foreign_keys_synced_and_validated(tmp_path):
     from etl_framework_ray.state.manifest import ManifestStore
     from etl_framework_ray.state.schema import ForeignKey
