@@ -668,12 +668,47 @@ class CDCEngine:
             resolve, batch_format="pyarrow", batch_size=1
         )
 
-    def snapshot_arrow(self) -> pa.Table:
-        """Driver-side committed state (no Ray) — for tests/oracles on small
-        tables. Sorted by primary key (stable turn ordering)."""
-        public = self._public_schema()
+    def read_changes(self, since_lsn: int) -> pa.Table:
+        """Changefeed for downstream consumers: the net row-level changes
+        committed after ``since_lsn`` (delta files with epoch > watermark),
+        LWW-reduced per key, tombstones INCLUDED (``_deleted`` marks
+        downstream deletes).
+
+        Raises if a compaction has folded any needed delta into a base file
+        since ``since_lsn`` — the feed's retention horizon is the
+        compaction cadence (consumers must poll within
+        ``compact_every × epoch`` intervals, or replay from a snapshot)."""
         man = self.manifest
         lake = man.schema
+        delta_files: list[str] = []
+        for pid in sorted(man.partitions):
+            for f in man.partitions[pid].files:
+                name = os.path.basename(f)
+                mode, _, epoch_part = name[: -len(".parquet")].split("-")
+                epoch_id = int(epoch_part)
+                if epoch_id <= since_lsn:
+                    continue
+                if mode == "base":
+                    raise RuntimeError(
+                        f"changes since {since_lsn} were compacted into {name}; "
+                        "replay from a snapshot or poll within the compaction horizon"
+                    )
+                delta_files.append(f)
+        if not delta_files:
+            return lake.empty_table()
+        t = pa.concat_tables([normalize_table(pq.read_table(f), lake) for f in delta_files])
+        return lww_reduce(t, self.key_cols, _lww_order(lake, LSN_COL))
+
+    def snapshot_arrow(self, version: int | None = None) -> pa.Table:
+        """Driver-side committed state (no Ray) — for tests/oracles on small
+        tables. Sorted by primary key (stable turn ordering).
+
+        ``version`` time-travels to an older committed manifest (every
+        commit leaves its manifest snapshot on disk; valid until ``vacuum``
+        removes the superseded data files — standard lakehouse semantics)."""
+        man = self.manifest if version is None else self.store.load(version)
+        lake = man.schema
+        public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
         parts = []
         for pid in sorted(man.partitions):
             files = man.partitions[pid].files

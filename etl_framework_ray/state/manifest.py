@@ -119,11 +119,16 @@ class ManifestStore:
         with open(cur) as f:
             return int(f.read().strip())
 
-    def load(self) -> Manifest | None:
-        v = self.current_version()
+    def load(self, version: int | None = None) -> Manifest | None:
+        """Committed manifest; ``version`` reads an older snapshot (time
+        travel — every commit leaves its full manifest version on disk)."""
+        v = version if version is not None else self.current_version()
         if v is None:
             return None
-        with open(os.path.join(self.manifest_dir, f"v{v:08d}.json")) as f:
+        path = os.path.join(self.manifest_dir, f"v{v:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"manifest version {v} does not exist for {self.table_dir}")
+        with open(path) as f:
             return Manifest.from_json(json.load(f))
 
     # -- write side (phase 2 of the 2PC) -----------------------------------
