@@ -46,28 +46,53 @@ def publish_snapshot(
     gate_spec: TableSpec | None = None,
     run_context: RunContext | None = None,
 ) -> int:
-    """Write the committed snapshot as partition-directory Parquet.
-
-    Layout ``out_dir/part=<pid>/...`` so a failed export can skip finished
-    partitions on rerun. Runs the DQ gate first when ``gate_spec`` carries
-    rules — errors abort before any file is written.
-    """
-    ds = engine.snapshot()
+    """Write the committed snapshot as partition-directory Parquet —
+    RESUMABLY: one directory per hash partition, each finished atomically
+    (tmp file + rename, then a ``_SUCCESS`` marker), so a rerun after a
+    crash skips completed partitions and only exports the missing ones.
+    Runs the DQ gate first when ``gate_spec`` carries rules — errors abort
+    before any file is written. Returns the number of partitions exported
+    this run (0 on a fully-complete rerun)."""
     if gate_spec is not None:
         gate = DQGate(gate_spec, os.path.join(engine.table_dir, "_metrics", "dq"), run_context)
-        gate.check(ds)
-        ds = engine.snapshot()  # re-plan after the gate consumed the stream
-    num_partitions = engine.manifest.num_partitions
-    from ..functions.hashing import partition_ids
+        gate.check(engine.snapshot())
 
-    def add_pid(batch: pa.Table) -> pa.Table:
-        pid = partition_ids(batch.column("conv_id"), num_partitions)
-        return batch.append_column("pid", pa.array(pid, pa.int64()))
+    from .cdc import merge_partition_files
 
-    ds.map_batches(add_pid, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["pid"]
-    )
-    return num_partitions
+    man = engine.manifest
+    lake = man.schema
+    key_cols = engine.key_cols
+    public_names = [f.name for f in lake if f.name not in ("_lsn", "_deleted")]
+    todo = []
+    for pid in sorted(man.partitions):
+        files = man.partitions[pid].files
+        part_dir = os.path.join(out_dir, f"part={pid:05d}")
+        if files and not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            todo.append({"pid": pid, "files": files, "part_dir": part_dir})
+    if not todo:
+        return 0
+
+    def export_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_mod
+
+        done = []
+        for row in batch.to_pylist():
+            t = merge_partition_files(list(row["files"]), lake, key_cols)
+            t = t.filter(pc.invert(t.column("_deleted"))).select(public_names)
+            os.makedirs(row["part_dir"], exist_ok=True)
+            path = os.path.join(row["part_dir"], "data.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq_mod.write_table(t, tmp)
+            os.replace(tmp, path)
+            with open(os.path.join(row["part_dir"], "_SUCCESS"), "w") as f:
+                f.write("ok")
+            done.append({"pid": row["pid"], "rows": t.num_rows})
+        return pa.Table.from_pylist(done)
+
+    ray.data.from_items(todo).map_batches(
+        export_partition, batch_format="pyarrow", batch_size=1
+    ).count()
+    return len(todo)
 
 
 def conversation_rollup(ds: "ray.data.Dataset") -> "ray.data.Dataset":

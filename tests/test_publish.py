@@ -28,16 +28,24 @@ def engine(tmp_path_factory, ray_session):
     return eng, log, tmp
 
 
-def test_publish_snapshot_partitioned(engine):
+def test_publish_snapshot_partitioned_and_resumable(engine):
+    import os
+
     eng, log, tmp = engine
     out = str(tmp / "out")
-    publish_snapshot(eng, out)
-    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
-    assert files
-    dirs = {f.split("pid=")[1].split("/")[0] for f in files if "pid=" in f}
-    assert len(dirs) > 1  # one directory per hash partition (resumable layout)
+    exported = publish_snapshot(eng, out)
+    assert exported > 1  # one directory per hash partition
+    files = glob.glob(f"{out}/part=*/data.parquet")
+    assert len(files) == exported
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == len(oracle_replay(log))
+
+    # complete rerun: nothing re-exported
+    assert publish_snapshot(eng, out) == 0
+    # simulate a crash that lost one partition's marker → only it re-exports
+    victim = sorted(glob.glob(f"{out}/part=*/_SUCCESS"))[0]
+    os.remove(victim)
+    assert publish_snapshot(eng, out) == 1
 
 
 def test_conversation_rollup_matches_pandas(engine):
