@@ -1,0 +1,123 @@
+"""CLI job runner — the engine's analogue of the reference's scheduled job
+entries (databricks/jobs/*.yml → spark_python_task main()s).
+
+    python -m etl_framework_ray replay   --log DIR --table DIR [--partitions N] [--epoch-segments K] [--pipelined]
+    python -m etl_framework_ray snapshot --table DIR [--version V] [--out DIR]
+    python -m etl_framework_ray publish  --table DIR --out DIR
+    python -m etl_framework_ray changes  --table DIR --since LSN
+    python -m etl_framework_ray metrics  --table DIR
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_framework_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("replay", help="apply a changelog into a lake table (exactly-once)")
+    pr.add_argument("--log", required=True)
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--partitions", type=int, default=32)
+    pr.add_argument("--epoch-segments", type=int, default=4)
+    pr.add_argument("--pipelined", action="store_true")
+
+    ps = sub.add_parser("snapshot", help="row count / export of the committed state")
+    ps.add_argument("--table", required=True)
+    ps.add_argument("--version", type=int, default=None)
+    ps.add_argument("--out", default=None)
+
+    pp = sub.add_parser("publish", help="resumable partitioned export")
+    pp.add_argument("--table", required=True)
+    pp.add_argument("--out", required=True)
+
+    pc = sub.add_parser("changes", help="net per-key changefeed since an LSN watermark")
+    pc.add_argument("--table", required=True)
+    pc.add_argument("--since", type=int, required=True)
+
+    pm = sub.add_parser("metrics", help="per-epoch lineage summary")
+    pm.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    import ray  # noqa: F401
+
+    from .pipelines.cdc import CDCEngine
+    from .sources.changelog import ChangeLog
+
+    if args.cmd == "replay":
+        _init_ray(args.num_cpus)
+        eng = CDCEngine(args.table, num_partitions=args.partitions)
+        stats = eng.replay(
+            ChangeLog(args.log),
+            segments_per_epoch=args.epoch_segments,
+            pipelined=args.pipelined,
+        )
+        print(
+            json.dumps(
+                {
+                    "epochs_applied": stats.epochs_applied,
+                    "epochs_skipped": stats.epochs_skipped,
+                    "events": stats.events,
+                    "seconds": round(stats.seconds, 3),
+                    "events_per_sec": round(stats.events_per_sec, 1),
+                    "schema_changes": stats.schema_changes,
+                    "applied_lsn": eng.manifest.applied_lsn,
+                }
+            )
+        )
+    elif args.cmd == "snapshot":
+        eng = CDCEngine(args.table)
+        t = eng.snapshot_arrow(version=args.version)
+        if args.out:
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, args.out)
+        print(json.dumps({"rows": t.num_rows, "columns": t.column_names, "version": args.version}))
+    elif args.cmd == "publish":
+        _init_ray(args.num_cpus)
+        from .pipelines.publish import publish_snapshot
+
+        eng = CDCEngine(args.table)
+        n = publish_snapshot(eng, args.out)
+        print(json.dumps({"partitions_exported": n, "out": args.out}))
+    elif args.cmd == "changes":
+        eng = CDCEngine(args.table)
+        t = eng.read_changes(since_lsn=args.since)
+        print(json.dumps({"rows": t.num_rows, "since": args.since}))
+    elif args.cmd == "metrics":
+        from .pipelines.metrics import read_metrics
+
+        t = read_metrics(args.table)
+        epochs = sorted(set(t.column("epoch_id").to_pylist())) if t.num_rows else []
+        print(json.dumps({"lineage_rows": t.num_rows, "epochs": epochs[-5:]}))
+    # ray.shutdown is deliberate on process exit for one-shot CLI runs
+    import ray as _ray
+
+    if _ray.is_initialized():
+        _ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

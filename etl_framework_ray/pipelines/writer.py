@@ -113,6 +113,12 @@ class LakeWriter:
         seg_dir = os.path.join(self.engine.table_dir, "_writer_log")
         os.makedirs(seg_dir, exist_ok=True)
 
+        schema_names = set(ds.schema().names)
+        missing = [n for n in names if n not in schema_names]
+        if missing:
+            raise ValueError(
+                f"source is missing declared columns {missing} of table {self.spec.name!r}"
+            )
         tables = []
         offset = 0
         for batch in ds.iter_batches(batch_format="pyarrow"):
