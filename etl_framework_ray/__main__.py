@@ -17,17 +17,22 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """Returns True if THIS call started Ray (the caller then owns the
+    shutdown; an embedding process's session is left untouched)."""
     import ray
 
+    started = False
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        started = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return started
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -58,15 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     pm = sub.add_parser("metrics", help="per-epoch lineage summary")
     pm.add_argument("--table", required=True)
 
+    pk = sub.add_parser("compact", help="fold all multi-file partitions (OPTIMIZE)")
+    pk.add_argument("--table", required=True)
+
+    pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
+    pv.add_argument("--table", required=True)
+
     args = p.parse_args(argv)
 
-    import ray  # noqa: F401
+    started_ray = False
 
     from .pipelines.cdc import CDCEngine
     from .sources.changelog import ChangeLog
 
     if args.cmd == "replay":
-        _init_ray(args.num_cpus)
+        started_ray = _init_ray(args.num_cpus)
         eng = CDCEngine(args.table, num_partitions=args.partitions)
         stats = eng.replay(
             ChangeLog(args.log),
@@ -95,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             pq.write_table(t, args.out)
         print(json.dumps({"rows": t.num_rows, "columns": t.column_names, "version": args.version}))
     elif args.cmd == "publish":
-        _init_ray(args.num_cpus)
+        started_ray = _init_ray(args.num_cpus)
         from .pipelines.publish import publish_snapshot
 
         eng = CDCEngine(args.table)
@@ -111,10 +122,16 @@ def main(argv: list[str] | None = None) -> int:
         t = read_metrics(args.table)
         epochs = sorted(set(t.column("epoch_id").to_pylist())) if t.num_rows else []
         print(json.dumps({"lineage_rows": t.num_rows, "epochs": epochs[-5:]}))
-    # ray.shutdown is deliberate on process exit for one-shot CLI runs
-    import ray as _ray
+    elif args.cmd == "compact":
+        started_ray = _init_ray(args.num_cpus)
+        eng = CDCEngine(args.table)
+        print(json.dumps({"partitions_compacted": eng.compact()}))
+    elif args.cmd == "vacuum":
+        eng = CDCEngine(args.table)
+        print(json.dumps({"files_removed": eng.vacuum()}))
+    if started_ray:  # only shut down a session this CLI run created
+        import ray as _ray
 
-    if _ray.is_initialized():
         _ray.shutdown()
     return 0
 

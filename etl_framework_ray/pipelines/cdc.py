@@ -668,6 +668,66 @@ class CDCEngine:
             resolve, batch_format="pyarrow", batch_size=1
         )
 
+    def compact(self, pids: list[int] | None = None) -> int:
+        """Maintenance compaction (the OPTIMIZE analogue): fold every
+        multi-file partition's base+delta stack into one base file,
+        regardless of the automatic threshold. One Ray task per partition;
+        commits a single new manifest version. Returns partitions folded.
+
+        Note: folding ends the changefeed availability for watermarks older
+        than the current applied LSN (read_changes documents the horizon)."""
+        man = self.manifest
+        targets = [
+            pid
+            for pid in sorted(man.partitions)
+            if (pids is None or pid in pids) and len(man.partitions[pid].files) > 1
+        ]
+        if not targets:
+            return 0
+        lake = man.schema
+        key_cols = self.key_cols
+        table_dir = self.table_dir
+        epoch_id = man.applied_lsn
+        ttl = self.tombstone_ttl_lsn
+
+        @ray.remote
+        def fold(pid: int, files: list[str]) -> dict:
+            _single_threaded_arrow()
+            merged = merge_partition_files(files, lake, key_cols)
+            if ttl is not None:
+                expired = pc.and_(
+                    merged.column(DELETED_COL),
+                    pc.less(merged.column(LSN_COL), epoch_id - ttl),
+                )
+                merged = merged.filter(pc.invert(expired))
+            out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"epoch={epoch_id:012d}")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"base-{pid:05d}-{epoch_id:012d}.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, path)
+            tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
+            return {"pid": pid, "path": path, "rows_live": merged.num_rows - tombstones}
+
+        metas = ray.get([fold.remote(pid, man.partitions[pid].files) for pid in targets])
+        new_man = Manifest.from_json(man.to_json())
+        new_man.version = man.version + 1
+        for m in metas:
+            new_man.partitions[m["pid"]] = PartitionState(
+                files=[m["path"]], applied_lsn=epoch_id, rows=int(m["rows_live"])
+            )
+        new_man.history.append(
+            {"op": "compact", "version": new_man.version, "partitions": len(metas), **self.run_context.as_dict()}
+        )
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return len(metas)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the CURRENT manifest (ends
+        time travel to superseded versions)."""
+        return self.store.vacuum(self.manifest)
+
     def read_changes(self, since_lsn: int) -> pa.Table:
         """Changefeed for downstream consumers: the net row-level changes
         committed after ``since_lsn`` (delta files with epoch > watermark),
