@@ -6,6 +6,8 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray publish  --table DIR --out DIR
     python -m etl_framework_ray changes  --table DIR --since LSN
     python -m etl_framework_ray metrics  --table DIR
+    python -m etl_framework_ray compact  --table DIR
+    python -m etl_framework_ray vacuum   --table DIR
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
