@@ -54,10 +54,14 @@ SCALING_LEVELS = tuple(
 BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_brand",
+    "revenue_by_mktsegment",
     "latest_event_per_user",
+    "tumbling_counts",
+    "session_windows",
     "text_stats",
     "exact_dedup_docs",
     "minhash_dedup",
+    "embedding_dedup",
     "ann_topk",
     "langid",
 ]

@@ -30,6 +30,16 @@ def test_invalid_exchange_rejected(tmp_path):
         CDCEngine(str(tmp_path / "x"), exchange="bogus")
 
 
+def test_pkless_spec_cannot_apply(tmp_path):
+    from etl_framework_ray.sources.changelog import Epoch, Segment
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec = TableSpec(name="nopk", columns=(ColumnSpec("a", pa.int64()),))
+    eng = CDCEngine(str(tmp_path / "t"), spec=spec, num_partitions=2)
+    with pytest.raises(ValueError, match="primary key"):
+        eng.apply_epoch(Epoch((Segment("/nonexistent", 1, 10),)))
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_compaction_composes_with_schema_evolution(tmp_path):
     """Old (pre-evolution) delta files must normalize correctly when a
