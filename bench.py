@@ -156,7 +156,7 @@ def run_bench() -> dict:
 
     # best of 3 replays: the shared VM shows ±20% interference noise; the
     # minimum is the steady-state capability
-    headline_sec, stats, rows = None, None, 0
+    headline_sec, stats, rows, snapshot_sec = None, None, 0, 0.0
     for _ in range(3):
         lake = tempfile.mkdtemp(prefix="etl_bench_lake_")
         eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=64)
@@ -168,7 +168,9 @@ def run_bench() -> dict:
         sec = time.perf_counter() - t0
         if headline_sec is None or sec < headline_sec:
             headline_sec, stats = sec, s
-            rows = eng.snapshot().count()
+            t1 = time.perf_counter()
+            rows = eng.snapshot().count()  # merge-on-read scan of the table
+            snapshot_sec = time.perf_counter() - t1
         shutil.rmtree(lake, ignore_errors=True)
 
     query_secs = {}
@@ -196,6 +198,7 @@ def run_bench() -> dict:
         "events": stats.events,
         "events_per_sec": round(stats.events / headline_sec, 1),
         "snapshot_rows": rows,
+        "snapshot_read_sec": round(snapshot_sec, 3),
     }
     ray.shutdown()
     return result
