@@ -738,20 +738,29 @@ class CDCEngine:
         since ``since_lsn`` — the feed's retention horizon is the
         compaction cadence (consumers must poll within
         ``compact_every × epoch`` intervals, or replay from a snapshot)."""
+        import re
+
         man = self.manifest
         lake = man.schema
+        cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)\.parquet$")
         delta_files: list[str] = []
         for pid in sorted(man.partitions):
             for f in man.partitions[pid].files:
-                name = os.path.basename(f)
-                mode, _, epoch_part = name[: -len(".parquet")].split("-")
-                epoch_id = int(epoch_part)
+                m = cdc_name.match(os.path.basename(f))
+                if m is None:
+                    # overwrite/append writer files carry no epoch lineage
+                    raise RuntimeError(
+                        f"table contains non-CDC file {os.path.basename(f)!r}; "
+                        "the changefeed is only defined for CDC-applied tables"
+                    )
+                mode, epoch_id = m.group(1), int(m.group(3))
                 if epoch_id <= since_lsn:
                     continue
                 if mode == "base":
                     raise RuntimeError(
-                        f"changes since {since_lsn} were compacted into {name}; "
-                        "replay from a snapshot or poll within the compaction horizon"
+                        f"changes since {since_lsn} were compacted into "
+                        f"{os.path.basename(f)}; replay from a snapshot or "
+                        "poll within the compaction horizon"
                     )
                 delta_files.append(f)
         if not delta_files:
