@@ -185,6 +185,8 @@ class DQGate:
 
         partials = ds.map_batches(count_failures, batch_format="pyarrow").to_pandas()
         run_time = time.perf_counter() - t0
+        if partials.empty:  # empty source: nothing to check, nothing to log
+            return {}
         total_rows = int(partials[partials.rule_name == "_rows"].checked_rows.sum())
         agg = partials[partials.rule_name != "_rows"].groupby("rule_name").failed_rows.sum()
 

@@ -75,6 +75,9 @@ def publish_snapshot(
     def export_partition(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq_mod
 
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
         done = []
         for row in batch.to_pylist():
             t = merge_partition_files(list(row["files"]), lake, key_cols)

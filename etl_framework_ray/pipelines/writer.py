@@ -104,7 +104,7 @@ class LakeWriter:
         return rows
 
     # ------------------------------------------------------------------
-    def _stage_changelog(self, ds: "ray.data.Dataset", op: str) -> Epoch:
+    def _stage_changelog(self, ds: "ray.data.Dataset", op: str) -> Epoch | None:
         """Materialize source rows as a changelog segment with the next LSN
         range (driver-side staging; source batches stream through)."""
         man = self.engine.manifest
@@ -130,6 +130,8 @@ class LakeWriter:
                 cols[name] = batch.column(name)
             tables.append(pa.table(cols))
             offset += n
+        if offset == 0:
+            return None  # empty source → nothing to merge
         seg = pa.concat_tables(tables)
         lo, hi = start, start + offset - 1
         path = os.path.join(seg_dir, f"segment-{lo:012d}-{hi:012d}.parquet")
@@ -147,6 +149,8 @@ class LakeWriter:
             )
         self._gate(ds)
         epoch = self._stage_changelog(ds, op="U")
+        if epoch is None:
+            return {}  # empty source is a no-op merge
         info = self.engine.apply_epoch(epoch)
         return info or {}
 

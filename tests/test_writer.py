@@ -67,6 +67,20 @@ def test_merge_upsert_source_wins(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_merge_empty_source_is_noop(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "slo"), SLO_SPEC, num_partitions=2)
+    w.merge(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17"], "job_name": ["a"], "ready_by_09": [True],
+    })))
+    v = w.engine.manifest.version
+    assert w.merge(ray.data.from_arrow(SLO_SPEC.schema.empty_table())) == {}
+    assert w.engine.manifest.version == v  # no commit for an empty merge
+    assert len(w.read().take_all()) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_merge_requires_primary_key(tmp_path):
     import ray.data
 
