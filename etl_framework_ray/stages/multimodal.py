@@ -113,6 +113,37 @@ def decode_images(ds: "object", batch_size: int = 64, concurrency=(1, 4)):
     )
 
 
+class ResizeImage:
+    """Actor-pool image resize. On the synthetic FAKEIMG1 format the resize
+    is REAL (nearest-neighbor over the decoded array, re-encoded to the
+    same payload format); with a real codec library only the decode/encode
+    calls change. Output payloads stay in the media schema so further
+    stages (decode, feature-extract) compose."""
+
+    def __init__(self, height: int = 32, width: int = 32):
+        self.h = height
+        self.w = width
+        self._pil = _try_import_pil()
+
+    def _resize_fake(self, buf: bytes) -> bytes:
+        if len(buf) < _HEADER.size or buf[:8] != _MAGIC:
+            raise ValueError("not a FAKEIMG1 payload (real codec library unavailable)")
+        _, h, w, c = _HEADER.unpack_from(buf)
+        arr = np.frombuffer(buf, np.uint8, count=h * w * c, offset=_HEADER.size).reshape(h, w, c)
+        ys = (np.arange(self.h) * h // self.h).clip(0, h - 1)
+        xs = (np.arange(self.w) * w // self.w).clip(0, w - 1)
+        out = arr[ys][:, xs]  # nearest-neighbor
+        return _HEADER.pack(_MAGIC, self.h, self.w, c) + out.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._pil is not None:
+            raise NotImplementedError("real image codecs are not available in this environment")
+        payloads = batch.column("payload")
+        resized = [self._resize_fake(payloads[i].as_py()) for i in range(batch.num_rows)]
+        i = batch.schema.get_field_index("payload")
+        return batch.set_column(i, "payload", pa.array(resized, pa.large_binary()))
+
+
 _AMAGIC = b"FAKEAUD1"
 _AHEADER = struct.Struct("<8sII")  # magic, sample_rate, n_samples
 

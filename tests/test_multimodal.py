@@ -52,6 +52,23 @@ def test_actor_pool_decode_pipeline():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resize_then_decode_composes():
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import ResizeImage
+
+    ds = ray.data.from_arrow(synth_media_batch(24, seed=5))
+    out = (
+        ds.map_batches(ResizeImage, fn_constructor_kwargs={"height": 16, "width": 20},
+                       batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .to_pandas()
+    )
+    assert (out.height == 16).all() and (out.width == 20).all()
+    assert out.mean_intensity.between(0, 255).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_audio_features_pipeline():
     import ray.data
 
