@@ -256,8 +256,39 @@ def run_scaling() -> dict:
     }
 
 
+def _membench_worker(_):
+    import numpy as np
+
+    a = np.random.bytes(200_000_000)
+    b = np.frombuffer(a, np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        c = b.copy()
+        int(c[::4096].sum())
+    return time.perf_counter() - t0
+
+
+def run_membench() -> dict:
+    """Reproduce BASELINE.md's memory-bandwidth ceiling measurement: pure
+    numpy memcpy at increasing process counts, no Ray involved."""
+    import multiprocessing
+
+    out = {}
+    for procs in (1, 8, 32):
+        with multiprocessing.Pool(procs) as pool:
+            r = pool.map(_membench_worker, range(procs))
+        per_task = sum(r) / len(r)
+        out[f"procs_{procs}"] = {
+            "per_copy_sec": round(per_task / 5, 3),
+            "aggregate_gb_per_sec": round(procs * 5 * 0.2 / per_task, 1),
+        }
+    return {"metric": "memcpy scaling (BASELINE.md VM bandwidth ceiling)", **out}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--membench" in sys.argv:
+        print(json.dumps(run_membench()))
     else:
         print(json.dumps(run_bench()))

@@ -10,6 +10,12 @@ re-application a no-op. This replaces the ACID guarantees the reference
 inherits from Delta Lake (/root/reference/src/models/writer.py:34-67) with
 an explicit commit protocol.
 
+The protocol follows the published Delta Lake design (Armbrust et al.,
+"Delta Lake: High-Performance ACID Table Storage over Cloud Object
+Stores", VLDB 2020): an ordered log of atomic manifest versions is the
+source of truth; data files are immutable and invisible until committed;
+time travel reads any retained version; vacuum bounds retention.
+
 Layout::
 
     <table_dir>/
