@@ -225,6 +225,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact_verify: bool = False,
+    distributed_pairs: bool = False,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline. Returns a small driver-side
     table ``(id, cluster_id, is_kept)`` for ALL ids (cluster = min id).
@@ -241,7 +242,17 @@ def minhash_dedup(
     ).materialize()  # small: (id, 64×int64) per doc; reused twice below
 
     bands = sigs.map_batches(lambda b: _band_rows(b, cfg, id_col), batch_format="pyarrow")
-    pairs = _pairs_from_bands_df(bands.to_pandas(), id_col, ["band", "band_hash"])
+    if distributed_pairs:
+        # scale path: groupby over LSH buckets for corpora whose band table
+        # outgrows the driver (pays one UDF dispatch per bucket)
+        pairs = (
+            bands.groupby(["band", "band_hash"])
+            .map_groups(lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates()
+        )
+    else:
+        pairs = _pairs_from_bands_df(bands.to_pandas(), id_col, ["band", "band_hash"])
 
     # broadcast signature matrix for verification (scale path: co-partition
     # join of pairs against sigs instead of a broadcast)

@@ -66,6 +66,16 @@ def test_minhash_lsh_dedup(corpus_ds):
     assert (distinct.index == distinct.cluster_id).all()
 
 
+def test_minhash_distributed_pairs_equivalent(corpus_ds):
+    a = minhash_dedup(corpus_ds, MinHashConfig(jaccard_threshold=0.7)).to_pandas()
+    b = minhash_dedup(
+        corpus_ds, MinHashConfig(jaccard_threshold=0.7), distributed_pairs=True
+    ).to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def test_ngram_jaccard_exact_verify(corpus_ds):
     out = ngram_jaccard_dedup(corpus_ds, MinHashConfig(jaccard_threshold=0.5)).to_pandas()
     by_id = out.set_index("doc_id")
