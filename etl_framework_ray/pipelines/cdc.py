@@ -262,6 +262,12 @@ def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_pa
 
     _single_threaded_arrow()
     t = normalize_table(pq.read_table(path), chg_schema)
+    for k in key_cols:  # null keys would silently co-group; refuse the feed
+        if t.column(k).null_count:
+            raise ValueError(
+                f"changelog segment {os.path.basename(path)!r} has "
+                f"{t.column(k).null_count} NULL values in key column {k!r}"
+            )
 
     surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
     if len(surv) > 0.9 * t.num_rows:

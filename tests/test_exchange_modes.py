@@ -30,6 +30,29 @@ def test_invalid_exchange_rejected(tmp_path):
         CDCEngine(str(tmp_path / "x"), exchange="bogus")
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_null_key_feed_rejected(tmp_path):
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
+
+    bad = pa.Table.from_pylist(
+        [
+            {"lsn": 1, "op": "I", "ts": 0, "conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "x", "tool": None},
+            {"lsn": 2, "op": "I", "ts": 0, "conv_id": None, "turn_idx": 1, "role": "user",
+             "text": "y", "tool": None},
+        ],
+        schema=pa.schema([f.with_nullable(True) for f in CHANGELOG_SCHEMA]),
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    path = str(tmp_path / "log" / "segment-000000000001-000000000002.parquet")
+    pq.write_table(bad, path)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    with pytest.raises(Exception, match="NULL values in key column"):
+        eng.replay(clog)
+
+
 def test_pkless_spec_cannot_apply(tmp_path):
     from etl_framework_ray.sources.changelog import Epoch, Segment
     from etl_framework_ray.state.schema import ColumnSpec, TableSpec
