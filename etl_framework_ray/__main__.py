@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.cdc import CDCEngine
     from .sources.changelog import ChangeLog
 
+    def _existing_engine(table: str) -> CDCEngine:
+        """Read-only subcommands must not create an empty table out of a
+        mistyped ``--table`` path — require an existing manifest."""
+        try:
+            return CDCEngine(table, create_if_missing=False)
+        except FileNotFoundError as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            raise SystemExit(2)
+
     if args.cmd == "replay":
         started_ray = _init_ray(args.num_cpus)
         eng = CDCEngine(args.table, num_partitions=args.partitions)
@@ -100,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "snapshot":
-        eng = CDCEngine(args.table)
+        eng = _existing_engine(args.table)
         t = eng.snapshot_arrow(version=args.version)
         if args.out:
             import pyarrow.parquet as pq
@@ -111,25 +120,26 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.publish import publish_snapshot
 
-        eng = CDCEngine(args.table)
+        eng = _existing_engine(args.table)
         n = publish_snapshot(eng, args.out)
         print(json.dumps({"partitions_exported": n, "out": args.out}))
     elif args.cmd == "changes":
-        eng = CDCEngine(args.table)
+        eng = _existing_engine(args.table)
         t = eng.read_changes(since_lsn=args.since)
         print(json.dumps({"rows": t.num_rows, "since": args.since}))
     elif args.cmd == "metrics":
         from .pipelines.metrics import read_metrics
 
+        _existing_engine(args.table)  # same mistyped-path guard
         t = read_metrics(args.table)
         epochs = sorted(set(t.column("epoch_id").to_pylist())) if t.num_rows else []
         print(json.dumps({"lineage_rows": t.num_rows, "epochs": epochs[-5:]}))
     elif args.cmd == "compact":
         started_ray = _init_ray(args.num_cpus)
-        eng = CDCEngine(args.table)
+        eng = _existing_engine(args.table)
         print(json.dumps({"partitions_compacted": eng.compact()}))
     elif args.cmd == "vacuum":
-        eng = CDCEngine(args.table)
+        eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum()}))
     if started_ray:  # only shut down a session this CLI run created
         import ray as _ray

@@ -244,6 +244,17 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
 # ---------------------------------------------------------------------------
 
 
+def _reject_null_keys(t: pa.Table, key_cols, what: str) -> None:
+    """Null keys would silently co-group in the hash partitioner and the
+    LWW boundary mask treats NaN codes as distinct — refuse the feed
+    instead of committing PK-violating rows (shared by BOTH exchange
+    paths; a malformed feed must fail identically under either)."""
+    for k in key_cols:
+        nc = t.column(k).null_count
+        if nc:
+            raise ValueError(f"{what} has {nc} NULL values in key column {k!r}")
+
+
 @ray.remote
 def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_partitions: int):
     """Read one changelog segment, LWW-combine (adaptively), hash-split by
@@ -262,12 +273,7 @@ def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_pa
 
     _single_threaded_arrow()
     t = normalize_table(pq.read_table(path), chg_schema)
-    for k in key_cols:  # null keys would silently co-group; refuse the feed
-        if t.column(k).null_count:
-            raise ValueError(
-                f"changelog segment {os.path.basename(path)!r} has "
-                f"{t.column(k).null_count} NULL values in key column {k!r}"
-            )
+    _reject_null_keys(t, key_cols, f"changelog segment {os.path.basename(path)!r}")
 
     surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
     if len(surv) > 0.9 * t.num_rows:
@@ -361,6 +367,7 @@ class CDCEngine:
         compact_every: int = 4,
         exchange: str = "ray",  # "ray" (direct hash exchange) | "sort" (Dataset groupby)
         tombstone_ttl_lsn: int | None = None,
+        create_if_missing: bool = True,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -385,6 +392,12 @@ class CDCEngine:
         self._schema_cache: dict[str, pa.Schema] = {}
         man = self.store.load()
         if man is None:
+            if not create_if_missing:
+                # read-only callers (CLI snapshot/changes/vacuum) must not
+                # conjure an empty table out of a mistyped path
+                raise FileNotFoundError(
+                    f"no table manifest under {table_dir!r} (create_if_missing=False)"
+                )
             # create-if-missing (reference CreateExecutor semantics,
             # /root/reference/src/delta_engine/execute/create_executor.py:26-57)
             man = Manifest(
@@ -507,6 +520,7 @@ class CDCEngine:
             def prep(batch: pa.Table) -> pa.Table:
                 _single_threaded_arrow()
                 batch = normalize_table(batch, chg_schema)
+                _reject_null_keys(batch, key_cols, "changelog batch")
                 batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
                 pid = partition_ids(batch.column(key_cols[0]), num_partitions)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))

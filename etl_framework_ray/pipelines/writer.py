@@ -141,7 +141,18 @@ class LakeWriter:
         return Epoch((Segment(path, lo, hi),))
 
     def merge(self, ds: "ray.data.Dataset") -> dict:
-        """PK upsert of ``ds`` into the table ("source wins" on match)."""
+        """PK upsert of ``ds`` into the table.
+
+        Match resolution is the engine's LWW order: for tables WITHOUT an
+        event-time ``ts`` column the staged rows carry the newest LSN, so
+        the source unconditionally wins (reference
+        ``whenMatchedUpdateAll`` semantics, /root/reference/src/models/writer.py:52-63).
+        For ``ts``-bearing tables event-time dominates — ``(ts, lsn)`` LWW
+        — so a source row whose ``ts`` is OLDER than the lake row's does
+        not overwrite it. That is deliberate: one consistent order governs
+        merge-on-read, late-redelivery discard, and permutation
+        convergence; callers wanting unconditional source-wins on a
+        ``ts`` table should stamp ``ts`` with the merge time."""
         if not self.spec.primary_key:
             # parity: /root/reference/src/models/writer.py:48-51
             raise ValueError(

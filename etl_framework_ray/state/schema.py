@@ -133,7 +133,12 @@ def is_widening(src: pa.DataType, dst: pa.DataType) -> bool:
     if src in _FLOAT_ORDER and dst in _FLOAT_ORDER:
         return _FLOAT_ORDER.index(src) < _FLOAT_ORDER.index(dst)
     if src in _INT_ORDER and dst in _FLOAT_ORDER:
-        return True
+        # only LOSSLESS int→float pairs widen: float32 has a 24-bit
+        # mantissa (int8/int16 fit), float64 a 53-bit one (up to int32).
+        # int64→float would silently corrupt large integers, so it is NOT
+        # a widening — widen()/plan_evolution raise instead.
+        max_int_bits = 24 if dst.equals(pa.float32()) else 53
+        return src.bit_width <= max_int_bits
     if pa.types.is_string(src) and pa.types.is_large_string(dst):
         return True
     return False

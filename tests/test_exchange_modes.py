@@ -31,7 +31,8 @@ def test_invalid_exchange_rejected(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_null_key_feed_rejected(tmp_path):
+@pytest.mark.parametrize("exchange", ["ray", "sort"])
+def test_null_key_feed_rejected(tmp_path, exchange):
     import pyarrow.parquet as pq
 
     from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
@@ -48,7 +49,7 @@ def test_null_key_feed_rejected(tmp_path):
     clog = ChangeLog(str(tmp_path / "log"))
     path = str(tmp_path / "log" / "segment-000000000001-000000000002.parquet")
     pq.write_table(bad, path)
-    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2, exchange=exchange)
     with pytest.raises(Exception, match="NULL values in key column"):
         eng.replay(clog)
 

@@ -55,3 +55,17 @@ def test_cli_snapshot_and_metrics(tmp_path, capsys):
     main(["metrics", "--table", str(tmp_path / "tbl")])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["lineage_rows"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_readonly_rejects_missing_table(tmp_path, capsys):
+    """A mistyped --table path must error, not create an empty table."""
+    from etl_framework_ray.__main__ import main
+
+    bogus = str(tmp_path / "no_such_table")
+    with pytest.raises(SystemExit) as ei:
+        main(["snapshot", "--table", bogus])
+    assert ei.value.code == 2
+    assert "no table manifest" in capsys.readouterr().err
+    assert not os.path.exists(os.path.join(bogus, "_manifest"))
+    assert not os.path.exists(bogus) or not os.listdir(bogus)

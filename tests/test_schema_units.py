@@ -21,7 +21,13 @@ def test_widening_lattice():
     assert is_widening(pa.int32(), pa.int64())
     assert not is_widening(pa.int64(), pa.int32())
     assert is_widening(pa.float32(), pa.float64())
-    assert is_widening(pa.int64(), pa.float32())  # int→float allowed
+    # int→float only when lossless: float32 mantissa=24 bits, float64=53
+    assert is_widening(pa.int16(), pa.float32())
+    assert not is_widening(pa.int32(), pa.float32())
+    assert is_widening(pa.int32(), pa.float64())
+    assert not is_widening(pa.int64(), pa.float64())  # would corrupt large ints
+    with pytest.raises(TypeError):
+        widen(pa.int64(), pa.float64())
     assert is_widening(pa.string(), pa.large_string())
     assert not is_widening(pa.large_string(), pa.string())
     assert widen(pa.int16(), pa.int64()) == pa.int64()
