@@ -177,6 +177,17 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(ds, threshold=0.95).select_columns(["vec_id", "is_dup"])
 
 
+def _q_embedding_dedup_lsh(sf_dir: str):
+    """Bucketed (hyperplane-LSH, hamming-1 multiprobe) near-dup flagging —
+    the scale path of embedding_dedup; rows-only check (approximate)."""
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import embedding_dedup_lsh
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dedup_lsh(ds, threshold=0.95).select_columns(["vec_id", "is_dup"])
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data
 
@@ -315,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,

@@ -11,17 +11,53 @@ pass over a document table that chains the training-data stages —
 
 emitting the curated corpus plus a per-stage funnel report (rows in/out —
 the lineage habit from the CDC side applied to corpus curation).
+
+Funnel counts are STAGE-SIDE: a counter actor accumulates per-batch row
+counts during the pipeline's single execution — no stage is re-executed
+for monitoring. The only mid-pipeline materialization is the
+exact-deduped working set, which near-dup clustering and the final
+cluster filter both consume (object-store resident, spills under
+pressure; at larger-than-store scale checkpoint it to parquet instead).
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import ray
 
 from ..functions.text import LangId, QualityScorer, text_stats
 from ..stages.dedup import MinHashConfig, exact_dedup, minhash_dedup
+
+
+@ray.remote(num_cpus=0)
+class _FunnelCounter:
+    """Accumulates per-stage row counts emitted by streaming batch tasks."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def add(self, stage: str, n: int) -> None:
+        self.counts[stage] = self.counts.get(stage, 0) + n
+
+    def get(self) -> dict[str, int]:
+        return dict(self.counts)
+
+
+def _counted(ds: "ray.data.Dataset", counter, stage: str) -> "ray.data.Dataset":
+    """Pass-through stage that streams batches while adding their row
+    counts to the funnel counter (synchronous tiny actor RPC per batch —
+    amortized over thousand-row batches)."""
+    if counter is None:
+        return ds
+
+    def count(batch: pa.Table) -> pa.Table:
+        ray.get(counter.add.remote(stage, batch.num_rows))
+        return batch
+
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 def curate_documents(
@@ -33,15 +69,14 @@ def curate_documents(
 ) -> tuple["ray.data.Dataset", dict]:
     """Returns ``(curated Dataset, funnel dict)``.
 
-    ``report=False`` skips the per-stage counts — each ``count()``
-    re-executes the lazy upstream, so the funnel costs ~3 extra passes;
-    production runs want the corpus, monitoring runs want the funnel."""
-    funnel: dict[str, int] = {}
+    ``report=False`` skips the funnel entirely (no counter stages, fully
+    lazy output); with ``report=True`` every stage executes exactly once
+    and the counts fall out of that single pass."""
+    counter = _FunnelCounter.remote() if report else None
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    if report:
-        funnel["input"] = ds.count()
+    ds = _counted(ds, counter, "input")
 
     ds = ds.map_batches(text_stats, batch_format="pyarrow")
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
@@ -59,26 +94,39 @@ def curate_documents(
         return batch.filter(mask)
 
     ds = ds.map_batches(keep_lang_quality, batch_format="pyarrow")
-    if report:
-        funnel["after_lang_quality"] = ds.count()
+    ds = _counted(ds, counter, "after_lang_quality")
 
-    ds = exact_dedup(ds, text_col="text", id_col="doc_id")
-    if report:
-        funnel["after_exact_dedup"] = ds.count()
+    # exact-deduped working set: materialized ONCE — near-dup clustering
+    # and the final cluster filter both read it without re-running the
+    # upstream stat/filter stages
+    ds = exact_dedup(ds, text_col="text", id_col="doc_id").materialize()
 
-    # near-dup clusters over the surviving corpus; keep cluster minima
+    # near-dup clusters over the surviving corpus; keep cluster minima.
+    # The kept-id set is O(survivors) — broadcast once as ONE sorted int64
+    # array and probed with searchsorted per batch (no per-batch set
+    # rebuilds, no Python-object membership tests).
     clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
-    kept = clusters.filter(pa.compute.field("is_kept")).column("doc_id")
-    kept_ref = ray.put(set(kept.to_pylist()))
+    kept_pdf = clusters.map_batches(
+        lambda b: b.filter(b.column("is_kept")).select(["doc_id"]), batch_format="pyarrow"
+    ).to_pandas()
+    kept_arr = np.sort(kept_pdf["doc_id"].to_numpy().astype(np.int64))
+    kept_ref = ray.put(kept_arr)
 
     def keep_cluster_min(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         keep = ray.get(kept_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, list(keep))))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keep):
+            pos = np.clip(np.searchsorted(keep, ids), 0, len(keep) - 1)
+            mask = keep[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        return batch.filter(pa.array(mask))
 
-    ds = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
+    out = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
+    funnel: dict[str, int] = {}
     if report:
-        funnel["after_near_dedup"] = ds.count()
-    return ds, funnel
+        out = out.materialize()
+        funnel = ray.get(counter.get.remote())
+        funnel["after_exact_dedup"] = ds.count()  # materialized → metadata
+        funnel["after_near_dedup"] = out.count()
+    return out, funnel

@@ -2,26 +2,39 @@
 
 Five dedup families, each expressed Ray-Data-first:
 
-- **exact**: content-hash routing (``groupby(hash)``) + per-group
+- **exact**: content-hash routing (``groupby(hash % buckets)``) + per-group
   keep-min-id over distinct texts — the generalization of the reference's
   ``distinct`` (A3, /root/reference/src/models/data_quality_evaluator.py:64)
-  to content dedup at scale. Only the 64-bit hash shuffles the full rows'
-  group routing; equal-hash groups compare true text (hash collisions safe).
+  to content dedup at scale.
 - **MinHash + LSH**: word-shingle → k-minhash signature → banded LSH
-  bucketing (``groupby(band, band_hash)``) → candidate pairs → signature
-  Jaccard verify → connected components → keep min id per cluster.
-- **n-gram Jaccard**: same LSH candidate generation, but verified with
-  EXACT shingle-set Jaccard.
-- **SimHash**: 64-bit simhash, banded into 4×16-bit keys, hamming-≤-t
-  verify.
-- **embedding cosine**: keep a vector iff no lower-id vector has cosine
-  ≥ τ (greedy-by-id rule — SQL-expressible for the oracle).
+  bucketing → IN-BUCKET candidate pair-gen + signature-Jaccard verify
+  (one ``groupby`` over coarse buckets; the signature ships WITH its band
+  rows so verification is co-partitioned — nothing O(corpus) ever lands
+  on the driver) → distributed connected components (hash-to-min label
+  propagation, a few ``groupby`` rounds) → keep min id per cluster.
+- **n-gram Jaccard**: same pipeline, but band rows carry the exact
+  shingle-hash sets and buckets verify with true set Jaccard.
+- **SimHash**: 64-bit simhash, banded into 4×16-bit keys, in-bucket
+  hamming-≤-t verify, same distributed component path.
+- **embedding cosine**: exact all-pairs greedy-by-id (SQL-expressible
+  oracle tier) plus a hyperplane-LSH bucketed variant
+  (``embedding_dedup_lsh``) that only compares within (multiprobed)
+  buckets — the 100-TB path.
 
-Scale notes: signatures/bands shuffle instead of full texts; candidate
-pairs are verified from a broadcast signature matrix (``ray.put`` once).
-Connected components run driver-side over the verified-pair edge list —
-valid while pairs ≪ corpus (the LSH design goal); for adversarial corpora
-swap in iterative min-label propagation (a few groupby rounds).
+Scale design (what shuffles, what is driver-side):
+
+- band rows shuffle the signature payload (bands × sig ≈ 8 KB/doc for the
+  64-perm default) instead of the raw text; slimmer two-phase designs
+  (slim pair-gen + co-partitioned payload join) trade one shuffle for two
+  and only pay off when signatures dwarf candidate density.
+- verified duplicate EDGES are the only thing that leaves the bucket
+  stage — O(duplicates), not O(corpus); that bound is the LSH design
+  goal, not an accident.
+- connected components run as hash-to-min rounds (Rastogi et al. 2013,
+  "Finding Connected Components in Map-Reduce") over the edge set; the
+  final (node → cluster-min) label table is O(duplicate nodes) and is
+  broadcast once (``ray.put`` of two sorted int64 arrays) to label the
+  full corpus in one streaming pass.
 """
 
 from __future__ import annotations
@@ -36,6 +49,7 @@ import ray
 from ..functions.hashing import stable_hash_array
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixer
 
 
 # ---------------------------------------------------------------------------
@@ -43,11 +57,18 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
+def _auto_buckets(size_bytes: int, target_bucket_bytes: int = 64 << 20) -> int:
+    """Bucket count sized so one bucket (corpus/buckets) is ~64 MiB — small
+    enough for a single worker's pandas dedup, large enough to bound the
+    per-bucket UDF dispatch count. Clamped to [16, 65536]."""
+    return int(min(65536, max(16, -(-size_bytes // target_bucket_bytes))))
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Keep the min-id row per distinct text. Returns the kept rows.
 
@@ -55,9 +76,22 @@ def exact_dedup(
     buckets → one vectorized pandas dedup per bucket. Grouping on the raw
     hash pays one UDF dispatch per distinct text (measured 3s vs <1s for
     5k docs); buckets bound dispatches at ``num_buckets`` while equal
-    texts still co-locate. Size ``num_buckets`` so a bucket (corpus /
-    buckets) fits one worker. Hash collisions are safe — the bucket
-    compares actual text."""
+    texts still co-locate. ``num_buckets=None`` auto-sizes from the
+    dataset's byte size when that is cheaply known (parquet metadata);
+    datasets mid-pipeline fall back to 64. Hash collisions are safe — the
+    bucket compares actual text."""
+    if num_buckets is None:
+        # size WITHOUT triggering execution: input_files() is metadata-only
+        # and returns [] for mid-pipeline datasets (ds.size_bytes() would
+        # execute the upstream — measured as a full duplicate pass)
+        try:
+            import os as _os
+
+            files = ds.input_files()
+            sb = sum(_os.path.getsize(f) for f in files) if files else None
+        except Exception:
+            sb = None
+        num_buckets = _auto_buckets(sb) if sb else 64
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = stable_hash_array(batch.column(text_col)) % np.uint64(num_buckets)
@@ -90,6 +124,21 @@ class MinHashConfig:
 _SHINGLE_MUL = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
+def _cached_stage(cls, *args):
+    """Wrap a callable-class stage as a plain map_batches function with
+    lazy once-per-worker construction — task scheduling without actor-pool
+    spin-up, for stages whose state is trivially cheap to rebuild."""
+    inst = None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nonlocal inst
+        if inst is None:
+            inst = cls(*args)
+        return inst(batch)
+
+    return fn
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     """Unique word-n-gram hashes. Words are hashed once (vectorized) and
     combined with a rolling polynomial — no n-gram string materialization
@@ -111,99 +160,176 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool signature stage: permutation params drawn once per actor
-    in ``__init__`` from the config seed; per batch the k×m universal-hash
-    min is one numpy matmul-shaped reduction per doc."""
+    """Signature stage: permutation params drawn once per instance from
+    the config seed; per batch the k×m universal-hash min is one numpy
+    matmul-shaped reduction per doc.
 
-    def __init__(self, cfg: MinHashConfig, text_col: str = "text", id_col: str = "doc_id"):
+    Deployed as STATELESS TASKS via ``_cached_stage`` (lazy one-time init
+    per worker process), not an actor pool: the state is two 64-element
+    arrays (~microseconds to derive) while actor-pool spin-up measured
+    ~2 s — the pool pattern is reserved for stages with heavy state
+    (LangId profiles, models). ``emit_shingles=True`` additionally
+    carries the exact shingle-hash set per doc (for n-gram-Jaccard
+    verification downstream)."""
+
+    def __init__(
+        self,
+        cfg: MinHashConfig,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        emit_shingles: bool = False,
+    ):
         self.cfg = cfg
         self.text_col = text_col
         self.id_col = id_col
+        self.emit_shingles = emit_shingles
         rng = np.random.default_rng(cfg.seed)
         self.a = rng.integers(1, int(_MERSENNE), cfg.num_perm, dtype=np.uint64)
         self.b = rng.integers(0, int(_MERSENNE), cfg.num_perm, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        s = _shingle_hashes(text, self.cfg.shingle_size)
-        if len(s) == 0:
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
             return np.full(self.cfg.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         # (k, m) universal hashes, min over shingles — vectorized
-        hs = (self.a[:, None] * s[None, :] + self.b[:, None]) % _MERSENNE
+        hs = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % _MERSENNE
         return hs.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pandas().fillna("")
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t) for t in texts])
+        shingle_sets = [_shingle_hashes(t, self.cfg.shingle_size) for t in texts]
+        sigs = (
+            np.stack([self.signature(s) for s in shingle_sets])
+            if shingle_sets
+            else np.zeros((0, self.cfg.num_perm), dtype=np.uint64)
+        )
+        cols = {
+            self.id_col: pa.array(ids),
+            "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+        }
+        if self.emit_shingles:
+            cols["shingles"] = pa.array(
+                [s.astype(np.int64) for s in shingle_sets], pa.list_(pa.int64())
+            )
+        return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# distributed LSH bucket verify + connected components
+# ---------------------------------------------------------------------------
+
+
+def _band_tbl(
+    sig_batch: pa.Table, cfg: MinHashConfig, id_col: str, payload_col: str, shuffle_buckets: int
+) -> pa.Table:
+    """Explode signatures into (id, band, band_hash, payload, _cb) rows.
+
+    The verification payload (signature or shingle set) travels WITH the
+    band row so the bucket stage can verify candidates co-partitioned —
+    the per-doc shuffle cost is ``bands × payload`` instead of a driver
+    round-trip. ``_cb`` is a coarse bucket over (band, band_hash): one UDF
+    dispatch per coarse bucket, not per LSH bucket (per-bucket dispatch
+    measured 15 s vs <0.5 s for a 5 k-doc corpus)."""
+    ids = sig_batch.column(id_col)
+    payload = sig_batch.column(payload_col)
+    if sig_batch.num_rows == 0:
         return pa.table(
             {
-                self.id_col: pa.array(ids),
-                "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+                id_col: ids,
+                "band": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+                "payload": payload,
+                "_cb": pa.array([], pa.int64()),
             }
         )
-
-
-def _band_rows(sig_batch: pa.Table, cfg: MinHashConfig, id_col: str) -> pa.Table:
-    """Explode signatures into (band, band_hash, id) rows for LSH bucketing."""
-    ids = sig_batch.column(id_col).to_numpy(zero_copy_only=False)
-    sigs = np.stack(sig_batch.column("sig").to_pandas().to_numpy()).astype(np.uint64)
+    col = sig_batch.column("sig")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy (n, k) view of the list<int64> column — the pandas
+    # object-array stack measured ~2 s alone at 5 k docs × 16 bands
+    sigs = col.flatten().to_numpy().reshape(sig_batch.num_rows, -1).astype(np.uint64)
     r = cfg.num_perm // cfg.bands
-    out_ids, out_band, out_hash = [], [], []
+    parts = []
+    n = len(ids)
     for b in range(cfg.bands):
         seg = sigs[:, b * r : (b + 1) * r]
-        h = np.zeros(len(ids), dtype=np.uint64)
+        h = np.zeros(n, dtype=np.uint64)
         for j in range(r):
             h = h * np.uint64(1099511628211) + seg[:, j]
-        out_ids.append(ids)
-        out_band.append(np.full(len(ids), b, dtype=np.int64))
-        out_hash.append(h.astype(np.int64))
-    return pa.table(
-        {
-            id_col: pa.array(np.concatenate(out_ids)),
-            "band": pa.array(np.concatenate(out_band)),
-            "band_hash": pa.array(np.concatenate(out_hash)),
-        }
-    )
+        cb = ((h * _MIX) + np.uint64(b)) % np.uint64(shuffle_buckets)
+        parts.append(
+            pa.table(
+                {
+                    id_col: ids,
+                    "band": pa.array(np.full(n, b, dtype=np.int64)),
+                    "band_hash": pa.array(h.astype(np.int64)),
+                    "payload": payload,
+                    "_cb": pa.array(cb.astype(np.int64)),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
 
 
-def _bucket_pairs(group: pd.DataFrame, id_col: str, max_bucket: int = 200) -> pd.DataFrame:
-    """All candidate pairs (a<b) within one LSH bucket. Buckets larger than
-    ``max_bucket`` are truncated (logged upstream) — a giant bucket means
-    near-identical boilerplate where any spanning pairing suffices."""
-    ids = np.sort(group[id_col].to_numpy())[:max_bucket]
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+def _make_bucket_verifier(
+    id_col: str,
+    bucket_cols: list[str],
+    verify: str,  # "sig_jaccard" | "exact_jaccard" | "hamming"
+    threshold: float,
+    max_bucket: int,
+):
+    """Per-coarse-bucket UDF: generate candidate pairs inside every true
+    LSH bucket and verify them against the co-located payloads, emitting
+    only the surviving duplicate EDGES (a < b). Buckets larger than
+    ``max_bucket`` are truncated — a giant bucket means near-identical
+    boilerplate where any spanning pairing suffices (documented cap;
+    raises no silent correctness issue because components merge via CC)."""
 
+    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        dup = df[df.duplicated(bucket_cols, keep=False)]
+        for _, g in dup.groupby(bucket_cols, sort=False):
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")[:max_bucket]
+            ids = g[id_col].to_numpy()[order]
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            if verify == "sig_jaccard":
+                sig = np.stack(g["payload"].to_numpy()[order])  # (n, k)
+                j = (sig[ia] == sig[ib]).mean(axis=1)
+                keep = j >= threshold
+            elif verify == "exact_jaccard":
+                sets = g["payload"].to_numpy()[order]
+                j = np.empty(len(ia))
+                for p in range(len(ia)):
+                    sa, sb = np.asarray(sets[ia[p]]), np.asarray(sets[ib[p]])
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    j[p] = inter / union if union else 0.0
+                keep = j >= threshold
+            else:  # hamming over 64-bit simhash payloads
+                h = g["payload"].to_numpy()[order].astype(np.uint64)
+                x = h[ia] ^ h[ib]
+                tbl = np.array([bin(v).count("1") for v in range(256)], dtype=np.uint8)
+                dist = tbl[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+                keep = dist <= threshold
+            if keep.any():
+                out_a.append(ids[ia[keep]].astype(np.int64))
+                out_b.append(ids[ib[keep]].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], np.int64), "b": np.array([], np.int64)})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
 
-def _pairs_from_bands_df(
-    df: pd.DataFrame, id_col: str, bucket_cols: list[str], max_bucket: int = 200
-) -> pd.DataFrame:
-    """Driver-side candidate-pair generation from a band-row table.
-
-    Band rows are (id, bucket-key) ints — metadata-sized relative to the
-    corpus (16 rows/doc). A distributed ``groupby().map_groups`` here costs
-    one UDF dispatch per bucket (~1 bucket/doc — measured 15s for 5k docs
-    vs <0.1s in pandas), so buckets are resolved on the driver; the
-    distributed path (``_bucket_pairs`` via groupby) remains for corpora
-    whose band table itself outgrows the driver (≳1e8 rows)."""
-    dup = df[df.duplicated(bucket_cols, keep=False)]
-    if not len(dup):
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    out_a, out_b = [], []
-    for _, g in dup.groupby(bucket_cols, sort=False):
-        ids = np.sort(g[id_col].to_numpy())[:max_bucket]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ia])
-        out_b.append(ids[ib])
-    return pd.DataFrame(
-        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-    ).drop_duplicates()
+    return verify_group
 
 
 def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Union-find over the verified edge list (driver-side; pairs ≪ corpus)."""
+    """Union-find over an edge list — the driver-side REFERENCE
+    implementation, kept for equivalence testing of the distributed path
+    (and usable directly when the edge list is known to be tiny)."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -219,79 +345,190 @@ def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _labels_checksum(labels: "ray.data.Dataset") -> tuple[int, int]:
+    """Distributed order-independent checksum of a (node, label) dataset —
+    the hash-to-min fixpoint detector. One tiny row per block reaches the
+    driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lab = batch.column(1).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = int(((node * _MIX) ^ lab).sum(dtype=np.uint64))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()), "s": pa.array([s], pa.uint64())})
+
+    rows = labels.map_batches(partial, batch_format="pyarrow").take_all()
+    return (sum(r["n"] for r in rows), sum(int(r["s"]) for r in rows) & ((1 << 64) - 1))
+
+
+def components_labels(
+    edges: "ray.data.Dataset",
+    shuffle_buckets: int = 32,
+    max_rounds: int = 16,
+    driver_threshold: int = 2_000_000,
+) -> pd.DataFrame:
+    """Distributed connected components over an (a, b) edge Dataset via
+    hash-to-min label propagation (Rastogi et al. 2013): each round every
+    node sends its neighborhood to its minimum neighbor and the minimum to
+    its whole neighborhood — one coarse-bucketed ``groupby`` per round,
+    all per-node math vectorized pandas. Converges in O(log d) rounds
+    (fixpoint detected by a distributed checksum).
+
+    Returns the (node, label) frame — O(nodes-with-edges), i.e.
+    O(duplicate docs), which the callers broadcast to label the corpus.
+
+    Edge lists at or below ``driver_threshold`` short-circuit to the
+    driver union-find: the label frame they produce is the same size
+    either way (it is pulled to the driver for the broadcast regardless),
+    and union-find on a small list beats the per-round shuffle fixed cost
+    by ~50× (measured 4.8 s → 0.1 s for 3 k edges). The distributed
+    rounds take over when the edge set itself is too big for a Python
+    dict — equivalence of the two paths is unit-tested."""
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b, a, b])
+        nbr = np.concatenate([b, a, a, b])  # both directions + self-loops
+        cb = (node.astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)).astype(np.int64)
+        return pa.table({"node": pa.array(node), "nbr": pa.array(nbr), "_cb": pa.array(cb)})
+
+    def h2m_round(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["node", "nbr"]].drop_duplicates()
+        m = df.groupby("node")["nbr"].transform("min").to_numpy()
+        nbr = df["nbr"].to_numpy()
+        out = pd.DataFrame(
+            {"node": np.concatenate([m, nbr]), "nbr": np.concatenate([nbr, m])}
+        ).drop_duplicates()
+        out["_cb"] = (
+            out["node"].to_numpy().astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)
+        ).astype(np.int64)
+        return out
+
+    edges = edges.materialize()  # O(duplicate edges); consumed twice below
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({"node": np.array([], np.int64), "label": np.array([], np.int64)})
+    if n_edges <= driver_threshold:
+        pdf = edges.to_pandas()
+        comp = _connected_components(
+            list(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+        )
+        nodes = np.sort(np.fromiter(comp.keys(), dtype=np.int64, count=len(comp)))
+        return pd.DataFrame(
+            {"node": nodes, "label": np.array([comp[int(k)] for k in nodes], np.int64)}
+        )
+    adj = edges.map_batches(seed, batch_format="pyarrow")
+    prev = None
+    for _ in range(max_rounds):
+        adj = adj.groupby("_cb").map_groups(h2m_round, batch_format="pandas").materialize()
+        labels = adj.groupby("node").min("nbr")
+        cur = _labels_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    pdf = labels.to_pandas()  # O(duplicate nodes) — the broadcast payload
+    pdf.columns = ["node", "label"]
+    return pdf.sort_values("node").reset_index(drop=True)
+
+
+def _assign_clusters(
+    ids_ds: "ray.data.Dataset", labels_pdf: pd.DataFrame, id_col: str
+) -> "ray.data.Dataset":
+    """Label every id with its cluster min via ONE broadcast of the small
+    (sorted-node, label) arrays — nodes absent from any edge are their own
+    singleton cluster. Streaming; never materializes the corpus."""
+    nodes = labels_pdf["node"].to_numpy().astype(np.int64)
+    labs = labels_pdf["label"].to_numpy().astype(np.int64)
+    ref = ray.put((nodes, labs))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ns):
+            idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
+            hit = ns[idx] == ids
+            cluster = np.where(hit, ls[idx], ids)
+        else:
+            cluster = ids
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster_id": pa.array(cluster.astype(np.int64)),
+                "is_kept": pa.array(cluster == ids),
+            }
+        )
+
+    return ids_ds.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / n-gram-Jaccard dedup (distributed end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def minhash_edges(
+    ds: "ray.data.Dataset",
+    cfg: MinHashConfig = MinHashConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_verify: bool = False,
+    shuffle_buckets: int = 32,
+    max_bucket: int = 200,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Signature + verified-duplicate-edge stages of the MinHash pipeline.
+
+    Returns ``(sigs, edges)`` — both Datasets. Exposed separately so tests
+    can compare the distributed component labeling against the driver
+    union-find on identical edges."""
+    sigs = ds.map_batches(
+        _cached_stage(MinHasher, cfg, text_col, id_col, exact_verify),
+        batch_format="pyarrow",
+    ).materialize()  # reused by banding AND final labeling
+
+    payload_col = "shingles" if exact_verify else "sig"
+    bands = sigs.map_batches(
+        lambda b: _band_tbl(b, cfg, id_col, payload_col, shuffle_buckets),
+        batch_format="pyarrow",
+    )
+    verify = "exact_jaccard" if exact_verify else "sig_jaccard"
+    edges = bands.groupby("_cb").map_groups(
+        _make_bucket_verifier(
+            id_col, ["band", "band_hash"], verify, cfg.jaccard_threshold, max_bucket
+        ),
+        batch_format="pandas",
+    )
+    return sigs, edges
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     cfg: MinHashConfig = MinHashConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
     exact_verify: bool = False,
-    distributed_pairs: bool = False,
-) -> pa.Table:
-    """Full MinHash-LSH near-dup pipeline. Returns a small driver-side
-    table ``(id, cluster_id, is_kept)`` for ALL ids (cluster = min id).
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Full MinHash-LSH near-dup pipeline, distributed end-to-end.
 
-    ``exact_verify=True`` re-checks candidates with exact shingle-set
-    Jaccard (the n-gram-Jaccard dedup variant); otherwise the signature
-    estimate (mean equal components) is used.
-    """
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(cfg, text_col, id_col),
-        batch_format="pyarrow",
-        concurrency=(1, 4),  # autoscaling actor pool: never deadlocks small sessions
-    ).materialize()  # small: (id, 64×int64) per doc; reused twice below
+    Returns a Dataset ``(id, cluster_id, is_kept)`` for ALL ids
+    (cluster = min id; ``is_kept`` marks cluster minima). The driver only
+    ever holds the (node → label) table for documents that participate in
+    a duplicate edge — O(duplicates), not O(corpus).
 
-    bands = sigs.map_batches(lambda b: _band_rows(b, cfg, id_col), batch_format="pyarrow")
-    if distributed_pairs:
-        # scale path: groupby over LSH buckets for corpora whose band table
-        # outgrows the driver (pays one UDF dispatch per bucket)
-        pairs = (
-            bands.groupby(["band", "band_hash"])
-            .map_groups(lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
-            .to_pandas()
-            .drop_duplicates()
-        )
-    else:
-        pairs = _pairs_from_bands_df(bands.to_pandas(), id_col, ["band", "band_hash"])
-
-    # broadcast signature matrix for verification (scale path: co-partition
-    # join of pairs against sigs instead of a broadcast)
-    sig_df = sigs.to_pandas()
-    sig_mat = {int(i): np.asarray(s, dtype=np.int64) for i, s in zip(sig_df[id_col], sig_df["sig"])}
-    shingle_sets: dict[int, np.ndarray] = {}
-    if exact_verify:
-        for batch in ds.iter_batches(batch_format="pyarrow"):
-            texts = batch.column(text_col).to_pandas().fillna("")
-            for i, t in zip(batch.column(id_col).to_pylist(), texts):
-                shingle_sets[int(i)] = _shingle_hashes(t, cfg.shingle_size)
-
-    verified: list[tuple[int, int]] = []
-    for a, b in zip(pairs["a"].astype(int), pairs["b"].astype(int)):
-        if exact_verify:
-            sa, sb = shingle_sets[a], shingle_sets[b]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
-        else:
-            j = float(np.mean(sig_mat[a] == sig_mat[b]))
-        if j >= cfg.jaccard_threshold:
-            verified.append((a, b))
-
-    comp = _connected_components(verified)
-    all_ids = sorted(sig_mat)
-    cluster = [comp.get(i, i) for i in all_ids]
-    return pa.table(
-        {
-            id_col: pa.array(all_ids, pa.int64()),
-            "cluster_id": pa.array(cluster, pa.int64()),
-            "is_kept": pa.array([c == i for i, c in zip(all_ids, cluster)], pa.bool_()),
-        }
+    ``exact_verify=True`` verifies candidates with exact shingle-set
+    Jaccard (the n-gram-Jaccard dedup variant); band rows then carry the
+    shingle sets instead of the signatures."""
+    sigs, edges = minhash_edges(
+        ds, cfg, text_col, id_col, exact_verify, shuffle_buckets
     )
+    labels = components_labels(edges, shuffle_buckets)
+    return _assign_clusters(sigs.select_columns([id_col]), labels, id_col)
 
 
 def ngram_jaccard_dedup(
     ds: "ray.data.Dataset", cfg: MinHashConfig = MinHashConfig(), **kw
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """MinHash-LSH candidates verified with EXACT n-gram Jaccard."""
     return minhash_dedup(ds, cfg, exact_verify=True, **kw)
 
@@ -330,57 +567,53 @@ def simhash_dedup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pa.Table:
-    """Near-dup by simhash hamming distance ≤ t. Banding: 4×16-bit keys —
-    any pair within distance 3 shares at least one exact band (pigeonhole)."""
+    shuffle_buckets: int = 32,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Near-dup by simhash hamming distance ≤ t, distributed end-to-end.
+
+    Banding: 4×16-bit keys — any pair within distance 3 shares at least
+    one exact band (pigeonhole). The 8-byte simhash IS the verification
+    payload, so band rows stay slim; verify + component labeling follow
+    the same bucketed/groupby path as MinHash."""
     sh = ds.map_batches(
-        SimHasher,
-        fn_constructor_args=(text_col, id_col),
+        _cached_stage(SimHasher, text_col, id_col),
         batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    ).materialize()  # tiny: (id, int64) per doc; reused for final labeling
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col)
         h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_i, out_b, out_k = [], [], []
+        n = len(h)
+        parts = []
         for b in range(4):
-            out_i.append(ids)
-            out_b.append(np.full(len(ids), b, dtype=np.int64))
-            out_k.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
-        return pa.table(
-            {
-                id_col: pa.array(np.concatenate(out_i)),
-                "band": pa.array(np.concatenate(out_b)),
-                "key": pa.array(np.concatenate(out_k)),
-                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
-            }
-        )
+            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            cb = ((key.astype(np.uint64) * _MIX) + np.uint64(b)) % np.uint64(shuffle_buckets)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "band": pa.array(np.full(n, b, dtype=np.int64)),
+                        "band_hash": pa.array(key),
+                        "payload": pa.array(h.astype(np.int64)),
+                        "_cb": pa.array(cb.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    bands_df = sh.map_batches(band_rows, batch_format="pyarrow").to_pandas()
-    pairs = _pairs_from_bands_df(bands_df, id_col, ["band", "key"])
-    if len(pairs):
-        hmap = bands_df.drop_duplicates(id_col).set_index(id_col)["simhash"]
-        ha = hmap.loc[pairs["a"]].to_numpy().astype(np.uint64)
-        hb = hmap.loc[pairs["b"]].to_numpy().astype(np.uint64)
-        x = ha ^ hb
-        # vectorized popcount via byte-table lookup
-        table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-        dist = table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        keep = dist <= max_hamming
-        verified = list(zip(pairs["a"][keep].astype(int), pairs["b"][keep].astype(int)))
-    else:
-        verified = []
-    comp = _connected_components(verified)
-    all_ids = sorted(int(i) for i in ds.select_columns([id_col]).to_pandas()[id_col])
-    cluster = [comp.get(i, i) for i in all_ids]
-    return pa.table(
-        {
-            id_col: pa.array(all_ids, pa.int64()),
-            "cluster_id": pa.array(cluster, pa.int64()),
-            "is_kept": pa.array([c == i for i, c in zip(all_ids, cluster)], pa.bool_()),
-        }
+    edges = (
+        sh.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            _make_bucket_verifier(
+                id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket
+            ),
+            batch_format="pandas",
+        )
     )
+    labels = components_labels(edges, shuffle_buckets)
+    return _assign_clusters(sh.select_columns([id_col]), labels, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -397,10 +630,11 @@ def embedding_dedup(
     """Keep a vector iff no LOWER-id vector has cosine ≥ threshold.
 
     Greedy-by-id — deterministic and SQL-expressible (the oracle is an
-    anti-join). The reference matrix is L2-normalized once on the driver
-    and broadcast (``ray.put``); each batch is one blocked matmul. Scale
-    path: LSH/IVF-bucket the vectors and compare within buckets only.
-    """
+    anti-join). EXACT all-pairs tier: the reference matrix is
+    L2-normalized once on the driver and broadcast (``ray.put``); each
+    batch is one blocked matmul. O(N²) — this is the oracle/correctness
+    tier for corpora whose embedding matrix fits one worker;
+    ``embedding_dedup_lsh`` is the scale path."""
     full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
     ids = full[id_col].to_numpy()
     mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
@@ -415,6 +649,118 @@ def embedding_dedup(
         sims = bvec @ m.T  # (B, N)
         earlier = all_ids[None, :] < bids[:, None]
         dup = ((sims >= threshold) & earlier).any(axis=1)
+        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def embedding_dedup_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """Bucketed approximation of ``embedding_dedup`` — the 100-TB path.
+
+    Random-hyperplane LSH (2^num_planes buckets) with hamming-1 multiprobe:
+    each vector lands once in its home bucket ("index" role) and probes
+    its own + every 1-bit-flipped bucket ("query" role). Within a bucket
+    one matmul compares queries against index rows; any query with an
+    EARLIER-id index neighbor at cosine ≥ τ is flagged. Only bucket-local
+    work — no O(N²), no driver materialization; the flagged-id set
+    (O(duplicates)) is broadcast to mark the corpus.
+
+    Shuffle cost: (num_planes + 2) copies of each vector. Recall is
+    measured against the exact tier in tests (≥0.95 on the seeded corpus
+    at τ=0.95); residual misses are pairs whose buckets differ in ≥2 bits.
+    """
+
+    def emit_probe_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col),
+                    "role": pa.array([], pa.int8()),
+                }
+            )
+        m = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
+        rng = np.random.default_rng(seed)  # deterministic per (seed, dim)
+        planes = rng.standard_normal((m.shape[1], num_planes))
+        bits = (m @ planes) > 0
+        home = (bits * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = batch.column(vec_col)
+        n = len(ids)
+        parts = [
+            pa.table(
+                {
+                    "bucket": pa.array(home),
+                    id_col: pa.array(ids),
+                    vec_col: vecs,
+                    "role": pa.array(np.zeros(n, dtype=np.int8)),  # index
+                }
+            ),
+            pa.table(
+                {
+                    "bucket": pa.array(home),
+                    id_col: pa.array(ids),
+                    vec_col: vecs,
+                    "role": pa.array(np.ones(n, dtype=np.int8)),  # query, home probe
+                }
+            ),
+        ]
+        for p in range(num_planes):  # hamming-1 probes
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(home ^ (1 << p)),
+                        id_col: pa.array(ids),
+                        vec_col: vecs,
+                        "role": pa.array(np.ones(n, dtype=np.int8)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        idx = group[group["role"] == 0]
+        qry = group[group["role"] == 1]
+        if not len(idx) or not len(qry):
+            return pd.DataFrame({"dup_id": np.array([], np.int64)})
+        iids = idx[id_col].to_numpy()[:max_bucket]
+        im = np.stack(idx[vec_col].to_numpy()[:max_bucket]).astype(np.float64)
+        im /= np.maximum(np.linalg.norm(im, axis=1, keepdims=True), 1e-12)
+        qids = qry[id_col].to_numpy()
+        qm = np.stack(qry[vec_col].to_numpy()).astype(np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        sims = qm @ im.T  # (Q, I)
+        hit = (sims >= threshold) & (iids[None, :] < qids[:, None])
+        return pd.DataFrame({"dup_id": np.unique(qids[hit.any(axis=1)]).astype(np.int64)})
+
+    dup_rows = (
+        ds.map_batches(emit_probe_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .to_pandas()  # O(duplicates) — the broadcast payload
+    )
+    # a fully-duplicate-free corpus yields only empty frames (no schema)
+    dups = dup_rows["dup_id"].to_numpy() if "dup_id" in dup_rows.columns else np.array([])
+    dup_ids = np.unique(dups.astype(np.int64))
+    ref = ray.put(dup_ids)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d):
+            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            dup = d[pos] == ids
+        else:
+            dup = np.zeros(len(ids), dtype=bool)
         return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")

@@ -114,22 +114,17 @@ def ann_lsh_topk(
     each query scans only its bucket. Trade recall for a 2^p scan cut."""
     qset = sorted(int(q) for q in query_ids)
 
-    # plane matrix is seeded + tiny → ship in the closure
-    def add_bucket_factory(dim: int):
+    # planes derived per batch from (seed, batch dim) — deterministic
+    # across batches and avoids a driver-side take(1) partial execution
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _stack(batch.column(vec_col))
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, num_planes))
+        planes = rng.standard_normal((m.shape[1], num_planes))
+        bits = (m @ planes) > 0
+        bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
 
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            m = _stack(batch.column(vec_col))
-            bits = (m @ planes) > 0
-            bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
-            return batch.append_column("bucket", pa.array(bucket))
-
-        return add_bucket
-
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
-    with_bucket = ds.map_batches(add_bucket_factory(dim), batch_format="pyarrow")
+    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     def bucket_knn(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()

@@ -14,6 +14,9 @@ SF = "/root/testdata/sf0.001"
 @pytest.mark.usefixtures("ray_session")
 def test_curate_real_documents():
     ds, funnel = curate_documents(SF)
+    # exact equality IS the single-execution probe: the funnel counter
+    # accumulates across executions, so a re-executed input stage would
+    # report 1000/1500, not 500
     assert funnel["input"] == 500
     assert (
         funnel["input"]

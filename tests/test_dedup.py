@@ -8,9 +8,14 @@ import pytest
 
 from etl_framework_ray.stages.dedup import (
     MinHashConfig,
+    _auto_buckets,
+    _connected_components,
+    components_labels,
     embedding_dedup,
+    embedding_dedup_lsh,
     exact_dedup,
     minhash_dedup,
+    minhash_edges,
     ngram_jaccard_dedup,
     simhash_dedup,
 )
@@ -66,14 +71,60 @@ def test_minhash_lsh_dedup(corpus_ds):
     assert (distinct.index == distinct.cluster_id).all()
 
 
-def test_minhash_distributed_pairs_equivalent(corpus_ds):
+def test_distributed_cc_equals_driver_union_find(corpus_ds):
+    """The hash-to-min label propagation must assign the same cluster
+    labels as the driver-side union-find on identical verified edges."""
+    _, edges = minhash_edges(corpus_ds, MinHashConfig(jaccard_threshold=0.7))
+    edges = edges.materialize()
+    edge_list = [(int(r["a"]), int(r["b"])) for r in edges.take_all()]
+    expected = _connected_components(edge_list)
+    # driver_threshold=0 forces the distributed hash-to-min path
+    got = components_labels(edges, shuffle_buckets=8, driver_threshold=0)
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == expected
+    # and the hybrid fast path must agree with it
+    fast = components_labels(edges, shuffle_buckets=8)
+    assert dict(zip(fast["node"].astype(int), fast["label"].astype(int))) == expected
+
+
+def test_minhash_partition_invariant(corpus_ds):
+    """Cluster assignment must not depend on input partitioning."""
+    import ray.data
+
+    one = ray.data.from_arrow(_corpus())  # single block
     a = minhash_dedup(corpus_ds, MinHashConfig(jaccard_threshold=0.7)).to_pandas()
-    b = minhash_dedup(
-        corpus_ds, MinHashConfig(jaccard_threshold=0.7), distributed_pairs=True
-    ).to_pandas()
+    b = minhash_dedup(one, MinHashConfig(jaccard_threshold=0.7)).to_pandas()
     assert a.sort_values("doc_id").reset_index(drop=True).equals(
         b.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_cc_chain_components():
+    """A long chain (worst case for label propagation) converges to one
+    component equal to the union-find answer."""
+    import ray.data
+
+    chain = [(i, i + 1) for i in range(0, 40)]
+    cross = [(100 + i, 100 + i + 2) for i in range(0, 20, 2)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in chain + cross], pa.int64()),
+                "b": pa.array([e[1] for e in chain + cross], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = components_labels(edges, shuffle_buckets=4, driver_threshold=0)
+    expected = _connected_components(chain + cross)
+    assert dict(zip(got["node"].astype(int), got["label"].astype(int))) == expected
+    assert set(got[got["node"] <= 40]["label"]) == {0}
+
+
+def test_auto_buckets_scale_with_input():
+    assert _auto_buckets(1 << 20) == 16  # floor
+    assert _auto_buckets(64 << 30) == 1024  # 64 GiB / 64 MiB
+    assert _auto_buckets(1 << 50) == 65536  # ceiling
+    assert _auto_buckets(10 << 30) > _auto_buckets(1 << 30)
 
 
 def test_ngram_jaccard_exact_verify(corpus_ds):
@@ -107,3 +158,30 @@ def test_embedding_dedup():
     assert bool(out.loc[30].is_dup)  # near-copy of vec 0 flagged
     assert not out.loc[0].is_dup  # earliest copy kept
     assert out.loc[1:29].is_dup.sum() == 0  # random gaussians aren't near-dups
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup_lsh_recall():
+    """The bucketed path must recover ≥95% of the exact path's duplicate
+    set at τ=0.95 on a corpus with many planted near-dups."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 32)).astype(np.float64)
+    near = base[:80] + 0.02 * rng.standard_normal((80, 32))  # planted near-dups
+    vecs = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = embedding_dedup(ds, threshold=0.95).to_pandas()
+    lsh = embedding_dedup_lsh(ds, threshold=0.95).to_pandas()
+    exact_dups = set(exact[exact.is_dup].vec_id)
+    lsh_dups = set(lsh[lsh.is_dup].vec_id)
+    assert exact_dups  # the corpus actually contains dups
+    assert lsh_dups <= exact_dups  # bucketing can only MISS, never invent
+    recall = len(lsh_dups & exact_dups) / len(exact_dups)
+    assert recall >= 0.95, f"recall {recall:.3f}"
