@@ -30,6 +30,7 @@ from typing import Callable
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from ..context import RunContext
 from ..state.schema import QualityRule, TableSpec
@@ -135,6 +136,123 @@ AUDIT_SCHEMA = pa.schema(
     ]
 )
 
+#: per-(failing row, failed rule) detail — the reference explodes the
+#: quarantine frame's failure structs into one row per failure
+#: (data_quality_evaluator.py:53-68); we additionally keep the failing
+#: row's primary key so a blocked write is debuggable down to the row
+FAILURE_SCHEMA = pa.schema(
+    [
+        pa.field("table_name", pa.string()),
+        pa.field("rule_name", pa.string()),
+        pa.field("column", pa.string()),
+        pa.field("criticality", pa.string()),
+        pa.field("row_key", pa.string()),
+        pa.field("job_id", pa.string()),
+        pa.field("run_id", pa.string()),
+        pa.field("date", pa.string()),
+    ]
+)
+
+
+def _row_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
+    """Vectorized string key per row: PK values joined with '|' (first
+    declared column for PK-less tables)."""
+    parts = [
+        pc.cast(batch.column(c), pa.string()) for c in key_cols if c in batch.column_names
+    ]
+    if not parts:
+        return pa.nulls(batch.num_rows, pa.string())
+    if len(parts) == 1:
+        return pc.fill_null(parts[0], "∅")
+    return pc.binary_join_element_wise(*[pc.fill_null(p, "∅") for p in parts], "|")
+
+
+def evaluate_batch_detail(
+    batch: pa.Table,
+    checks: list[CheckSpec],
+    key_cols: tuple[str, ...],
+    table_name: str,
+    rc: dict,
+) -> tuple[dict[str, int], pa.Table]:
+    """One vectorized pass: per-rule failure counts AND the per-failing-row
+    detail rows (rule, column, criticality, row key)."""
+    counts: dict[str, int] = {}
+    keys = None
+    detail: list[pa.Table] = []
+    for chk in checks:
+        mask = chk.fail_mask(batch)
+        n = pc.sum(mask).as_py() or 0
+        if not n:
+            continue
+        counts[chk.name] = n
+        if keys is None:
+            keys = _row_keys(batch, key_cols)
+        failed_keys = pc.filter(keys, pc.fill_null(mask, False))
+        m = len(failed_keys)
+        detail.append(
+            pa.table(
+                {
+                    "table_name": pa.array([table_name] * m, pa.string()),
+                    "rule_name": pa.array([chk.name] * m, pa.string()),
+                    "column": pa.array([chk.column] * m, pa.string()),
+                    "criticality": pa.array([chk.criticality] * m, pa.string()),
+                    "row_key": failed_keys.combine_chunks()
+                    if isinstance(failed_keys, pa.ChunkedArray)
+                    else failed_keys,
+                    "job_id": pa.array([rc.get("job_id")] * m, pa.string()),
+                    "run_id": pa.array([rc.get("run_id")] * m, pa.string()),
+                    "date": pa.array([rc.get("date")] * m, pa.string()),
+                }
+            )
+        )
+    detail_tbl = (
+        pa.concat_tables(detail) if detail else FAILURE_SCHEMA.empty_table()
+    )
+    return counts, detail_tbl
+
+
+def apply_checks_and_split(
+    ds, spec: TableSpec, extra: list[CheckSpec] | None = None
+):
+    """Split a Dataset into (good, quarantine) by the spec's rules — the
+    analogue of DQx ``apply_checks_and_split``
+    (/root/reference/src/models/data_quality_evaluator.py:49-51).
+
+    Quarantine rows (those failing ANY rule) carry a ``_failures``
+    ``list<struct<name, column, criticality>>`` column, exploitable with
+    ``transforms.explode_struct_list`` (M7). Both halves stream — one
+    shared upstream, two filtered consumers."""
+    import numpy as np
+
+    checks = build_checks(spec, extra)
+
+    failure_t = pa.struct(
+        [("name", pa.string()), ("column", pa.string()), ("criticality", pa.string())]
+    )
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fails: list[list[dict]] = [[] for _ in range(n)]
+        for chk in checks:
+            mask = pc.fill_null(chk.fail_mask(batch), False).to_numpy(zero_copy_only=False)
+            for i in np.nonzero(mask)[0]:
+                fails[i].append(
+                    {"name": chk.name, "column": chk.column, "criticality": chk.criticality}
+                )
+        return batch.append_column(
+            "_failures", pa.array([f or None for f in fails], pa.list_(failure_t))
+        )
+
+    annotated = ds.map_batches(annotate, batch_format="pyarrow")
+    good = annotated.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_failures"))).drop_columns(["_failures"]),
+        batch_format="pyarrow",
+    )
+    quarantine = annotated.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_failures"))), batch_format="pyarrow"
+    )
+    return good, quarantine
+
 
 def evaluate_batch(batch: pa.Table, checks: list[CheckSpec]) -> dict[str, int]:
     """Vectorized failure counts per rule for one batch."""
@@ -147,27 +265,113 @@ def evaluate_batch(batch: pa.Table, checks: list[CheckSpec]) -> dict[str, int]:
     return out
 
 
-class DQGate:
-    """Gate a Dataset before a write: count failures per rule (a cheap
-    column-pruned aggregation pass), append the audit rows, then raise
-    ``DQError`` if any ERROR rule failed. The data pass only starts after
-    the gate passes — same ordering as the reference (gate inside the
-    writer, /root/reference/src/models/writer.py:31-40)."""
+@ray.remote(num_cpus=0)
+class _DQCounts:
+    """Accumulates per-rule failure counts + checked rows emitted by the
+    fused gate stage during the (single) staging pass."""
 
-    def __init__(self, spec: TableSpec, audit_dir: str, run_context: RunContext | None = None):
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+        self.rows = 0
+
+    def add(self, counts: dict, rows: int) -> None:
+        for k, v in counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self.rows += rows
+
+    def get(self) -> tuple[dict, int]:
+        return dict(self.counts), self.rows
+
+
+def _write_failure_file(failure_dir: str, run_id: str, detail: pa.Table) -> None:
+    os.makedirs(failure_dir, exist_ok=True)
+    path = os.path.join(failure_dir, f"failures-{run_id}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(detail, path)
+
+
+class DQGate:
+    """Gate a Dataset around a write.
+
+    Two modes:
+
+    - ``check(ds)`` — standalone pre-pass: count failures per rule,
+      capture per-failing-row detail, append audit rows, raise
+      ``DQError`` if any ERROR rule failed (reference ordering:
+      warnings logged first, then errors raise —
+      /root/reference/src/models/data_quality_evaluator.py:88-102).
+    - ``wrap_stage(stage_fn)`` + ``finalize(handle)`` — FUSED single-pass
+      gate: evaluation rides inside the write's own staging
+      ``map_batches`` (counts via a zero-CPU actor, failure detail
+      written by the workers), and ``finalize`` audits/raises AFTER the
+      staged write but BEFORE the manifest commit. The 2PC keeps staged
+      files invisible, so ERROR-before-visibility semantics hold at half
+      the cost of the pre-pass. Task retries may double-log failure
+      DETAIL rows (the counts actor is exactly-once per completed task;
+      detail files are forensic, not transactional).
+    """
+
+    def __init__(
+        self,
+        spec: TableSpec,
+        audit_dir: str,
+        run_context: RunContext | None = None,
+        failure_dir: str | None = None,
+    ):
         self.spec = spec
         self.audit_dir = audit_dir
+        self.failure_dir = failure_dir or os.path.join(
+            os.path.dirname(audit_dir.rstrip(os.sep)), "dq_failures"
+        )
         self.ctx = run_context or RunContext()
 
+    def _key_cols(self) -> tuple[str, ...]:
+        return tuple(self.spec.primary_key) or (self.spec.column_names[0],)
+
+    # -- fused single-pass API -----------------------------------------
+    def wrap_stage(self, stage_fn, extra: list[CheckSpec] | None = None):
+        """Returns ``(fn, handle)``: ``fn`` evaluates checks on each batch
+        (detail + counts) and then applies ``stage_fn``; pass ``handle``
+        to :meth:`finalize` after the staged write."""
+        checks = build_checks(self.spec, extra)
+        if not checks:
+            return stage_fn, None
+        counter = _DQCounts.remote()
+        key_cols = self._key_cols()
+        table, rc, fdir = self.spec.name, self.ctx.as_dict(), self.failure_dir
+        run_id = self.ctx.run_id
+
+        def fn(batch: pa.Table) -> pa.Table:
+            counts, detail = evaluate_batch_detail(batch, checks, key_cols, table, rc)
+            if detail.num_rows:
+                _write_failure_file(fdir, run_id, detail)
+            ray.get(counter.add.remote(counts, batch.num_rows))
+            return stage_fn(batch)
+
+        return fn, (counter, checks, time.perf_counter())
+
+    def finalize(self, handle) -> dict[str, dict]:
+        """Audit the fused counts; raise ``DQError`` on ERROR failures.
+        MUST run before the manifest commit."""
+        if handle is None:
+            return {}
+        counter, checks, t0 = handle
+        counts, total_rows = ray.get(counter.get.remote())
+        return self._report(counts, total_rows, time.perf_counter() - t0, checks)
+
+    # -- standalone pre-pass API ---------------------------------------
     def check(self, ds, extra: list[CheckSpec] | None = None) -> dict[str, dict]:
         checks = build_checks(self.spec, extra)
         if not checks:
             return {}
-        by_name = {c.name: c for c in checks}
         t0 = time.perf_counter()
+        key_cols = self._key_cols()
+        table, rc, fdir = self.spec.name, self.ctx.as_dict(), self.failure_dir
+        run_id = self.ctx.run_id
 
         def count_failures(batch: pa.Table) -> pa.Table:
-            counts = evaluate_batch(batch, checks)
+            counts, detail = evaluate_batch_detail(batch, checks, key_cols, table, rc)
+            if detail.num_rows:
+                _write_failure_file(fdir, run_id, detail)
             return pa.Table.from_pylist(
                 [
                     {"rule_name": k, "failed_rows": v, "checked_rows": batch.num_rows}
@@ -188,12 +392,20 @@ class DQGate:
         if partials.empty:  # empty source: nothing to check, nothing to log
             return {}
         total_rows = int(partials[partials.rule_name == "_rows"].checked_rows.sum())
-        agg = partials[partials.rule_name != "_rows"].groupby("rule_name").failed_rows.sum()
+        agg = (
+            partials[partials.rule_name != "_rows"].groupby("rule_name").failed_rows.sum().to_dict()
+        )
+        return self._report(agg, total_rows, run_time, checks)
 
+    # -- shared reporting ----------------------------------------------
+    def _report(
+        self, agg: dict[str, int], total_rows: int, run_time: float, checks: list[CheckSpec]
+    ) -> dict[str, dict]:
+        by_name = {c.name: c for c in checks}
         results: dict[str, dict] = {}
         audit_rows = []
         rc = self.ctx.as_dict()
-        for name, failed in agg.items():
+        for name, failed in sorted(agg.items()):
             chk = by_name[name]
             results[name] = {
                 "criticality": chk.criticality,
@@ -232,4 +444,14 @@ def read_audit(audit_dir: str) -> pa.Table:
     paths = sorted(glob.glob(os.path.join(audit_dir, "checks-*.parquet")))
     if not paths:
         return AUDIT_SCHEMA.empty_table()
+    return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+def read_failures(failure_dir: str) -> pa.Table:
+    """Per-failing-row detail appended by gates (forensic table)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(failure_dir, "failures-*.parquet")))
+    if not paths:
+        return FAILURE_SCHEMA.empty_table()
     return pa.concat_tables([pq.read_table(p) for p in paths])

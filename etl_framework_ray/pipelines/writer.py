@@ -56,14 +56,18 @@ class LakeWriter:
         """Committed table as a Dataset in declared column order (S2)."""
         return self.engine.snapshot()
 
-    def _gate(self, ds) -> None:
+    def _make_gate(self) -> DQGate:
         audit_dir = os.path.join(self.engine.table_dir, "_metrics", "dq")
-        DQGate(self.spec, audit_dir, self.run_context).check(ds)
+        return DQGate(self.spec, audit_dir, self.run_context)
 
     # ------------------------------------------------------------------
     def overwrite(self, ds: "ray.data.Dataset") -> int:
-        """Gate → project → replace the table. Returns rows written."""
-        self._gate(ds)
+        """Gate + project + replace the table in ONE source pass: DQ
+        evaluation is fused into the staging map (``DQGate.wrap_stage``)
+        and ``finalize`` raises BEFORE the manifest commit — the 2PC keeps
+        the staged files invisible, so ERROR-before-visibility matches the
+        reference's pre-pass gate (writer.py:31-40) at half the cost.
+        Returns rows written."""
         man = self.engine.manifest
         version = man.version + 1
         names = self.spec.column_names
@@ -79,10 +83,20 @@ class LakeWriter:
             pid = partition_ids(batch.column(key0), num_partitions)
             return batch.append_column("pid", pa.array(pid, pa.int64()))
 
+        gate = self._make_gate()
+        fused, handle = gate.wrap_stage(stage)
         out_dir = os.path.join(self.engine.table_dir, "data", f"overwrite-v{version:08d}")
-        ds.map_batches(stage, batch_format="pyarrow").write_parquet(
+        if os.path.isdir(out_dir):
+            # a previously ABORTED attempt (gate error / crash) left staged
+            # files under the same uncommitted version — clear them so the
+            # file glob below can't double-count
+            import shutil
+
+            shutil.rmtree(out_dir)
+        ds.map_batches(fused, batch_format="pyarrow").write_parquet(
             out_dir, partition_cols=["pid"]
         )
+        gate.finalize(handle)  # DQError propagates pre-commit; staged files stay invisible
 
         new_man = Manifest.from_json(man.to_json())
         new_man.version = version
@@ -106,7 +120,18 @@ class LakeWriter:
     # ------------------------------------------------------------------
     def _stage_changelog(self, ds: "ray.data.Dataset", op: str) -> Epoch | None:
         """Materialize source rows as a changelog segment with the next LSN
-        range (driver-side staging; source batches stream through)."""
+        range (driver-side staging; source batches stream through). The DQ
+        gate runs INLINE over the same stream — counts/detail accumulate
+        per batch and the verdict lands before the segment file exists, so
+        an ERROR write stages nothing at all (single pass)."""
+        import time as _time
+
+        from ..functions.quality import (
+            _write_failure_file,
+            build_checks,
+            evaluate_batch_detail,
+        )
+
         man = self.engine.manifest
         start = man.applied_lsn + 1
         names = self.spec.column_names
@@ -119,17 +144,35 @@ class LakeWriter:
             raise ValueError(
                 f"source is missing declared columns {missing} of table {self.spec.name!r}"
             )
+        gate = self._make_gate()
+        checks = build_checks(self.spec)
+        key_cols = tuple(self.spec.primary_key) or (names[0],)
+        rc = self.run_context.as_dict()
+        agg: dict[str, int] = {}
+        t0 = _time.perf_counter()
+
         tables = []
         offset = 0
         for batch in ds.iter_batches(batch_format="pyarrow"):
             batch = pa.Table.from_batches([batch]) if not isinstance(batch, pa.Table) else batch
             n = batch.num_rows
+            if checks:
+                counts, detail = evaluate_batch_detail(
+                    batch, checks, key_cols, self.spec.name, rc
+                )
+                for k, v in counts.items():
+                    agg[k] = agg.get(k, 0) + v
+                if detail.num_rows:
+                    _write_failure_file(gate.failure_dir, self.run_context.run_id, detail)
             lsn = pa.array(range(start + offset, start + offset + n), pa.int64())
             cols = {"lsn": lsn, "op": pa.array([op] * n, pa.string())}
             for name in names:
                 cols[name] = batch.column(name)
             tables.append(pa.table(cols))
             offset += n
+        if checks and offset:
+            # audit + ERROR raise before ANY file is staged
+            gate._report(agg, offset, _time.perf_counter() - t0, checks)
         if offset == 0:
             return None  # empty source → nothing to merge
         seg = pa.concat_tables(tables)
@@ -158,8 +201,7 @@ class LakeWriter:
             raise ValueError(
                 f"MERGE requires a primary key on table {self.spec.name!r}"
             )
-        self._gate(ds)
-        epoch = self._stage_changelog(ds, op="U")
+        epoch = self._stage_changelog(ds, op="U")  # gate runs inline (one pass)
         if epoch is None:
             return {}  # empty source is a no-op merge
         info = self.engine.apply_epoch(epoch)
@@ -167,8 +209,8 @@ class LakeWriter:
 
     def append(self, ds: "ray.data.Dataset") -> int:
         """Append rows (PK-less audit-table semantics): new delta files join
-        the manifest; no LWW on read."""
-        self._gate(ds)
+        the manifest; no LWW on read. DQ gate fused into the staging pass
+        (see :meth:`overwrite`)."""
         man = self.engine.manifest
         version = man.version + 1
         names = self.spec.column_names
@@ -184,12 +226,19 @@ class LakeWriter:
             pid = partition_ids(batch.column(key0), num_partitions)
             return batch.append_column("pid", pa.array(pid, pa.int64()))
 
+        gate = self._make_gate()
+        fused, handle = gate.wrap_stage(stage)
         out_dir = os.path.join(
             self.engine.table_dir, "data", f"append-v{version:08d}"
         )
-        ds.map_batches(stage, batch_format="pyarrow").write_parquet(
+        if os.path.isdir(out_dir):  # aborted-attempt hygiene (see overwrite)
+            import shutil
+
+            shutil.rmtree(out_dir)
+        ds.map_batches(fused, batch_format="pyarrow").write_parquet(
             out_dir, partition_cols=["pid"]
         )
+        gate.finalize(handle)  # DQError propagates pre-commit
         new_man = Manifest.from_json(man.to_json())
         new_man.version = version
         rows = 0
