@@ -40,3 +40,42 @@ def partition_ids(
     if salt is not None:
         h = h + salt.astype(np.uint64)
     return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def salted_partition_ids(
+    batch: pa.Table,
+    key_cols: tuple[str, ...],
+    num_partitions: int,
+    salt_map: dict | None = None,
+) -> np.ndarray:
+    """Partition routing with per-hot-key salting (SURVEY.md §7.4).
+
+    Rows route by ``hash(key0) % P`` as usual, EXCEPT rows whose leading
+    key value appears in ``salt_map`` (value → fanout): those add a salt
+    derived from the SECOND primary-key column — so one hot entity fans
+    out over ``fanout`` partitions while every full PK still maps to
+    exactly one partition (the invariant per-key LWW and merge-on-read
+    depend on). Requires a composite PK; single-column-PK tables cannot
+    skew past one live row per key and never need salting."""
+    key0 = batch.column(key_cols[0])
+    if not salt_map or len(key_cols) < 2:
+        return partition_ids(key0, num_partitions)
+    k0 = key0.to_pandas().to_numpy()
+    salt = np.zeros(len(k0), dtype=np.uint64)
+    sub: np.ndarray | None = None
+    for val, fanout in salt_map.items():
+        # salt-map keys round-trip through manifest JSON as strings;
+        # coerce back to the key column's dtype for non-string keys
+        if k0.dtype.kind in "iuf" and isinstance(val, str):
+            try:
+                val = k0.dtype.type(val)
+            except ValueError:
+                continue
+        mask = k0 == val
+        if mask.any():
+            if sub is None:
+                sub = stable_hash_array(batch.column(key_cols[1]))
+            salt[mask] = sub[mask] % np.uint64(int(fanout))
+    if not salt.any():
+        return partition_ids(key0, num_partitions)
+    return partition_ids(key0, num_partitions, salt=salt)

@@ -55,7 +55,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..context import DEFAULT_NUM_PARTITIONS, RunContext
-from ..functions.hashing import partition_ids
+from ..functions.hashing import partition_ids, salted_partition_ids
 from ..sources.changelog import ChangeLog, Epoch
 from ..stages.lww import lww_reduce, lww_survivor_indices
 from ..state.manifest import Manifest, ManifestStore, PartitionState
@@ -256,7 +256,13 @@ def _reject_null_keys(t: pa.Table, key_cols, what: str) -> None:
 
 
 @ray.remote
-def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_partitions: int):
+def _prep_segment_task(
+    path: str,
+    chg_schema: pa.Schema,
+    key_cols: tuple,
+    num_partitions: int,
+    salt_map: dict | None = None,
+):
     """Read one changelog segment, LWW-combine (adaptively), hash-split by
     the leading key into ``num_partitions`` sub-tables.
 
@@ -281,8 +287,11 @@ def _prep_segment_task(path: str, chg_schema: pa.Schema, key_cols: tuple, num_pa
 
     # partition on the FIRST primary-key column only: all turns of a
     # conversation (all rows of an entity) co-locate, which is what makes
-    # per-key LWW and stable ordering partition-local (SURVEY.md §4.2)
-    pid_surv = partition_ids(t.column(key_cols[0]).take(pa.array(surv)), num_partitions)
+    # per-key LWW and stable ordering partition-local (SURVEY.md §4.2).
+    # Keys flagged in the manifest's salt_map fan out by the second key
+    # column (full PK still single-partition — skew mitigation, §7.4).
+    keys_t = t.select(list(key_cols[: 2 if len(key_cols) > 1 else 1])).take(pa.array(surv))
+    pid_surv = salted_partition_ids(keys_t, key_cols, num_partitions, salt_map)
     order = np.argsort(pid_surv, kind="stable")
     t = t.take(pa.array(surv[order]))  # the single wide gather
     bounds = np.searchsorted(pid_surv[order], np.arange(num_partitions + 1))
@@ -351,6 +360,78 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     }
 
 
+@ray.remote
+def _hot_keys_task(
+    files: list, lake_sch: pa.Schema, key_cols: tuple, min_share: float
+) -> list:
+    """Attribute a hot partition's volume to leading-key values: returns
+    the key0 values holding ≥ min_share of the partition's live rows."""
+    _single_threaded_arrow()
+    merged = merge_partition_files(list(files), lake_sch, key_cols)
+    live = merged.filter(pc.invert(merged.column(DELETED_COL)))
+    if live.num_rows == 0:
+        return []
+    vc = live.column(key_cols[0]).to_pandas().value_counts()
+    share = vc / live.num_rows
+    return [v for v, s in share.items() if s >= min_share]
+
+
+@ray.remote
+def _resalt_partition_task(
+    table_dir: str,
+    pid: int,
+    files: list,
+    lake_sch: pa.Schema,
+    key_cols: tuple,
+    full_salt: dict,
+    num_partitions: int,
+    version: int,
+    epoch_id: int,
+) -> dict:
+    """Migrate a partition's rows for newly salted keys to their salted
+    partitions. The source is rewritten (compacted, minus moved rows);
+    each target receives one staged file (named ``base-`` so the
+    changefeed conservatively treats the migration like a compaction).
+    Only staged files are written here — visibility comes from the
+    driver's single manifest commit (2PC)."""
+    _single_threaded_arrow()
+    merged = merge_partition_files(list(files), lake_sch, key_cols)
+    keys_t = merged.select(list(key_cols[:2]))
+    # full_salt (old + new) — rows previously salted INTO this partition
+    # must keep their existing homes, only the new keys move
+    pid_new = salted_partition_ids(keys_t, key_cols, num_partitions, full_salt)
+    out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"salt=v{version:08d}")
+
+    import numpy as np
+
+    def write_part(t: pa.Table, target: int) -> tuple[str, int, int]:
+        d = os.path.join(table_dir, "data", f"part={target:05d}", f"salt=v{version:08d}")
+        os.makedirs(d, exist_ok=True)
+        # 'base' prefix: read_changes must not replay migrated (old) rows
+        # as fresh changes — consumers behind this point re-sync, exactly
+        # the compaction-horizon contract. '-fromNNN' disambiguates two
+        # sources migrating into the same target in one pass.
+        path = os.path.join(d, f"base-{target:05d}-{epoch_id:012d}-from{pid:05d}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        live = t.num_rows - (pc.sum(t.column(DELETED_COL)).as_py() or 0)
+        return path, live, t.num_rows
+
+    kept_mask = pid_new == pid
+    moved: dict[int, tuple[str, int]] = {}
+    for target in np.unique(pid_new[~kept_mask]):
+        sub = merged.filter(pa.array(pid_new == target))
+        path, live, _ = write_part(sub, int(target))
+        moved[int(target)] = (path, live)
+    kept = merged.filter(pa.array(kept_mask))
+    if kept.num_rows:
+        kept_path, kept_live, _ = write_part(kept, pid)
+    else:
+        kept_path, kept_live = None, 0
+    return {"pid": pid, "kept_path": kept_path, "kept_live": kept_live, "moved": moved}
+
+
 class CDCEngine:
     """Replays a changelog into a committed Parquet lake table.
 
@@ -416,6 +497,12 @@ class CDCEngine:
     def key_cols(self) -> tuple[str, ...]:
         return tuple(self.manifest.primary_key)
 
+    @property
+    def salt_map(self) -> dict:
+        """Hot-key fanout map (leading-key value → fanout), committed in
+        the manifest so routing stays consistent across epochs/restarts."""
+        return self.manifest.properties.get("salt_map", {})
+
     def _public_schema(self) -> pa.Schema:
         lake = self.manifest.schema
         return pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
@@ -458,9 +545,10 @@ class CDCEngine:
         read immutable segments and never touch the manifest, so pipelined
         replay may launch them before the previous epoch commits)."""
         num_partitions = self.manifest.num_partitions
+        salt_map = self.salt_map
         refs = [
             _prep_segment_task.options(num_returns=num_partitions).remote(
-                p, chg_schema, self.key_cols, num_partitions
+                p, chg_schema, self.key_cols, num_partitions, salt_map
             )
             for p in epoch.paths
         ]
@@ -517,12 +605,14 @@ class CDCEngine:
             ]
             metas = [m for m in ray.get(apply_refs) if m is not None]
         else:
+            salt_map = self.salt_map
+
             def prep(batch: pa.Table) -> pa.Table:
                 _single_threaded_arrow()
                 batch = normalize_table(batch, chg_schema)
                 _reject_null_keys(batch, key_cols, "changelog batch")
                 batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
-                pid = partition_ids(batch.column(key_cols[0]), num_partitions)
+                pid = salted_partition_ids(batch, key_cols, num_partitions, salt_map)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))
 
             # segment files are typically far below the 128 MiB block
@@ -598,6 +688,7 @@ class CDCEngine:
         segments_per_epoch: int = 4,
         vacuum: bool = True,
         pipelined: bool = False,
+        auto_mitigate_skew: bool = False,
     ) -> ReplayStats:
         """Apply all not-yet-committed epochs; resumes from the manifest
         watermark (FIXTURES.md F6).
@@ -608,7 +699,14 @@ class CDCEngine:
         tasks are pure (immutable segments, no manifest reads) and the
         schema for N+1 is computable from the schema N WILL commit
         (evolution is schema-deterministic); commits stay strictly
-        serialized, so exactly-once semantics are unchanged."""
+        serialized, so exactly-once semantics are unchanged.
+
+        ``auto_mitigate_skew=True`` runs :meth:`mitigate_skew` after each
+        committed epoch (inspecting just that epoch's lineage metrics):
+        hot keys detected in epoch N are salted + migrated before epoch
+        N+1 routes. In pipelined mode a successful mitigation invalidates
+        the prefetched map round (it was routed with the old salt map)
+        and re-submits it."""
         stats = ReplayStats()
         t0 = time.perf_counter()
         epochs = changelog.epochs(segments_per_epoch, after_lsn=self.manifest.applied_lsn)
@@ -621,6 +719,8 @@ class CDCEngine:
                     stats.epochs_applied += 1
                     stats.events += info["events"]
                     stats.schema_changes.extend(info["schema_changes"])
+                    if auto_mitigate_skew:
+                        self.mitigate_skew(epoch_id=epoch.epoch_id)
         else:
             public = self._public_schema()
             pending: tuple | None = None
@@ -649,6 +749,12 @@ class CDCEngine:
                     stats.epochs_applied += 1
                     stats.events += info["events"]
                     stats.schema_changes.extend(info["schema_changes"])
+                    if auto_mitigate_skew and self.mitigate_skew(epoch_id=epoch.epoch_id):
+                        if pending is not None:
+                            # prefetched prep routed with the pre-salt map;
+                            # re-submit so the hot key lands salted
+                            nschemas, _stale = pending
+                            pending = (nschemas, self._submit_prep(epochs[i + 1], nschemas[0]))
         stats.seconds = time.perf_counter() - t0
         if vacuum and stats.epochs_applied:
             self.store.vacuum(self.manifest)
@@ -743,6 +849,110 @@ class CDCEngine:
         self.manifest = new_man
         return len(metas)
 
+    def mitigate_skew(
+        self,
+        factor: float = 4.0,
+        fanout: int | None = None,
+        min_share: float = 0.25,
+        epoch_id: int | None = None,
+    ) -> dict:
+        """Detect → salt → migrate: the response half of ``detect_skew``
+        (SURVEY.md §4.2/§7.4 — salting is a north-star requirement, not
+        just a metric).
+
+        1. Partitions whose latest-epoch ``events_applied`` exceeds
+           ``factor`` × median are inspected for dominant leading-key
+           values (≥ ``min_share`` of the partition's live rows).
+        2. Each new hot key is added to the manifest's ``salt_map`` with
+           ``fanout`` sub-partitions — future epochs route its rows by
+           ``hash(key0) + hash(key1) % fanout`` (full PK still
+           single-partition, so per-key LWW is untouched).
+        3. One task per affected partition migrates the key's EXISTING
+           rows to their salted homes (tombstones included), staged files
+           + one atomic manifest commit. Changefeed consumers behind the
+           migration must re-sync (moved files read as ``base``), same as
+           after a compaction.
+
+        Single-column-PK tables return {} (≤1 live row per key — no
+        residual skew to split). Returns the newly salted keys."""
+        if len(self.key_cols) < 2:
+            return {}
+        man = self.manifest
+        num_partitions = man.num_partitions
+        fanout = fanout or min(8, num_partitions)
+        if fanout < 2 or num_partitions < 2:
+            return {}
+        hot = metrics_mod.detect_skew(self.table_dir, factor, epoch_id=epoch_id)
+        affected = [
+            h["partition"]
+            for h in hot
+            if man.partitions.get(h["partition"]) and man.partitions[h["partition"]].files
+        ]
+        if not affected:
+            return {}
+        lake = man.schema
+        key_cols = self.key_cols
+        known = self.salt_map
+
+        cand = ray.get(
+            [
+                _hot_keys_task.remote(man.partitions[pid].files, lake, key_cols, min_share)
+                for pid in affected
+            ]
+        )
+        new_keys = {
+            str(v): fanout for vals in cand for v in vals if str(v) not in known
+        }
+        if not new_keys:
+            return {}
+
+        table_dir = self.table_dir
+        version = man.version + 1
+        metas = ray.get(
+            [
+                _resalt_partition_task.remote(
+                    table_dir,
+                    pid,
+                    man.partitions[pid].files,
+                    lake,
+                    key_cols,
+                    {**known, **new_keys},
+                    num_partitions,
+                    version,
+                    man.applied_lsn,
+                )
+                for pid in affected
+            ]
+        )
+        new_man = Manifest.from_json(man.to_json())
+        new_man.version = version
+        new_man.properties = {**man.properties, "salt_map": {**known, **new_keys}}
+        for m in metas:
+            src = int(m["pid"])
+            new_man.partitions[src] = PartitionState(
+                files=[m["kept_path"]] if m["kept_path"] else [],
+                applied_lsn=man.applied_lsn,
+                rows=int(m["kept_live"]),
+            )
+            for tpid, (path, live) in m["moved"].items():
+                st = new_man.partitions.setdefault(int(tpid), PartitionState())
+                st.files.append(path)
+                st.rows += int(live)
+                st.applied_lsn = man.applied_lsn
+        new_man.history.append(
+            {
+                "op": "salt",
+                "version": version,
+                "keys": sorted(new_keys),
+                "fanout": fanout,
+                "partitions_migrated": len(metas),
+                **self.run_context.as_dict(),
+            }
+        )
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return new_keys
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the CURRENT manifest (ends
         time travel to superseded versions)."""
@@ -762,7 +972,7 @@ class CDCEngine:
 
         man = self.manifest
         lake = man.schema
-        cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)\.parquet$")
+        cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
         delta_files: list[str] = []
         for pid in sorted(man.partitions):
             for f in man.partitions[pid].files:

@@ -49,14 +49,22 @@ def write_epoch_metrics(table_dir: str, epoch_id: int, rows: list[dict]) -> str:
     return path
 
 
-def detect_skew(table_dir: str, factor: float = 4.0) -> list[dict]:
+def detect_skew(table_dir: str, factor: float = 4.0, epoch_id: int | None = None) -> list[dict]:
     """Hot-partition detection from the lineage table (SURVEY.md §7.4):
     partitions whose applied-event count in their latest epoch exceeds
     ``factor`` × the median partition. The per-batch LWW combiner already
     collapses hot keys to ≤1 row per key per segment before the exchange;
-    this surfaces residual imbalance so operators can raise
-    ``num_partitions`` (more hash buckets) for the affected table."""
-    t = read_metrics(table_dir)
+    this surfaces residual imbalance (many distinct keys on one entity) —
+    ``CDCEngine.mitigate_skew`` consumes it to salt + migrate hot keys.
+
+    ``epoch_id`` inspects exactly that epoch's metrics file (O(1), the
+    per-epoch auto-mitigation path); default reads the whole lineage table
+    and uses its latest epoch."""
+    if epoch_id is not None:
+        p = os.path.join(metrics_dir(table_dir), f"epoch-{epoch_id:012d}.parquet")
+        t = pq.read_table(p) if os.path.exists(p) else METRICS_SCHEMA.empty_table()
+    else:
+        t = read_metrics(table_dir)
     if t.num_rows == 0:
         return []
     df = t.to_pandas()

@@ -1,0 +1,134 @@
+"""Skew mitigation: detect → salt → migrate (SURVEY.md §4.2/§7.4).
+
+The residual-skew scenario is ``hot_max_turns``: one conversation with
+thousands of DISTINCT turns — the per-segment LWW combiner can't collapse
+it, so every epoch funnels a large fraction of events into one
+partition's reduce. Mitigation must spread the hot key WITHOUT breaking
+per-(conv, turn) co-location (LWW correctness), and committed state must
+still equal the oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.functions.hashing import partition_ids, salted_partition_ids
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.pipelines.metrics import detect_skew, read_metrics
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import GenConfig, generate_changelog, oracle_replay
+
+KEYS = ("conv_id", "turn_idx")
+
+
+def _keys_tbl(convs, turns):
+    return pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turns, pa.int32()),
+        }
+    )
+
+
+def test_salted_routing_invariants():
+    t = _keys_tbl(
+        ["hot"] * 64 + ["cold-a", "cold-b"] * 8,
+        list(range(64)) + [0, 1] * 8,
+    )
+    P = 8
+    unsalted = partition_ids(t.column("conv_id"), P)
+    salted = salted_partition_ids(t, KEYS, P, {"hot": 4})
+    convs = t.column("conv_id").to_pylist()
+    turns = t.column("turn_idx").to_pylist()
+    # cold keys route exactly as before
+    cold = [i for i, c in enumerate(convs) if c != "hot"]
+    assert all(salted[i] == unsalted[i] for i in cold)
+    # the hot conversation fans out over >1 partition...
+    hot_pids = {salted[i] for i, c in enumerate(convs) if c == "hot"}
+    assert len(hot_pids) > 1
+    # ...but every full PK maps to exactly one partition (repeat rows agree)
+    by_key = {}
+    for i, (c, tu) in enumerate(zip(convs, turns)):
+        by_key.setdefault((c, tu), set()).add(salted[i])
+    assert all(len(pids) == 1 for pids in by_key.values())
+    # deterministic across calls
+    again = salted_partition_ids(t, KEYS, P, {"hot": 4})
+    assert np.array_equal(salted, again)
+
+
+def _skewed_log():
+    return generate_changelog(
+        GenConfig(
+            num_events=12_000,
+            num_conversations=50,
+            max_turns=8,
+            hot_key_frac=0.4,
+            hot_max_turns=3_000,  # many DISTINCT keys on one conversation
+            seed=77,
+        )
+    )
+
+
+def _spread(table_dir, epoch_id):
+    df = read_metrics(table_dir).to_pandas()
+    last = df[df.epoch_id == epoch_id]
+    return float(last.events_applied.max()) / max(1.0, float(last.events_applied.median()))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_skew_mitigation_e2e(tmp_path, pipelined):
+    log = _skewed_log()
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1_500)  # 8 segments → 4 epochs
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    stats = eng.replay(
+        clog, segments_per_epoch=2, pipelined=pipelined, auto_mitigate_skew=True
+    )
+    assert stats.epochs_applied == 4
+    # the hot conversation was detected and salted
+    assert "conv-000000" in eng.salt_map
+    # post-mitigation epochs show no partition above the detection factor
+    last_epoch = eng.manifest.applied_lsn
+    assert detect_skew(str(tmp_path / "tbl"), factor=4.0, epoch_id=last_epoch) == []
+    assert _spread(str(tmp_path / "tbl"), last_epoch) < 4.0
+    # correctness unchanged: committed state equals the oracle
+    oracle = oracle_replay(log)
+    got = eng.snapshot_arrow().to_pylist()
+    assert len(got) == len(oracle)
+    for r in got:
+        assert r["text"] == oracle[(r["conv_id"], r["turn_idx"])]["text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mitigation_survives_restart_and_more_epochs(tmp_path):
+    """Salt map is manifest-durable: a fresh engine keeps routing salted,
+    and replaying additional epochs converges to the same oracle state."""
+    log = _skewed_log()
+    half = log.slice(0, 6_000)
+    rest = log.slice(6_000)
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(half, segment_rows=1_500)
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog, segments_per_epoch=2, auto_mitigate_skew=True)
+    assert eng.salt_map
+
+    clog.write_segments(rest, segment_rows=1_500)
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)  # restart
+    assert eng2.salt_map == eng.salt_map
+    eng2.replay(clog, segments_per_epoch=2)
+    oracle = oracle_replay(log)
+    assert eng2.snapshot_arrow().num_rows == len(oracle)
+
+
+def test_mitigate_noop_without_composite_pk(tmp_path):
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="single",
+        columns=(ColumnSpec("k", pa.string(), nullable=False), ColumnSpec("v", pa.int64())),
+        primary_key=("k",),
+    )
+    eng = CDCEngine(str(tmp_path / "t"), spec=spec, num_partitions=4)
+    assert eng.mitigate_skew() == {}
