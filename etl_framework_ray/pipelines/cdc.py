@@ -157,6 +157,161 @@ def merge_partition_files(
     return lww_reduce(t, key_cols, _lww_order(lake_sch, LSN_COL))
 
 
+#: CDC file naming — files written by the engine are LWW-reduced and
+#: key-sorted with UNIQUE keys, which is what the streamed merge relies on
+_CDC_FILE_RE = None  # set lazily (re import kept local to read_changes historically)
+
+
+def _is_cdc_sorted(files: list[str]) -> bool:
+    """True iff every file was written by the CDC apply/compact/salt paths
+    (key-sorted, unique keys) — the precondition for the streamed k-way
+    merge. Writer overwrite/append staging files are unsorted → full merge."""
+    import re
+
+    global _CDC_FILE_RE
+    if _CDC_FILE_RE is None:
+        _CDC_FILE_RE = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
+    return all(_CDC_FILE_RE.match(os.path.basename(f)) for f in files)
+
+
+def _iter_file_chunks(path: str, lake_sch: pa.Schema, chunk_rows: int):
+    pf = pq.ParquetFile(path)
+    for rb in pf.iter_batches(batch_size=chunk_rows):
+        yield normalize_table(pa.Table.from_batches([rb]), lake_sch)
+
+
+def _iter_table_chunks(t: pa.Table, chunk_rows: int):
+    for off in range(0, t.num_rows, chunk_rows):
+        yield t.slice(off, chunk_rows)
+
+
+def _np_col(t: pa.Table, name: str):
+    return t.column(name).to_pandas().to_numpy()
+
+
+def iter_merged_partition(
+    files: list[str],
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    extra_sorted: pa.Table | None = None,
+    chunk_rows: int = 65536,
+):
+    """STREAMING merge-on-read of one partition: k-way chunk merge over the
+    key-sorted base/delta files (plus an optional in-memory key-sorted
+    table, e.g. an epoch's reduced changes), yielding key-sorted,
+    LWW-reduced, key-COMPLETE chunks — no key ever spans two yields.
+
+    Peak memory is O(chunk_rows × open files) instead of O(partition), so
+    partitions can be sized well past worker heap (the 100-TB sizing knob
+    in the module docstring). Relies on engine-written files having
+    strictly-increasing unique keys (every file is an ``lww_reduce``
+    output); supports 1- and 2-column PKs — wider PKs and writer-staged
+    (unsorted) files take the full-table path in the callers.
+
+    Merge rule per round: pivot = min over streams of each buffer's LAST
+    key; every stream's rows ≤ pivot are complete (future chunks of a
+    sorted unique-key stream are strictly greater), so slicing at the
+    pivot and LWW-reducing the concatenation is exact."""
+    import numpy as np
+
+    order_cols = _lww_order(lake_sch, LSN_COL)
+    two = len(key_cols) == 2
+    sources = [_iter_file_chunks(f, lake_sch, chunk_rows) for f in files]
+    if extra_sorted is not None and extra_sorted.num_rows:
+        sources.append(_iter_table_chunks(normalize_table(extra_sorted, lake_sch), chunk_rows))
+    bufs: list[pa.Table | None] = [None] * len(sources)
+
+    def refill(i: int) -> None:
+        if bufs[i] is not None and bufs[i].num_rows:
+            return
+        bufs[i] = next(sources[i], None)
+        while bufs[i] is not None and bufs[i].num_rows == 0:
+            bufs[i] = next(sources[i], None)
+
+    for i in range(len(sources)):
+        refill(i)
+    while True:
+        active = [i for i in range(len(sources)) if bufs[i] is not None]
+        if not active:
+            return
+        # pivot: lexicographic min of the buffers' LAST keys
+        lasts = []
+        for i in active:
+            b = bufs[i]
+            k0 = b.column(key_cols[0])[b.num_rows - 1].as_py()
+            k1 = b.column(key_cols[1])[b.num_rows - 1].as_py() if two else None
+            lasts.append((k0, k1, i))
+        p0, p1, _ = min(lasts, key=lambda x: (x[0], x[1]) if two else (x[0],))
+        parts = []
+        for i in active:
+            b = bufs[i]
+            a0 = _np_col(b, key_cols[0])
+            if two:
+                j0 = int(np.searchsorted(a0, p0, "left"))
+                hi = int(np.searchsorted(a0, p0, "right"))
+                a1 = _np_col(b.slice(j0, hi - j0), key_cols[1])
+                cut = j0 + int(np.searchsorted(a1, p1, "right"))
+            else:
+                cut = int(np.searchsorted(a0, p0, "right"))
+            if cut:
+                parts.append(b.slice(0, cut))
+                rest = b.slice(cut)
+                bufs[i] = rest if rest.num_rows else None
+                refill(i)
+        merged = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        yield lww_reduce(merged, key_cols, order_cols)
+
+
+def _write_merged_stream(
+    tmp_path: str,
+    files: list[str],
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    extra_sorted: pa.Table | None = None,
+    epoch_id: int = 0,
+    ttl: int | None = None,
+) -> tuple[int, int]:
+    """Stream the partition merge to ``tmp_path`` — one parquet row group
+    per merged chunk, so compaction peak memory is O(chunk × files), not
+    O(partition). Applies the tombstone-TTL filter chunk-locally. Returns
+    ``(rows_written, tombstones)``. Wide PKs / non-CDC layouts fall back
+    to the full in-memory merge."""
+
+    def chunks():
+        if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(list(files)):
+            yield from iter_merged_partition(list(files), lake_sch, key_cols, extra_sorted)
+        else:
+            t = merge_partition_files(list(files), lake_sch, key_cols)
+            if extra_sorted is not None and extra_sorted.num_rows:
+                t = lww_reduce(
+                    pa.concat_tables([t, extra_sorted]), key_cols, _lww_order(lake_sch, LSN_COL)
+                )
+            yield t
+
+    writer = None
+    rows = tomb = 0
+    try:
+        for chunk in chunks():
+            if ttl is not None:
+                # GC tombstones older than the out-of-orderness horizon: an
+                # event that could resurrect the key can no longer arrive
+                expired = pc.and_(
+                    chunk.column(DELETED_COL), pc.less(chunk.column(LSN_COL), epoch_id - ttl)
+                )
+                chunk = chunk.filter(pc.invert(expired))
+            if writer is None:
+                writer = pq.ParquetWriter(tmp_path, chunk.schema)
+            writer.write_table(chunk)
+            rows += chunk.num_rows
+            tomb += pc.sum(chunk.column(DELETED_COL)).as_py() or 0
+        if writer is None:  # empty partition still needs a valid file
+            writer = pq.ParquetWriter(tmp_path, lake_sch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows, tomb
+
+
 def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
     """Build the per-partition merge fn for ``groupby('pid').map_groups``.
 
@@ -179,43 +334,42 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
         changes = lww_reduce(changes, key_cols, _lww_order(lake_sch, LSN_COL))  # key-sorted
 
         existing = ctx["part_files"].get(pid, [])
-        if len(existing) + 1 > ctx["compact_every"]:
-            # compaction: fold base+deltas+changes into one base file.
-            # Amortized write volume = changes + table/compact_every per
-            # epoch (LSM-style merge-on-read, SURVEY.md §7.4 COW note).
-            merged = merge_partition_files(existing, lake_sch, key_cols)
-            merged = lww_reduce(pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL))
-            ttl = ctx.get("tombstone_ttl_lsn")
-            if ttl is not None:
-                expired = pc.and_(
-                    merged.column(DELETED_COL),
-                    pc.less(merged.column(LSN_COL), ctx["epoch_id"] - ttl),
-                )
-                merged = merged.filter(pc.invert(expired))
-            mode = "base"
-        else:
-            # delta write: the epoch's reduced changes only — apply never
-            # touches existing data outside compaction epochs
-            merged = changes
-            mode = "delta"
-
+        compacting = len(existing) + 1 > ctx["compact_every"]
+        mode = "base" if compacting else "delta"
         out_dir = os.path.join(
             ctx["table_dir"], "data", f"part={pid:05d}", f"epoch={ctx['epoch_id']:012d}"
         )
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
         tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(merged, tmp)
+        if compacting:
+            # compaction: STREAM base+deltas+changes into one base file —
+            # write volume amortizes to changes + table/compact_every per
+            # epoch (LSM merge-on-read), peak memory O(chunk × files)
+            rows, tombstones = _write_merged_stream(
+                tmp,
+                existing,
+                lake_sch,
+                key_cols,
+                extra_sorted=changes,
+                epoch_id=ctx["epoch_id"],
+                ttl=ctx.get("tombstone_ttl_lsn"),
+            )
+        else:
+            # delta write: the epoch's reduced changes only — apply never
+            # touches existing data outside compaction epochs
+            pq.write_table(changes, tmp)
+            rows = changes.num_rows
+            tombstones = pc.sum(changes.column(DELETED_COL)).as_py() or 0
         os.replace(tmp, path)  # idempotent under retry: deterministic content+path
 
-        tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
         return pa.Table.from_pylist(
             [
                 {
                     "pid": pid,
                     "path": path,
                     "mode": mode,
-                    "rows_live": merged.num_rows - tombstones,
+                    "rows_live": rows - tombstones,
                     "tombstones": tombstones,
                     "bytes": os.path.getsize(path),
                     "events": n_events,
@@ -321,39 +475,35 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     n_events = sum(p.num_rows for p in parts)
 
     existing = ctx["part_files"].get(pid, [])
-    if len(existing) + 1 > ctx["compact_every"]:
-        merged = merge_partition_files(existing, lake_sch, key_cols)
-        merged = lww_reduce(
-            pa.concat_tables([merged, changes]), key_cols, _lww_order(lake_sch, LSN_COL)
-        )
-        ttl = ctx.get("tombstone_ttl_lsn")
-        if ttl is not None:
-            # GC tombstones older than the out-of-orderness horizon: an
-            # event that could still resurrect the key can no longer arrive
-            expired = pc.and_(
-                merged.column(DELETED_COL),
-                pc.less(merged.column(LSN_COL), ctx["epoch_id"] - ttl),
-            )
-            merged = merged.filter(pc.invert(expired))
-        mode = "base"
-    else:
-        merged = changes
-        mode = "delta"
-
+    compacting = len(existing) + 1 > ctx["compact_every"]
+    mode = "base" if compacting else "delta"
     out_dir = os.path.join(
         ctx["table_dir"], "data", f"part={pid:05d}", f"epoch={ctx['epoch_id']:012d}"
     )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(merged, tmp)
+    if compacting:
+        # streamed fold (see make_partition_applier): O(chunk) peak memory
+        rows, tombstones = _write_merged_stream(
+            tmp,
+            existing,
+            lake_sch,
+            key_cols,
+            extra_sorted=changes,
+            epoch_id=ctx["epoch_id"],
+            ttl=ctx.get("tombstone_ttl_lsn"),
+        )
+    else:
+        pq.write_table(changes, tmp)
+        rows = changes.num_rows
+        tombstones = pc.sum(changes.column(DELETED_COL)).as_py() or 0
     os.replace(tmp, path)
-    tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
     return {
         "pid": pid,
         "path": path,
         "mode": mode,
-        "rows_live": merged.num_rows - tombstones,
+        "rows_live": rows - tombstones,
         "tombstones": tombstones,
         "bytes": os.path.getsize(path),
         "events": n_events,
@@ -781,14 +931,27 @@ class CDCEngine:
         lake = man.schema
         key_cols = self.key_cols
 
-        def resolve(batch: pa.Table) -> pa.Table:
+        def resolve(batch: pa.Table):
             _single_threaded_arrow()
-            out = []
+            yielded = False
             for row in batch.to_pylist():
-                t = merge_partition_files(list(row["files"]), lake, key_cols)
-                t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
-                out.append(t)
-            return pa.concat_tables(out) if out else public.empty_table()
+                files = list(row["files"])
+                if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(files):
+                    # streamed row-group merge: peak memory O(chunk × files),
+                    # so partition size is not bounded by worker heap
+                    for chunk in iter_merged_partition(files, lake, key_cols):
+                        out = chunk.filter(pc.invert(chunk.column(DELETED_COL)))
+                        if out.num_rows:
+                            yielded = True
+                            yield out.select(public.names)
+                else:  # writer-staged (unsorted) or wide-PK table: full merge
+                    t = merge_partition_files(files, lake, key_cols)
+                    t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
+                    if t.num_rows:
+                        yielded = True
+                        yield t
+            if not yielded:
+                yield public.empty_table()
 
         return ray.data.from_items(parts).map_batches(
             resolve, batch_format="pyarrow", batch_size=1
@@ -819,21 +982,15 @@ class CDCEngine:
         @ray.remote
         def fold(pid: int, files: list[str]) -> dict:
             _single_threaded_arrow()
-            merged = merge_partition_files(files, lake, key_cols)
-            if ttl is not None:
-                expired = pc.and_(
-                    merged.column(DELETED_COL),
-                    pc.less(merged.column(LSN_COL), epoch_id - ttl),
-                )
-                merged = merged.filter(pc.invert(expired))
             out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"epoch={epoch_id:012d}")
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, f"base-{pid:05d}-{epoch_id:012d}.parquet")
             tmp = f"{path}.tmp-{os.getpid()}"
-            pq.write_table(merged, tmp)
+            rows, tombstones = _write_merged_stream(
+                tmp, files, lake, key_cols, epoch_id=epoch_id, ttl=ttl
+            )
             os.replace(tmp, path)
-            tombstones = pc.sum(merged.column(DELETED_COL)).as_py() or 0
-            return {"pid": pid, "path": path, "rows_live": merged.num_rows - tombstones}
+            return {"pid": pid, "path": path, "rows_live": rows - tombstones}
 
         metas = ray.get([fold.remote(pid, man.partitions[pid].files) for pid in targets])
         new_man = Manifest.from_json(man.to_json())

@@ -1,0 +1,131 @@
+"""Streamed row-group partition merge: the k-way chunk merge must produce
+byte-identical results to the full in-memory merge-on-read, across chunk
+boundaries, schema-evolved old files, tombstones, and an in-memory extra
+stream (the compaction path's epoch changes). No Ray needed."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_framework_ray.pipelines.cdc import (
+    _write_merged_stream,
+    iter_merged_partition,
+    merge_partition_files,
+)
+from etl_framework_ray.stages.lww import lww_reduce
+
+LAKE = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("text", pa.large_string()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("_lsn", pa.int64(), nullable=False),
+        pa.field("_deleted", pa.bool_(), nullable=False),
+    ]
+)
+KEYS = ("conv_id", "turn_idx")
+
+
+def _file(tmp_path, name, rows, drop_text=False):
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.large_string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "_lsn": pa.array([r[4] for r in rows], pa.int64()),
+            "_deleted": pa.array([r[5] for r in rows], pa.bool_()),
+        }
+    )
+    t = lww_reduce(t, KEYS, ("ts", "_lsn"))  # engine files are LWW outputs
+    if drop_text:
+        t = t.drop_columns(["text"])  # pre-evolution file
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _synth_partition(tmp_path):
+    rng = np.random.default_rng(9)
+    files = []
+    lsn = 0
+    for e in range(4):  # 4 "epochs" of deltas over overlapping keys
+        rows = []
+        for _ in range(600):
+            c = f"conv-{rng.integers(0, 12):04d}"
+            t = int(rng.integers(0, 40))
+            lsn += 1
+            rows.append((c, t, f"v{lsn}", lsn * 1000, lsn, bool(rng.random() < 0.05)))
+        files.append(
+            _file(tmp_path, f"base-00000-{e:012d}.parquet" if e == 0 else f"delta-00000-{e:012d}.parquet", rows, drop_text=(e == 0))
+        )
+    return files
+
+
+def test_streamed_equals_full_merge(tmp_path):
+    files = _synth_partition(tmp_path)
+    full = merge_partition_files(files, LAKE, KEYS)
+    for chunk_rows in (7, 64, 100000):  # force many/one chunk(s)
+        chunks = list(iter_merged_partition(files, LAKE, KEYS, chunk_rows=chunk_rows))
+        streamed = pa.concat_tables(chunks)
+        assert streamed.equals(full), f"chunk_rows={chunk_rows}"
+        # key-complete chunks: strictly increasing keys across the stream
+        keys = list(zip(streamed.column("conv_id").to_pylist(), streamed.column("turn_idx").to_pylist()))
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_streamed_with_extra_changes(tmp_path):
+    files = _synth_partition(tmp_path)
+    extra_rows = [("conv-0002", t, f"new{t}", 10_000_000, 100_000 + t, False) for t in range(50)]
+    extra = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in extra_rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in extra_rows], pa.int32()),
+            "text": pa.array([r[2] for r in extra_rows], pa.large_string()),
+            "ts": pa.array([r[3] for r in extra_rows], pa.timestamp("us")),
+            "_lsn": pa.array([r[4] for r in extra_rows], pa.int64()),
+            "_deleted": pa.array([r[5] for r in extra_rows], pa.bool_()),
+        }
+    )
+    from etl_framework_ray.state.schema import normalize_table
+
+    extra = normalize_table(lww_reduce(extra, KEYS, ("ts", "_lsn")), LAKE)
+    full = lww_reduce(
+        pa.concat_tables([merge_partition_files(files, LAKE, KEYS), extra]), KEYS, ("ts", "_lsn")
+    )
+    streamed = pa.concat_tables(
+        iter_merged_partition(files, LAKE, KEYS, extra_sorted=extra, chunk_rows=64)
+    )
+    assert streamed.equals(full)
+    # every new-change key won the merge
+    by_key = {
+        (c, t): x
+        for c, t, x in zip(
+            streamed.column("conv_id").to_pylist(),
+            streamed.column("turn_idx").to_pylist(),
+            streamed.column("text").to_pylist(),
+        )
+    }
+    for t in range(50):
+        assert by_key[("conv-0002", t)] == f"new{t}"
+
+
+def test_write_merged_stream_file_and_ttl(tmp_path):
+    files = _synth_partition(tmp_path)
+    out = str(tmp_path / "folded.parquet")
+    rows, tomb = _write_merged_stream(out, files, LAKE, KEYS)
+    folded = pq.read_table(out)
+    assert folded.equals(merge_partition_files(files, LAKE, KEYS))
+    assert rows == folded.num_rows
+    assert tomb == folded.column("_deleted").to_pandas().sum()
+    # TTL drops old tombstones chunk-locally, identically to the full path
+    out2 = str(tmp_path / "folded_ttl.parquet")
+    rows2, tomb2 = _write_merged_stream(out2, files, LAKE, KEYS, epoch_id=3000, ttl=500)
+    folded2 = pq.read_table(out2)
+    assert rows2 < rows and tomb2 < tomb
+    import pyarrow.compute as pc
+
+    expired = pc.and_(folded.column("_deleted"), pc.less(folded.column("_lsn"), 3000 - 500))
+    assert folded2.equals(folded.filter(pc.invert(expired)))
