@@ -102,6 +102,9 @@ _META_SCHEMA = pa.schema(
         pa.field("tombstones", pa.int64()),
         pa.field("bytes", pa.int64()),
         pa.field("events", pa.int64()),
+        #: set when a compacting apply also persisted the epoch's changes
+        #: as a retained changefeed delta
+        pa.field("retained_path", pa.string()),
     ]
 )
 
@@ -342,6 +345,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
         tmp = f"{path}.tmp-{os.getpid()}"
+        retained_path = None
         if compacting:
             # compaction: STREAM base+deltas+changes into one base file —
             # write volume amortizes to changes + table/compact_every per
@@ -355,6 +359,15 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
                 epoch_id=ctx["epoch_id"],
                 ttl=ctx.get("tombstone_ttl_lsn"),
             )
+            if ctx.get("retain_changefeed"):
+                # the epoch's changes fold straight into the base, so also
+                # persist them as a retained changefeed delta
+                retained_path = os.path.join(
+                    out_dir, f"delta-{pid:05d}-{ctx['epoch_id']:012d}.parquet"
+                )
+                tmpd = f"{retained_path}.tmp-{os.getpid()}"
+                pq.write_table(changes, tmpd)
+                os.replace(tmpd, retained_path)
         else:
             # delta write: the epoch's reduced changes only — apply never
             # touches existing data outside compaction epochs
@@ -373,6 +386,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
                     "tombstones": tombstones,
                     "bytes": os.path.getsize(path),
                     "events": n_events,
+                    "retained_path": retained_path,
                 }
             ],
             schema=_META_SCHEMA,
@@ -483,6 +497,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{mode}-{pid:05d}-{ctx['epoch_id']:012d}.parquet")
     tmp = f"{path}.tmp-{os.getpid()}"
+    retained_path = None
     if compacting:
         # streamed fold (see make_partition_applier): O(chunk) peak memory
         rows, tombstones = _write_merged_stream(
@@ -494,6 +509,13 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
             epoch_id=ctx["epoch_id"],
             ttl=ctx.get("tombstone_ttl_lsn"),
         )
+        if ctx.get("retain_changefeed"):
+            retained_path = os.path.join(
+                out_dir, f"delta-{pid:05d}-{ctx['epoch_id']:012d}.parquet"
+            )
+            tmpd = f"{retained_path}.tmp-{os.getpid()}"
+            pq.write_table(changes, tmpd)
+            os.replace(tmpd, retained_path)
     else:
         pq.write_table(changes, tmp)
         rows = changes.num_rows
@@ -507,6 +529,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
         "tombstones": tombstones,
         "bytes": os.path.getsize(path),
         "events": n_events,
+        "retained_path": retained_path,
     }
 
 
@@ -599,6 +622,7 @@ class CDCEngine:
         exchange: str = "ray",  # "ray" (direct hash exchange) | "sort" (Dataset groupby)
         tombstone_ttl_lsn: int | None = None,
         create_if_missing: bool = True,
+        changefeed_retention_lsn: int | None = None,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -615,6 +639,13 @@ class CDCEngine:
         #: tombstones forever (always safe, grows with total deletes — at
         #: 10^10 events set this to the source's re-delivery horizon).
         self.tombstone_ttl_lsn = tombstone_ttl_lsn
+        #: changefeed retention horizon: when set, delta files folded by a
+        #: compaction (or salt migration) are RETAINED in the manifest for
+        #: this many LSNs past their retirement instead of being vacuumed,
+        #: so ``read_changes`` keeps serving consumers that lag past a
+        #: compaction cycle. None = old behavior (retention horizon IS the
+        #: compaction cadence).
+        self.changefeed_retention_lsn = changefeed_retention_lsn
         self.store = ManifestStore(table_dir)
         self.run_context = run_context or RunContext()
         #: per-path schema cache — segment files are immutable, so the
@@ -652,6 +683,41 @@ class CDCEngine:
         """Hot-key fanout map (leading-key value → fanout), committed in
         the manifest so routing stays consistent across epochs/restarts."""
         return self.manifest.properties.get("salt_map", {})
+
+    # -- changefeed retention ------------------------------------------
+    def _retire_deltas(self, new_man: Manifest, old_files: list[str]) -> None:
+        """Move superseded DELTA files into the manifest's retained-deltas
+        registry (changefeed retention) instead of letting vacuum take
+        them. Base files need no retention — the feed never reads them."""
+        if self.changefeed_retention_lsn is None:
+            return
+        import re
+
+        delta_re = re.compile(r"^delta-(\d+)-(\d+)\.parquet$")
+        entries = new_man.properties.setdefault("retained_deltas", [])
+        for f in old_files:
+            m = delta_re.match(os.path.basename(f))
+            if m:
+                entries.append({"path": f, "epoch_id": int(m.group(2))})
+
+    def _prune_retained(self, new_man: Manifest) -> None:
+        """Drop retained deltas past the retention horizon and advance the
+        changefeed floor (the oldest since_lsn still reconstructible)."""
+        if self.changefeed_retention_lsn is None:
+            return
+        entries = new_man.properties.get("retained_deltas", [])
+        if not entries:
+            return
+        cutoff = new_man.applied_lsn - self.changefeed_retention_lsn
+        floor = int(new_man.properties.get("changefeed_floor", 0))
+        keep = []
+        for e in entries:
+            if e["epoch_id"] <= cutoff:
+                floor = max(floor, int(e["epoch_id"]))
+            else:
+                keep.append(e)
+        new_man.properties["retained_deltas"] = keep
+        new_man.properties["changefeed_floor"] = floor
 
     def _public_schema(self) -> pa.Schema:
         lake = self.manifest.schema
@@ -739,6 +805,7 @@ class CDCEngine:
                 "epoch_id": epoch.epoch_id,
                 "compact_every": self.compact_every,
                 "tombstone_ttl_lsn": self.tombstone_ttl_lsn,
+                "retain_changefeed": self.changefeed_retention_lsn is not None,
                 "part_files": {pid: ps.files for pid, ps in man.partitions.items()},
             }
         )
@@ -811,6 +878,12 @@ class CDCEngine:
             pid = int(m["pid"])
             prev = new_man.partitions.get(pid)
             if m["mode"] == "base" or prev is None:
+                if prev is not None:
+                    self._retire_deltas(new_man, prev.files)
+                if m.get("retained_path"):
+                    new_man.properties.setdefault("retained_deltas", []).append(
+                        {"path": m["retained_path"], "epoch_id": epoch.epoch_id}
+                    )
                 files = [m["path"]]  # compaction replaces the whole stack
             else:
                 files = [*prev.files, m["path"]]  # delta appends (oldest first)
@@ -828,6 +901,7 @@ class CDCEngine:
                 **rc,
             }
         )
+        self._prune_retained(new_man)
         self.store.commit(new_man)
         self.manifest = new_man
         return new_man.history[-1]
@@ -996,9 +1070,11 @@ class CDCEngine:
         new_man = Manifest.from_json(man.to_json())
         new_man.version = man.version + 1
         for m in metas:
+            self._retire_deltas(new_man, new_man.partitions[m["pid"]].files)
             new_man.partitions[m["pid"]] = PartitionState(
                 files=[m["path"]], applied_lsn=epoch_id, rows=int(m["rows_live"])
             )
+        self._prune_retained(new_man)
         new_man.history.append(
             {"op": "compact", "version": new_man.version, "partitions": len(metas), **self.run_context.as_dict()}
         )
@@ -1083,9 +1159,10 @@ class CDCEngine:
         )
         new_man = Manifest.from_json(man.to_json())
         new_man.version = version
-        new_man.properties = {**man.properties, "salt_map": {**known, **new_keys}}
+        new_man.properties = {**new_man.properties, "salt_map": {**known, **new_keys}}
         for m in metas:
             src = int(m["pid"])
+            self._retire_deltas(new_man, new_man.partitions[src].files)
             new_man.partitions[src] = PartitionState(
                 files=[m["kept_path"]] if m["kept_path"] else [],
                 applied_lsn=man.applied_lsn,
@@ -1106,6 +1183,7 @@ class CDCEngine:
                 **self.run_context.as_dict(),
             }
         )
+        self._prune_retained(new_man)
         self.store.commit(new_man)
         self.manifest = new_man
         return new_keys
@@ -1121,14 +1199,24 @@ class CDCEngine:
         LWW-reduced per key, tombstones INCLUDED (``_deleted`` marks
         downstream deletes).
 
-        Raises if a compaction has folded any needed delta into a base file
-        since ``since_lsn`` — the feed's retention horizon is the
-        compaction cadence (consumers must poll within
-        ``compact_every × epoch`` intervals, or replay from a snapshot)."""
+        Retention: with ``changefeed_retention_lsn`` set, delta files
+        folded by compactions/salt migrations stay readable from the
+        manifest's retained-deltas registry for that many LSNs, so
+        consumers may lag past compaction cycles; polling BEHIND the
+        retention floor raises. Without retention (default), the horizon
+        is the compaction cadence — a folded base newer than ``since_lsn``
+        raises immediately."""
         import re
 
         man = self.manifest
         lake = man.schema
+        retention_on = self.changefeed_retention_lsn is not None
+        floor = int(man.properties.get("changefeed_floor", 0))
+        if retention_on and since_lsn < floor:
+            raise RuntimeError(
+                f"changes since {since_lsn} are past the retention floor "
+                f"({floor}); replay from a snapshot"
+            )
         cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
         delta_files: list[str] = []
         for pid in sorted(man.partitions):
@@ -1144,12 +1232,22 @@ class CDCEngine:
                 if epoch_id <= since_lsn:
                     continue
                 if mode == "base":
+                    if retention_on:
+                        # the base's content above since_lsn is fully covered
+                        # by retained + live deltas (floor check passed)
+                        continue
                     raise RuntimeError(
                         f"changes since {since_lsn} were compacted into "
                         f"{os.path.basename(f)}; replay from a snapshot or "
                         "poll within the compaction horizon"
                     )
                 delta_files.append(f)
+        if retention_on:
+            delta_files.extend(
+                e["path"]
+                for e in man.properties.get("retained_deltas", [])
+                if int(e["epoch_id"]) > since_lsn
+            )
         if not delta_files:
             return lake.empty_table()
         t = pa.concat_tables([normalize_table(pq.read_table(f), lake) for f in delta_files])

@@ -169,8 +169,12 @@ class ManifestStore:
     def vacuum(self, manifest: Manifest) -> int:
         """Delete data files not referenced by the committed manifest
         (orphans from replaced COW partitions or crashed attempts). Safe to
-        run any time after commit; returns number of files removed."""
+        run any time after commit; returns number of files removed.
+
+        Retained changefeed deltas (``properties['retained_deltas']``) are
+        live until their retention expires and the engine prunes them."""
         live = set(manifest.data_files())
+        live.update(e["path"] for e in manifest.properties.get("retained_deltas", []))
         removed = 0
         data_dir = os.path.join(self.table_dir, "data")
         for root, _dirs, files in os.walk(data_dir):

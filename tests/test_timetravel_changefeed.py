@@ -72,3 +72,56 @@ def test_changefeed_raises_after_compaction(tmp_path):
         eng.apply_epoch(ep)
     with pytest.raises(RuntimeError, match="compacted"):
         eng.read_changes(since_lsn=watermark)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changefeed_retention_survives_compaction(tmp_path):
+    """With changefeed_retention_lsn set, folded deltas stay readable:
+    the feed after aggressive compaction must EQUAL the feed of an
+    uncompacted twin table, and vacuum must not remove retained files."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+
+    compacting = CDCEngine(
+        str(tmp_path / "a"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=10_000,
+    )
+    plain = CDCEngine(str(tmp_path / "b"), num_partitions=4, compact_every=100)
+    epochs = clog.epochs(1)
+    compacting.apply_epoch(epochs[0])
+    plain.apply_epoch(epochs[0])
+    watermark = compacting.manifest.applied_lsn
+    for ep in epochs[1:]:
+        compacting.apply_epoch(ep)
+        plain.apply_epoch(ep)
+    compacting.vacuum()  # must keep retained deltas on disk
+
+    a = compacting.read_changes(since_lsn=watermark)
+    b = plain.read_changes(since_lsn=watermark)
+    key = lambda t: sorted(
+        (r["conv_id"], r["turn_idx"], r["_lsn"], r["_deleted"]) for r in t.to_pylist()
+    )
+    assert key(a) == key(b)
+    assert a.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changefeed_retention_expiry(tmp_path):
+    """Past the retention horizon the feed raises; within it, it serves."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)  # 8 epochs of 500 LSNs
+
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=1_200,  # ~2.4 epochs
+    )
+    for ep in clog.epochs(1):
+        eng.apply_epoch(ep)
+    floor = eng.manifest.properties.get("changefeed_floor", 0)
+    assert floor > 0  # old deltas were pruned
+    with pytest.raises(RuntimeError, match="retention floor"):
+        eng.read_changes(since_lsn=floor - 400)
+    recent = eng.read_changes(since_lsn=floor)  # at the floor: served
+    assert recent.num_rows > 0
