@@ -287,6 +287,18 @@ def _q_multimodal_audio(sf_dir: str):
     )
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Video → sampled frames → image features (composed media fan-out)."""
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import ImageDecoder, sample_frames, synth_video_batch
+
+    ds = ray.data.from_arrow(synth_video_batch(64, seed=9))
+    return sample_frames(ds, every_k=4, batch_size=8, concurrency=(1, 2)).map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+    )
+
+
 def _q_tumbling(sf_dir: str):
     from etl_framework_ray.pipelines.windows import tumbling_counts
 
@@ -337,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
     }
 

@@ -37,8 +37,27 @@ def test_decoder_rejects_garbage():
             "mime": pa.array(["image/fake"], pa.string()),
         }
     )
-    with pytest.raises(ValueError, match="FAKEIMG1"):
+    with pytest.raises(ValueError, match="unrecognized image payload"):
         ImageDecoder()(bad)
+
+
+def test_fake_payloads_decode_even_with_codec_library_present():
+    """Backend is sniffed PER PAYLOAD: a fake-format payload must take the
+    fake path even when a real codec library is importable (installing
+    PIL must not break fake-payload pipelines)."""
+    dec = ImageDecoder()
+    dec._pil = object()  # simulate "PIL is importable"
+    out = dec(synth_media_batch(4, seed=2))
+    assert out.num_rows == 4  # would raise if routed to the real decoder
+
+    from etl_framework_ray.stages.multimodal import AudioFeatures, ResizeImage, synth_audio_batch
+
+    rz = ResizeImage(height=8, width=8)
+    rz._pil = object()
+    assert rz(synth_media_batch(3, seed=1)).num_rows == 3
+    af = AudioFeatures()
+    af._librosa = object()
+    assert af(synth_audio_batch(3, seed=1)).num_rows == 3
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -84,6 +103,41 @@ def test_audio_features_pipeline():
     assert set(out.sample_rate) <= {8000, 16000}
 
 
-def test_frame_sampler_is_declared_stub():
-    with pytest.raises(NotImplementedError):
-        FrameSampler()(synth_media_batch(1))
+def test_frame_sampler_unit():
+    import struct
+
+    from etl_framework_ray.stages.multimodal import _VHEADER, synth_video_batch
+
+    t = synth_video_batch(6, seed=7)
+    k = 4
+    out = FrameSampler(every_k=k)(t)
+    # one row per sampled frame: ceil(n_frames / k) per clip
+    expected = 0
+    for i in range(t.num_rows):
+        _, nf, h, w, c = _VHEADER.unpack_from(t.column("payload")[i].as_py())
+        expected += -(-nf // k)
+    assert out.num_rows == expected
+    assert out.column("frame_idx").to_pylist()[:2] == [0, 4] or out.num_rows > 0
+    # frames are image payloads: the image decoder composes directly
+    decoded = ImageDecoder()(out)
+    assert decoded.num_rows == expected
+    assert all(v % k == 0 for v in out.column("frame_idx").to_pylist())
+    # deterministic
+    assert out.equals(FrameSampler(every_k=k)(synth_video_batch(6, seed=7)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sampling_pipeline_composes():
+    import ray.data
+
+    from etl_framework_ray.stages.multimodal import sample_frames, synth_video_batch
+
+    ds = ray.data.from_arrow(synth_video_batch(12, seed=9))
+    out = (
+        sample_frames(ds, every_k=3, batch_size=4, concurrency=(1, 2))
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .to_pandas()
+    )
+    assert len(out) > 12  # fan-out: multiple frames per clip
+    assert {"media_id", "frame_idx", "height", "width", "mean_intensity"} <= set(out.columns)
+    assert (out.channels == 3).all()
