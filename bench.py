@@ -61,9 +61,12 @@ BENCH_QUERIES = [
     "text_stats",
     "exact_dedup_docs",
     "minhash_dedup",
+    "simhash_dedup",
     "embedding_dedup",
+    "embedding_dedup_lsh",
     "ann_topk",
     "langid",
+    "multimodal_frames",
 ]
 
 

@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
 
+    pg = sub.add_parser(
+        "mitigate-skew", help="detect hot keys from lineage metrics, salt + migrate them"
+    )
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--factor", type=float, default=4.0)
+    pg.add_argument("--fanout", type=int, default=None)
+
     args = p.parse_args(argv)
 
     started_ray = False
@@ -141,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum()}))
+    elif args.cmd == "mitigate-skew":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        salted = eng.mitigate_skew(factor=args.factor, fanout=args.fanout)
+        print(json.dumps({"salted_keys": salted, "salt_map": eng.salt_map}))
     if started_ray:  # only shut down a session this CLI run created
         import ray as _ray
 

@@ -139,13 +139,22 @@ class LakeWriter:
         os.makedirs(seg_dir, exist_ok=True)
 
         schema_names = set(ds.schema().names)
-        missing = [n for n in names if n not in schema_names]
+        if op == "D":
+            # deletes carry only the key (+ optional event time): payload
+            # columns are nulled, a missing ts is stamped once with the
+            # delete time so the tombstone wins (ts,lsn) LWW "now"
+            required = list(self.spec.primary_key)
+        else:
+            required = names
+        missing = [n for n in required if n not in schema_names]
         if missing:
             raise ValueError(
                 f"source is missing declared columns {missing} of table {self.spec.name!r}"
             )
         gate = self._make_gate()
-        checks = build_checks(self.spec)
+        # tombstones have no payload to validate — gating them against
+        # payload rules would spuriously trip NOT NULL checks
+        checks = build_checks(self.spec) if op != "D" else []
         key_cols = tuple(self.spec.primary_key) or (names[0],)
         rc = self.run_context.as_dict()
         agg: dict[str, int] = {}
@@ -167,7 +176,15 @@ class LakeWriter:
             lsn = pa.array(range(start + offset, start + offset + n), pa.int64())
             cols = {"lsn": lsn, "op": pa.array([op] * n, pa.string())}
             for name in names:
-                cols[name] = batch.column(name)
+                if name in batch.column_names:
+                    cols[name] = batch.column(name)
+                elif name == "ts":
+                    import datetime
+
+                    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+                    cols[name] = pa.array([now] * n, self.spec.column(name).dtype)
+                else:
+                    cols[name] = pa.nulls(n, self.spec.column(name).dtype)
             tables.append(pa.table(cols))
             offset += n
         if checks and offset:
@@ -206,6 +223,24 @@ class LakeWriter:
             return {}  # empty source is a no-op merge
         info = self.engine.apply_epoch(epoch)
         return info or {}
+
+    def delete(self, ds: "ray.data.Dataset") -> dict:
+        """Delete by primary key: stages ``op='D'`` tombstone events for
+        the source rows' keys and applies them through the CDC engine —
+        merge-on-read hides the keys, late redelivery of older events
+        cannot resurrect them, and tombstone-TTL GC applies. The source
+        needs only the PK columns (an optional ``ts`` column sets the
+        delete's event time; otherwise the delete is stamped "now" so it
+        wins LWW). Extends the reference writer surface — its MERGE has
+        no delete clause — with the engine's native tombstone path."""
+        if not self.spec.primary_key:
+            raise ValueError(
+                f"DELETE requires a primary key on table {self.spec.name!r}"
+            )
+        epoch = self._stage_changelog(ds, op="D")
+        if epoch is None:
+            return {}
+        return self.engine.apply_epoch(epoch) or {}
 
     def append(self, ds: "ray.data.Dataset") -> int:
         """Append rows (PK-less audit-table semantics): new delta files join

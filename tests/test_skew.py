@@ -132,3 +132,23 @@ def test_mitigate_noop_without_composite_pk(tmp_path):
     )
     eng = CDCEngine(str(tmp_path / "t"), spec=spec, num_partitions=4)
     assert eng.mitigate_skew() == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_mitigate_skew(tmp_path, capsys):
+    import json
+
+    from etl_framework_ray.__main__ import main
+
+    log = _skewed_log()
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=3_000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog, segments_per_epoch=2)  # skewed, unmitigated
+
+    main(["mitigate-skew", "--table", str(tmp_path / "tbl")])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "conv-000000" in out["salted_keys"]
+    # committed state unchanged by the migration
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    assert eng2.snapshot_arrow().num_rows == len(oracle_replay(log))

@@ -126,3 +126,45 @@ def test_overwrite_error_gate_aborts_before_write(tmp_path):
         w.overwrite(ray.data.from_arrow(pa.table({"k": [2], "price": [-1.0]})))
     assert w.engine.manifest.version == v  # nothing committed
     assert [r["k"] for r in w.read().take_all()] == [1]  # table unchanged
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delete_by_primary_key(tmp_path):
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "slo"), SLO_SPEC, num_partitions=2)
+    w.merge(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17", "2026-08-17", "2026-08-18"],
+        "job_name": ["a", "b", "a"],
+        "ready_by_09": [True, False, True],
+    })))
+    # delete needs only the PK columns
+    w.delete(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17"],
+        "job_name": ["b"],
+    })))
+    rows = {(r["date"], r["job_name"]) for r in w.engine.snapshot_arrow().to_pylist()}
+    assert rows == {("2026-08-17", "a"), ("2026-08-18", "a")}
+    # a later merge re-inserts the key (tombstone superseded by newer LSN)
+    w.merge(ray.data.from_arrow(pa.table({
+        "date": ["2026-08-17"], "job_name": ["b"], "ready_by_09": [True],
+    })))
+    assert w.engine.snapshot_arrow().num_rows == 3
+
+
+def test_delete_requires_pk(tmp_path):
+    w = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    with pytest.raises(ValueError, match="DELETE requires a primary key"):
+        w.delete(None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delete_skips_payload_gate(tmp_path):
+    """Tombstones carry no payload — NOT NULL / range rules must not trip."""
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "g"), GATED_SPEC, num_partitions=2)
+    w.merge(ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                          "price": pa.array([1.0, 2.0])})))
+    w.delete(ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})))
+    assert w.engine.snapshot_arrow().to_pylist() == [{"k": 2, "price": 2.0}]
