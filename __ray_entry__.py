@@ -260,6 +260,16 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) approximate top-k — rows-only."""
+    import ray.data
+
+    from etl_framework_ray.stages.similarity import ann_ivf_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=5, nlist=8, nprobe=4)
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data
 
@@ -347,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frames": _q_multimodal_frames,

@@ -1,9 +1,9 @@
-"""ANN tests: brute-force vs numpy oracle; LSH recall vs brute force."""
+"""ANN tests: brute-force vs numpy oracle; LSH/IVF recall vs brute force."""
 
 import numpy as np
 import pytest
 
-from etl_framework_ray.stages.similarity import ann_lsh_topk, ann_topk
+from etl_framework_ray.stages.similarity import ann_ivf_topk, ann_lsh_topk, ann_topk
 
 SF = "/root/testdata/sf0.001"
 QUERIES = [0, 1, 2, 3, 4]
@@ -54,3 +54,30 @@ def test_lsh_recall_reasonable(emb):
     # and aggregate recall must beat random chance by a wide margin
     assert got.groupby("query_id").size().min() >= 1
     assert np.mean(recalls) >= 0.2
+    # hamming-1 multiprobe must dominate single-probe recall
+    single = ann_lsh_topk(ds, QUERIES, k=K, num_planes=4, multiprobe=False).to_pandas()
+    rs = []
+    for q in QUERIES:
+        rs.append(len(set(single[single.query_id == q].vec_id) & exact[q]) / K)
+    assert np.mean(recalls) >= np.mean(rs)
+
+
+def test_ivf_total_probe_equals_exact(emb):
+    """nprobe == nlist scans every cell -> the IVF answer IS the exact
+    answer (same tie-breaks, same rounding)."""
+    ds, ids, mat = emb
+    exact = ann_topk(ds, QUERIES, k=K).to_pandas()
+    ivf = ann_ivf_topk(ds, QUERIES, k=K, nlist=8, nprobe=8).to_pandas()
+    a = exact.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    b = ivf.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    assert a[["query_id", "vec_id"]].equals(b[["query_id", "vec_id"]])
+    assert np.allclose(a.sim, b.sim)
+
+
+def test_ivf_partial_probe_recall(emb):
+    ds, ids, mat = emb
+    exact = {q: set(_numpy_topk(ids, mat, q, K)) for q in QUERIES}
+    got = ann_ivf_topk(ds, QUERIES, k=K, nlist=8, nprobe=4).to_pandas()
+    recalls = [len(set(got[got.query_id == q].vec_id) & exact[q]) / K for q in QUERIES]
+    assert got.groupby("query_id").size().min() >= 1
+    assert np.mean(recalls) >= 0.5  # half the cells scanned
