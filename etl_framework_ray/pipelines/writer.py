@@ -51,6 +51,17 @@ class LakeWriter:
         )
         self.run_context = self.engine.run_context
 
+    @classmethod
+    def from_engine(cls, engine: CDCEngine) -> "LakeWriter":
+        """Wrap an EXISTING engine/table (shares its manifest state) —
+        lets the writer surface (merge/delete/append) operate on a table
+        a CDC replay owns without re-opening it."""
+        w = cls.__new__(cls)
+        w.spec = engine.spec
+        w.engine = engine
+        w.run_context = engine.run_context
+        return w
+
     # ------------------------------------------------------------------
     def read(self) -> "ray.data.Dataset":
         """Committed table as a Dataset in declared column order (S2)."""
