@@ -378,7 +378,11 @@ def oracle_sql() -> dict[str, str]:
             _ensure_changelog(sf)
         except Exception:
             pass
-    sf = "sf0.01"  # driver's correctness tier
+    # driver's correctness tier; GRAFT_ORACLE_SF lets local tooling align
+    # the cdc oracles when checking other tiers (tools/check_correctness)
+    sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    if sf not in _CDC_SIZES:
+        sf = "sf0.01"
     from etl_framework_ray.functions.text import TOKEN_PATTERN
 
     return {

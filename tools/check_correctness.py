@@ -30,7 +30,14 @@ def to_df(res) -> pd.DataFrame:
 
 
 def main(sf_dir: str) -> int:
+    import os
+
     import ray
+
+    # align the cdc oracles' changelog tier with the sf being checked
+    # (the driver always checks sf0.01; this mirror also supports others)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    os.environ.setdefault("GRAFT_ORACLE_SF", base)
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
