@@ -152,3 +152,45 @@ def test_cli_mitigate_skew(tmp_path, capsys):
     # committed state unchanged by the migration
     eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
     assert eng2.snapshot_arrow().num_rows == len(oracle_replay(log))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salt_migration_crash_before_commit_is_invisible(tmp_path):
+    """2PC: a migration that stages files but dies before the manifest
+    commit changes NOTHING visible; vacuum sweeps the orphans; a retried
+    mitigation then succeeds."""
+    import ray as _ray
+
+    from etl_framework_ray.pipelines.cdc import _resalt_partition_task
+
+    log = _skewed_log()
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=3_000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog, segments_per_epoch=2, vacuum=False)
+    before = eng.snapshot_arrow()
+
+    # simulate the crash: stage the migration files, never commit
+    man = eng.manifest
+    hot_pid = max(man.partitions, key=lambda p: man.partitions[p].rows)
+    _ray.get(
+        _resalt_partition_task.remote(
+            eng.table_dir,
+            hot_pid,
+            man.partitions[hot_pid].files,
+            man.schema,
+            eng.key_cols,
+            {"conv-000000": 4},
+            man.num_partitions,
+            man.version + 1,
+            man.applied_lsn,
+        )
+    )
+    # nothing visible changed; a fresh engine sees the same state
+    assert CDCEngine(str(tmp_path / "tbl")).snapshot_arrow().equals(before)
+    # vacuum sweeps the staged orphans
+    assert eng.vacuum() > 0
+    assert eng.snapshot_arrow().equals(before)
+    # the retried mitigation commits atomically and preserves state
+    assert eng.mitigate_skew() != {}
+    assert eng.snapshot_arrow().equals(before)
