@@ -315,6 +315,56 @@ def _q_tumbling(sf_dir: str):
     return tumbling_counts(sf_dir, window_s=3600)
 
 
+def _q_hopping(sf_dir: str):
+    from etl_framework_ray.pipelines.windows import hopping_counts
+
+    return hopping_counts(sf_dir, window_s=3600, hop_s=900)
+
+
+def _q_events_last_order(sf_dir: str):
+    """As-of join: each event picks up the latest order (by date ≤ event
+    time) of the same customer — point-in-time-correct lookup."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.joins import asof_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    # deterministic right side: ONE row per (custkey, date) — max orderkey
+    # (ASOF tie behavior is engine-defined; both sides reduce identically)
+    ded = orders.groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
+    ded = ded.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        events,
+        ded,
+        left_by="user_id",
+        right_by="o_custkey",
+        left_on="ts",
+        right_on="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "last_order_key": batch.column("r_o_orderkey").cast(pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_sessions(sf_dir: str):
     from etl_framework_ray.pipelines.windows import session_windows
 
@@ -343,7 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": m.top_orders,
         "latest_event_per_user": m.latest_event_per_user,
         "tumbling_counts": _q_tumbling,
+        "hopping_counts": _q_hopping,
         "session_windows": _q_sessions,
+        "events_last_order": _q_events_last_order,
         # training-data extensions
         "text_stats": _q_text_stats,
         "exact_dedup_docs": _q_exact_dedup,
@@ -464,6 +516,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2""",
+        "hopping_counts": """
+            WITH hops AS (
+                SELECT event_type, value,
+                       (CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900) AS ws
+                FROM events, (SELECT UNNEST(range(0, 4)) AS k) k
+            )
+            SELECT event_type,
+                   to_timestamp(ws)::TIMESTAMP AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) / 100.0 AS sum_value
+            FROM hops GROUP BY 1, 2""",
+        "events_last_order": """
+            WITH ded AS (
+                SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+                       MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(d.o_orderkey AS DOUBLE) AS last_order_key
+            FROM events e ASOF LEFT JOIN ded d
+              ON e.user_id = d.o_custkey AND e.ts >= d.od""",
         "session_windows": """
             WITH gaps AS (
                 SELECT user_id, event_id, ts,

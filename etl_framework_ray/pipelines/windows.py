@@ -70,6 +70,73 @@ def tumbling_counts(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
     return out.map_batches(snap, batch_format="pyarrow")
 
 
+def hopping_counts(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> "ray.data.Dataset":
+    """Events per (event_type, HOPPING window): overlapping windows of
+    ``window_s`` advancing every ``hop_s`` (``window_s % hop_s == 0``).
+
+    Each event belongs to exactly ``window_s // hop_s`` windows; the
+    replication happens vectorized inside the batch map (np.repeat/tile),
+    partials pre-aggregate per batch, and ONE small groupby combines —
+    the same partial-before-shuffle shape as ``tumbling_counts``, with
+    shuffle volume bounded by distinct (type, window) pairs × blocks, not
+    by the ``window/hop``× event replication."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    m = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        epoch_s = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+        last_start = (epoch_s // hop_s) * hop_s
+        n = len(df)
+        starts = np.repeat(last_start.to_numpy(), m) - np.tile(
+            np.arange(m, dtype=np.int64) * hop_s, n
+        )
+        rep = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), m),
+                "window_start": pd.to_datetime(starts, unit="s"),
+                "value": np.repeat(df["value"].to_numpy(), m),
+            }
+        )
+        g = (
+            rep.groupby(["event_type", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("sum_value")
+        cents = pc.round(pc.multiply(batch.column("sum_value"), pa.scalar(100.0)), 0)
+        batch = batch.set_column(
+            i, "sum_value", pc.divide(pc.cast(cents, pa.int64()).cast(pa.float64()), pa.scalar(100.0))
+        )
+        j = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            j, "window_start", batch.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(snap, batch_format="pyarrow")
+
+
 def session_windows(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_s``. Output one row per session."""

@@ -1,0 +1,124 @@
+"""As-of (temporal) join — a custom operator Ray Data lacks natively.
+
+``asof_join(left, right, ...)``: for each left row, attach the LATEST
+right row of the same key whose time is ≤ the left row's time (backward
+direction; LEFT-join semantics — unmatched left rows keep nulls). The
+classic "attach the dimension version in effect at event time" /
+point-in-time-correct lookup of feature-store and market-data pipelines.
+
+Execution shape (the documented composition pattern for operators Ray
+Data lacks): both sides are normalized onto ONE union schema (left
+payload + right payload + shared ``_key``/``_t`` columns, absent side
+nulled), tagged, unioned, and coarse-bucketed by the hashed key — one
+UDF dispatch per coarse bucket, not per key. Inside a bucket the right
+side is sorted once and every left row resolves with one
+``searchsorted`` per key — no per-row Python, no driver materialization.
+Partitioning assumption: all rows of ONE key fit a worker (the same
+co-location contract as the CDC applier).
+
+Determinism: if the right side can hold several rows with the SAME
+(key, time), pre-reduce it first (the oracle query does the same) —
+"which of the tied rows" is otherwise engine-defined, matching DuckDB
+ASOF JOIN's unspecified tie behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import stable_hash_array
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Backward as-of LEFT join. Output = all left columns + one
+    ``r_<col>`` per entry of ``right_cols`` (nulls where no right row
+    precedes the left row's time).
+
+    ``left_by``/``right_by`` are the equality keys, ``left_on``/
+    ``right_on`` the ordering (time) columns; the two time columns must
+    be mutually comparable after Arrow casting."""
+    l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
+    r_schema = right.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_names = list(l_schema.names)
+    r_cols = [c for c in dict.fromkeys(right_cols) if c != right_by]
+    key_t = l_types[left_by]
+    # time comparisons happen on a COMMON comparable type
+    t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
+
+    union_fields = (
+        [("_key", key_t), ("_t", t_t), ("_side", pa.int8()), ("_cb", pa.int64())]
+        + [(f"_l_{c}", l_types[c]) for c in l_names]
+        + [(f"_r_{c}", r_types[c]) for c in r_cols]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def tag(side: int, by: str, on: str, payload_prefix: str, payload_names: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cb = (stable_hash_array(batch.column(by)) % np.uint64(shuffle_buckets)).astype(
+                np.int64
+            )
+            cols = {
+                "_key": batch.column(by).cast(key_t),
+                "_t": batch.column(on).cast(t_t),
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                "_cb": pa.array(cb),
+            }
+            for f in union_schema:
+                if f.name in cols:
+                    continue
+                src = f.name[len(payload_prefix) :] if f.name.startswith(payload_prefix) else None
+                if src is not None and src in batch.column_names:
+                    cols[f.name] = batch.column(src).cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table({f.name: cols[f.name] for f in union_schema})
+
+        return fn
+
+    tagged = left.map_batches(tag(0, left_by, left_on, "_l_", l_names), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_by, right_on, "_r_", r_cols), batch_format="pyarrow")
+    )
+
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["_side"] == 0]
+        rhs = df[df["_side"] == 1]
+        out = lhs[[f"_l_{c}" for c in l_names]].copy()
+        out.columns = l_names
+        matched: dict[str, np.ndarray] = {
+            c: np.full(len(out), None, dtype=object) for c in r_cols
+        }
+        if len(rhs) and len(lhs):
+            rhs = rhs.sort_values(["_key", "_t"])
+            r_groups = {k: g for k, g in rhs.groupby("_key", sort=False)}
+            lhs = lhs.reset_index(drop=True)
+            lt = lhs["_t"].to_numpy()
+            for k, lg in lhs.groupby("_key", sort=False):  # one pass, no per-key scans
+                rg = r_groups.get(k)
+                if rg is None:
+                    continue
+                sel = lg.index.to_numpy()
+                idx = np.searchsorted(rg["_t"].to_numpy(), lt[sel], side="right") - 1
+                hit = idx >= 0
+                for c in r_cols:
+                    vals = rg[f"_r_{c}"].to_numpy()
+                    matched[c][sel[hit]] = vals[idx[hit]]
+        for c in r_cols:
+            out[f"r_{c}"] = matched[c]
+        return out
+
+    return tagged.groupby("_cb").map_groups(bucket_asof, batch_format="pandas")

@@ -59,3 +59,25 @@ def test_session_windows_matches_sql():
     prev_end = per_user.groupby("user_id")["session_end"].shift()
     gaps = (per_user["session_start"] - prev_end).dt.total_seconds().dropna()
     assert (gaps > 1800).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_counts_cover_tumbling():
+    """Every event lands in window/hop hopping windows, so total hopping
+    event-count = (window/hop) x total tumbling event-count, and the
+    aligned hopping window is a superset of its tumbling twin."""
+    from etl_framework_ray.pipelines.windows import hopping_counts, tumbling_counts
+
+    hop = hopping_counts(SF, window_s=3600, hop_s=900).to_pandas()
+    tum = tumbling_counts(SF, window_s=3600).to_pandas()
+    assert hop.n_events.sum() == 4 * tum.n_events.sum()
+    # aligned windows: hopping count >= tumbling count for the same start
+    m = hop.merge(tum, on=["event_type", "window_start"], suffixes=("_h", "_t"))
+    assert (m.n_events_h >= m.n_events_t).all()
+
+
+def test_hopping_rejects_misaligned_hop():
+    from etl_framework_ray.pipelines.windows import hopping_counts
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_counts(SF, window_s=3600, hop_s=1000)
