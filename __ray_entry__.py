@@ -309,6 +309,51 @@ def _q_multimodal_frames(sf_dir: str):
     )
 
 
+def _q_orders_7d_by_event(sf_dir: str):
+    """Range join + aggregate: per event, count/sum the customer's orders
+    in the trailing 7 days (two searchsorted per left row — never the
+    O(L×R) pairing the SQL formulation implies)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.stages.joins import trailing_window_join
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = trailing_window_join(
+        events,
+        orders,
+        left_by="user_id",
+        right_by="o_custkey",
+        left_on="ts",
+        right_on="o_orderdate",
+        value_col="o_totalprice",
+        span_s=7 * 86400,
+        count_name="n_orders_7d",
+        sum_name="_raw_sum",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("_raw_sum"), pa.scalar(100.0)), 0)
+        total = pc.divide(pc.cast(cents, pa.int64()).cast(pa.float64()), pa.scalar(100.0))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "n_orders_7d": batch.column("n_orders_7d"),
+                "total_7d": total,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_tumbling(sf_dir: str):
     from etl_framework_ray.pipelines.windows import tumbling_counts
 
@@ -396,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": _q_hopping,
         "session_windows": _q_sessions,
         "events_last_order": _q_events_last_order,
+        "orders_7d_by_event": _q_orders_7d_by_event,
         # training-data extensions
         "text_stats": _q_text_stats,
         "exact_dedup_docs": _q_exact_dedup,
@@ -537,6 +583,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.o_orderkey AS DOUBLE) AS last_order_key
             FROM events e ASOF LEFT JOIN ded d
               ON e.user_id = d.o_custkey AND e.ts >= d.od""",
+        "orders_7d_by_event": """
+            SELECT e.event_id, e.user_id,
+                   CAST(COUNT(o.o_orderdate) AS BIGINT) AS n_orders_7d,
+                   CAST(ROUND(COALESCE(SUM(o.o_totalprice), 0) * 100) AS BIGINT) / 100.0
+                       AS total_7d
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate > e.ts - INTERVAL 7 DAY
+             AND o.o_orderdate <= e.ts
+            GROUP BY 1, 2""",
         "session_windows": """
             WITH gaps AS (
                 SELECT user_id, event_id, ts,

@@ -32,7 +32,7 @@ import ray
 from ..functions.hashing import stable_hash_array
 
 
-def asof_join(
+def _union_keyed(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     left_by: str,
@@ -40,15 +40,12 @@ def asof_join(
     left_on: str,
     right_on: str,
     right_cols: list[str],
-    shuffle_buckets: int = 32,
-) -> "ray.data.Dataset":
-    """Backward as-of LEFT join. Output = all left columns + one
-    ``r_<col>`` per entry of ``right_cols`` (nulls where no right row
-    precedes the left row's time).
-
-    ``left_by``/``right_by`` are the equality keys, ``left_on``/
-    ``right_on`` the ordering (time) columns; the two time columns must
-    be mutually comparable after Arrow casting."""
+    shuffle_buckets: int,
+):
+    """Shared plumbing for keyed temporal joins: normalize both sides onto
+    ONE union schema (shared ``_key``/``_t``, left payload ``_l_*``, right
+    payload ``_r_*``, absent side nulled), tag, union, coarse-bucket by
+    hashed key. Returns ``(tagged_ds, l_names, r_cols)``."""
     l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
     r_schema = right.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
@@ -66,7 +63,7 @@ def asof_join(
     )
     union_schema = pa.schema(union_fields)
 
-    def tag(side: int, by: str, on: str, payload_prefix: str, payload_names: list[str]):
+    def tag(side: int, by: str, on: str, payload_prefix: str):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             cb = (stable_hash_array(batch.column(by)) % np.uint64(shuffle_buckets)).astype(
@@ -90,8 +87,31 @@ def asof_join(
 
         return fn
 
-    tagged = left.map_batches(tag(0, left_by, left_on, "_l_", l_names), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_by, right_on, "_r_", r_cols), batch_format="pyarrow")
+    tagged = left.map_batches(tag(0, left_by, left_on, "_l_"), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_by, right_on, "_r_"), batch_format="pyarrow")
+    )
+    return tagged, l_names, r_cols
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Backward as-of LEFT join. Output = all left columns + one
+    ``r_<col>`` per entry of ``right_cols`` (nulls where no right row
+    precedes the left row's time).
+
+    ``left_by``/``right_by`` are the equality keys, ``left_on``/
+    ``right_on`` the ordering (time) columns; the two time columns must
+    be mutually comparable after Arrow casting."""
+    tagged, l_names, r_cols = _union_keyed(
+        left, right, left_by, right_by, left_on, right_on, right_cols, shuffle_buckets
     )
 
     def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
@@ -122,3 +142,69 @@ def asof_join(
         return out
 
     return tagged.groupby("_cb").map_groups(bucket_asof, batch_format="pandas")
+
+
+def trailing_window_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    value_col: str,
+    span_s: float,
+    count_name: str = "n_right",
+    sum_name: str = "sum_value",
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Range (interval) join + aggregate: for each left row, COUNT and SUM
+    the right rows of the same key whose time lies in the trailing window
+    ``(t − span_s, t]`` — "orders in the last 7 days per event", the
+    feature-engineering staple. LEFT semantics: rows with no right match
+    get count 0 / sum 0.0.
+
+    Same union/bucket plumbing as :func:`asof_join`; inside a bucket each
+    key's right side is sorted once, a prefix-sum array is built, and
+    every left row resolves with TWO ``searchsorted`` calls — O((L+R) log
+    R) per key, no row pairing ever materialized (a naive inequality join
+    would be O(L×R) rows before aggregation, which is how the SQL oracle
+    states it)."""
+    tagged, l_names, r_cols = _union_keyed(
+        left, right, left_by, right_by, left_on, right_on, [value_col], shuffle_buckets
+    )
+    vcol = f"_r_{value_col}"
+
+    def bucket_window(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["_side"] == 0].reset_index(drop=True)
+        rhs = df[df["_side"] == 1]
+        out = lhs[[f"_l_{c}" for c in l_names]].copy()
+        out.columns = l_names
+        counts = np.zeros(len(lhs), dtype=np.int64)
+        sums = np.zeros(len(lhs), dtype=np.float64)
+        if len(rhs) and len(lhs):
+            rhs = rhs.sort_values(["_key", "_t"])
+            r_groups = {k: g for k, g in rhs.groupby("_key", sort=False)}
+            lt = lhs["_t"].to_numpy()
+            span = (
+                np.timedelta64(int(span_s * 1_000_000), "us")
+                if np.issubdtype(lt.dtype, np.datetime64)
+                else span_s
+            )
+            for k, lg in lhs.groupby("_key", sort=False):
+                rg = r_groups.get(k)
+                if rg is None:
+                    continue
+                sel = lg.index.to_numpy()
+                rt = rg["_t"].to_numpy()
+                cs = np.concatenate(
+                    [[0.0], np.cumsum(rg[vcol].to_numpy(dtype=np.float64))]
+                )
+                lo = np.searchsorted(rt, lt[sel] - span, side="right")  # > t−span
+                hi = np.searchsorted(rt, lt[sel], side="right")  # ≤ t
+                counts[sel] = hi - lo
+                sums[sel] = cs[hi] - cs[lo]
+        out[count_name] = counts
+        out[sum_name] = sums
+        return out
+
+    return tagged.groupby("_cb").map_groups(bucket_window, batch_format="pandas")

@@ -72,3 +72,47 @@ def test_asof_partition_invariant():
     a = a.sort_values("eid").reset_index(drop=True)
     b = b.sort_values("eid").reset_index(drop=True)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_window_bounds():
+    """Window is (t − span, t]: exclusive lower bound, inclusive upper."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import trailing_window_join
+
+    left = pa.table(
+        {
+            "eid": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "t": pa.array([10.0, 20.0, 10.0], pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "rt": pa.array([5.0, 10.0, 15.0], pa.float64()),
+            "v": pa.array([100.0, 10.0, 1.0], pa.float64()),
+        }
+    )
+    out = (
+        trailing_window_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right),
+            left_by="k",
+            right_by="k",
+            left_on="t",
+            right_on="rt",
+            value_col="v",
+            span_s=5.0,
+        )
+        .to_pandas()
+        .set_index("eid")
+        .sort_index()
+    )
+    # eid=1 at t=10, window (5,10]: rt=5 EXCLUDED, rt=10 INCLUDED
+    assert out.loc[1].n_right == 1 and out.loc[1].sum_value == 10.0
+    # eid=2 at t=20, window (15,20]: nothing (rt=15 excluded)
+    assert out.loc[2].n_right == 0 and out.loc[2].sum_value == 0.0
+    # eid=3: key 2 has no right rows at all
+    assert out.loc[3].n_right == 0 and out.loc[3].sum_value == 0.0
