@@ -228,18 +228,20 @@ def _q_langid(sf_dir: str):
     import ray.data
 
     from etl_framework_ray.functions.text import LangId
+    from etl_framework_ray.stages.util import cached_stage
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)).drop_columns(["text"])
+    return ds.map_batches(cached_stage(LangId), batch_format="pyarrow").drop_columns(["text"])
 
 
 def _q_quality_score(sf_dir: str):
     import ray.data
 
     from etl_framework_ray.functions.text import QualityScorer
+    from etl_framework_ray.stages.util import cached_stage
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4)).drop_columns(["text"])
+    return ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow").drop_columns(["text"])
 
 
 def _q_fingerprint(sf_dir: str):

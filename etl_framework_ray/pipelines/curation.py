@@ -30,6 +30,7 @@ import ray
 
 from ..functions.text import LangId, QualityScorer, text_stats
 from ..stages.dedup import MinHashConfig, exact_dedup, minhash_dedup
+from ..stages.util import cached_stage
 
 
 @ray.remote(num_cpus=0)
@@ -79,8 +80,10 @@ def curate_documents(
     ds = _counted(ds, counter, "input")
 
     ds = ds.map_batches(text_stats, batch_format="pyarrow")
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
-    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    # cheap-state text stages run as cached tasks, not actor pools — see
+    # stages/util.cached_stage for the measured decision rule
+    ds = ds.map_batches(cached_stage(LangId), batch_format="pyarrow")
+    ds = ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow")
 
     lang_set = list(languages)
 

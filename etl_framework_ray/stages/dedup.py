@@ -124,19 +124,7 @@ class MinHashConfig:
 _SHINGLE_MUL = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
-def _cached_stage(cls, *args):
-    """Wrap a callable-class stage as a plain map_batches function with
-    lazy once-per-worker construction — task scheduling without actor-pool
-    spin-up, for stages whose state is trivially cheap to rebuild."""
-    inst = None
-
-    def fn(batch: pa.Table) -> pa.Table:
-        nonlocal inst
-        if inst is None:
-            inst = cls(*args)
-        return inst(batch)
-
-    return fn
+from .util import cached_stage as _cached_stage  # shared deployment helper
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
