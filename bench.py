@@ -57,7 +57,10 @@ BENCH_QUERIES = [
     "revenue_by_mktsegment",
     "latest_event_per_user",
     "tumbling_counts",
+    "hopping_counts",
     "session_windows",
+    "events_last_order",
+    "orders_7d_by_event",
     "text_stats",
     "exact_dedup_docs",
     "minhash_dedup",
@@ -65,6 +68,7 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "embedding_dedup_lsh",
     "ann_topk",
+    "ann_ivf_topk",
     "langid",
     "multimodal_frames",
 ]

@@ -29,7 +29,13 @@ import pyarrow as pa
 import ray
 
 from ..functions.text import LangId, QualityScorer, text_stats
-from ..stages.dedup import MinHashConfig, exact_dedup, minhash_dedup
+from ..stages.dedup import (
+    MinHashConfig,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
 from ..stages.util import cached_stage
 
 
@@ -67,12 +73,21 @@ def curate_documents(
     min_quality: float = 0.3,
     minhash: MinHashConfig = MinHashConfig(jaccard_threshold=0.85),
     report: bool = True,
+    near_dup: str = "minhash",  # minhash | ngram | simhash
 ) -> tuple["ray.data.Dataset", dict]:
     """Returns ``(curated Dataset, funnel dict)``.
+
+    ``near_dup`` selects the near-duplicate family (all three share the
+    ``(id, cluster_id, is_kept)`` output contract): ``minhash``
+    (signature-Jaccard verify — the default), ``ngram`` (exact
+    shingle-set Jaccard verify, slower/stricter), ``simhash``
+    (hamming-banded, cheapest payload).
 
     ``report=False`` skips the funnel entirely (no counter stages, fully
     lazy output); with ``report=True`` every stage executes exactly once
     and the counts fall out of that single pass."""
+    if near_dup not in ("minhash", "ngram", "simhash"):
+        raise ValueError(f"near_dup must be minhash|ngram|simhash, got {near_dup!r}")
     counter = _FunnelCounter.remote() if report else None
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -108,7 +123,12 @@ def curate_documents(
     # The kept-id set is O(survivors) — broadcast once as ONE sorted int64
     # array and probed with searchsorted per batch (no per-batch set
     # rebuilds, no Python-object membership tests).
-    clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
+    if near_dup == "simhash":
+        clusters = simhash_dedup(ds, text_col="text", id_col="doc_id")
+    elif near_dup == "ngram":
+        clusters = ngram_jaccard_dedup(ds, minhash, text_col="text", id_col="doc_id")
+    else:
+        clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
     kept_pdf = clusters.map_batches(
         lambda b: b.filter(b.column("is_kept")).select(["doc_id"]), batch_format="pyarrow"
     ).to_pandas()

@@ -52,3 +52,30 @@ def test_curate_removes_planted_duplicates(tmp_path):
     assert 21 not in kept  # near dup of doc 1 removed
     assert 0 in kept and 1 in kept
     assert funnel["after_near_dedup"] == len(kept)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_near_dup_variants(tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 80)) + " the and of a to in is it that for" for _ in range(15)]
+    texts = base + [base[0]]  # one exact dup (caught by every family)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    for method in ("minhash", "ngram", "simhash"):
+        ds, funnel = curate_documents(
+            str(d), min_quality=0.0, report=True, near_dup=method,
+            minhash=MinHashConfig(jaccard_threshold=0.7),
+        )
+        kept = {r["doc_id"] for r in ds.take_all()}
+        assert 15 not in kept, method  # the exact dup never survives
+        assert 0 in kept, method
+        assert funnel["after_near_dedup"] == len(kept), method
+
+    with pytest.raises(ValueError, match="near_dup"):
+        curate_documents(str(d), near_dup="bogus")
