@@ -89,3 +89,55 @@ def test_reapply_committed_epoch_is_noop(tmp_path):
         assert eng.apply_epoch(epoch) is None  # duplicate delivery of a committed epoch
     assert eng.manifest.version == v
     assert eng.snapshot_arrow().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_apply_task_retry_is_idempotent(tmp_path):
+    """Speculative/retried reduce tasks re-produce byte-identical staged
+    files at the same deterministic path — double application of the same
+    epoch's task changes nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from etl_framework_ray.pipelines.cdc import (
+        CDCEngine,
+        _apply_pid_task,
+        _prep_segment_task,
+    )
+
+    log = generate_changelog(GenConfig(num_events=2000, num_conversations=30, seed=55))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    epoch = clog.epochs(10)[0]
+    chg_schema, new_lake, _ = eng._epoch_schemas(epoch)
+
+    ctx_ref = _ray.put(
+        {
+            "table_dir": eng.table_dir,
+            "lake_schema": new_lake,
+            "epoch_id": epoch.epoch_id,
+            "compact_every": eng.compact_every,
+            "tombstone_ttl_lsn": None,
+            "part_files": {},
+        }
+    )
+    prep = [
+        _prep_segment_task.options(num_returns=2).remote(p, chg_schema, eng.key_cols, 2, {})
+        for p in epoch.paths
+    ]
+    run = lambda pid: _ray.get(
+        _apply_pid_task.remote(ctx_ref, pid, eng.key_cols, *[r[pid] for r in prep])
+    )
+    first = run(0)
+    content_1 = open(first["path"], "rb").read()
+    second = run(0)  # the "retry"
+    assert second["path"] == first["path"]
+    assert second["rows_live"] == first["rows_live"]
+    t1 = pq.read_table(first["path"])
+    assert open(first["path"], "rb").read() and pq.read_table(second["path"]).equals(t1)
+    # exactly one staged file exists for this (partition, epoch)
+    d = os.path.dirname(first["path"])
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1

@@ -129,3 +129,45 @@ def test_write_merged_stream_file_and_ttl(tmp_path):
 
     expired = pc.and_(folded.column("_deleted"), pc.less(folded.column("_lsn"), 3000 - 500))
     assert folded2.equals(folded.filter(pc.invert(expired)))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_files=st.integers(1, 5),
+    rows_per_file=st.integers(1, 120),
+    n_convs=st.integers(1, 10),
+    max_turn=st.integers(1, 25),
+    chunk_rows=st.sampled_from([3, 17, 1000]),
+    seed=st.integers(0, 10_000),
+)
+def test_streamed_merge_property(tmp_path_factory, n_files, rows_per_file, n_convs, max_turn, chunk_rows, seed):
+    """For ANY stack of LWW-reduced files, the streamed k-way merge equals
+    the full in-memory merge (same rows, same order)."""
+    tmp = tmp_path_factory.mktemp("prop")
+    rng = np.random.default_rng(seed)
+    files = []
+    lsn = 0
+    for fi in range(n_files):
+        rows = []
+        for _ in range(rows_per_file):
+            lsn += 1
+            rows.append(
+                (
+                    f"c{rng.integers(0, n_convs):03d}",
+                    int(rng.integers(0, max_turn)),
+                    f"v{lsn}",
+                    int(lsn * 1000),
+                    lsn,
+                    bool(rng.random() < 0.1),
+                )
+            )
+        files.append(_file(tmp, f"delta-00000-{fi:012d}.parquet", rows))
+    full = merge_partition_files(files, LAKE, KEYS)
+    streamed = pa.concat_tables(
+        iter_merged_partition(files, LAKE, KEYS, chunk_rows=chunk_rows)
+    )
+    assert streamed.equals(full)
