@@ -159,6 +159,15 @@ def _q_text_stats(sf_dir: str):
     )
 
 
+def _q_top_tokens(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import token_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return token_counts(ds, k=100)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -446,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_7d_by_event": _q_orders_7d_by_event,
         # training-data extensions
         "text_stats": _q_text_stats,
+        "top_tokens": _q_top_tokens,
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
@@ -618,6 +628,14 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
             FROM documents""",
+        "top_tokens": f"""
+            WITH toks AS (
+                SELECT UNNEST(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1
+            ORDER BY n DESC, token ASC LIMIT 100""",
         "exact_dedup_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text""",
         "embedding_dedup": """

@@ -109,6 +109,41 @@ class QualityScorer:
         return out.append_column("quality_score", pa.array(score.to_numpy(np.float64)))
 
 
+def token_counts(
+    ds: "object", text_col: str = "text", k: int | None = 100
+) -> "object":
+    """Corpus vocabulary: global token frequencies (BPE-ish TOKEN_PATTERN,
+    RE2-parity with the SQL oracle), optionally truncated to the top-k by
+    ``(count DESC, token ASC)`` — a deterministic total order.
+
+    Shape: per-batch explode+value_counts partials (vectorized pandas) →
+    ONE native ``groupby(token).sum`` (no per-group UDF dispatch) → sort +
+    limit. Shuffle volume is distinct-tokens × blocks, not token
+    occurrences."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).to_pandas().fillna("")
+        vc = text.str.findall(TOKEN_PATTERN).explode().value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = out.sort(["n", "token"], descending=[True, False])
+    if k is not None:
+        out = out.limit(k)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprinting (rolling hash / winnowing-lite)
 # ---------------------------------------------------------------------------

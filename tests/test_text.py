@@ -97,3 +97,22 @@ def test_fingerprint_properties():
     assert out[0]["fingerprint"] == out[1]["fingerprint"]  # equal docs equal fp
     assert out[0]["fingerprint"] != out[2]["fingerprint"]
     assert out[3]["fingerprint"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_counts_vocabulary(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from etl_framework_ray.functions.text import token_counts
+
+    t = pa.table({"text": pa.array(["a b b c! c c", "c a-b", None], pa.string())})
+    d = tmp_path / "docs.parquet"
+    pq.write_table(t, str(d))
+    out = token_counts(ray.data.read_parquet(str(d)), k=3).to_pandas()
+    # c:4  b:3  a:2  (- and ! are single-punct tokens, below the cut)
+    assert list(out.token) == ["c", "b", "a"]
+    assert list(out.n) == [4, 3, 2]
+    # k=None returns the whole vocabulary
+    full = token_counts(ray.data.read_parquet(str(d)), k=None).to_pandas()
+    assert set(full.token) == {"a", "b", "c", "!", "-"}
