@@ -159,6 +159,18 @@ def _q_text_stats(sf_dir: str):
     )
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Distributed exact rank-select quantiles (histogram refinement)."""
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import rank_select_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return rank_select_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
+
+
 def _q_top_tokens(sf_dir: str):
     import ray.data
 
@@ -456,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
+        "price_quantiles": _q_price_quantiles,
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
@@ -628,6 +641,15 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
             FROM documents""",
+        "price_quantiles": """
+            WITH s AS (
+                SELECT l_extendedprice AS v,
+                       ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn
+                FROM lineitem
+            ), n AS (SELECT COUNT(*) AS c FROM lineitem)
+            SELECT CAST(t.q AS DOUBLE) AS q, s.v
+            FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+            JOIN s ON s.rn = CAST(FLOOR(t.q * ((SELECT c FROM n) - 1)) AS BIGINT)""",
         "top_tokens": f"""
             WITH toks AS (
                 SELECT UNNEST(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token

@@ -1,0 +1,146 @@
+"""Distributed EXACT quantiles by histogram rank-select.
+
+``rank_select_quantiles(ds, col, qs)`` returns, for each q, the element
+of the sorted column at global rank ``floor(q × (n−1))`` — the
+discrete-quantile definition both engines can state exactly (the SQL
+oracle is ``ROW_NUMBER() ... WHERE rn = rank``), with NO floating-point
+interpolation to diverge on.
+
+Algorithm (a few distributed passes, never a driver-side column copy):
+
+1. ``count`` + ``min``/``max`` (native aggregates).
+2. One histogram pass: every block bins its values into ``bins``
+   fixed-width buckets (indices CLIPPED into range, so totals are exact
+   regardless of float edge effects) — a ``bins``-length int64 vector
+   per block reaches the driver; the column itself never does.
+3. Cumulative counts locate the bucket holding each target rank. An
+   over-populated bucket (> ``collect_limit``) REFINES: the recursion
+   narrows by appending the bucket to a membership CHAIN of binning
+   predicates — membership is always decided by the same clipped index
+   arithmetic that counted it, so every level partitions the parent's
+   count exactly (no value-range re-filtering to disagree at the ULP).
+4. One filtered collect of the (small) winning bucket resolves the exact
+   element by local rank.
+
+Scale: passes are column-pruned full scans (the pruned column is
+materialized once and re-scanned); driver memory is O(bins +
+collect_limit). The deterministic output makes this the oracle tier;
+approximate one-pass sketches can reuse the histogram machinery when
+scan count matters more than exactness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _chain_mask(v: np.ndarray, chain) -> np.ndarray:
+    m = np.ones(len(v), dtype=bool)
+    for lo, width, bins, b in chain:
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        m &= idx == b
+    return m
+
+
+def _histogram(ds, col: str, chain, lo: float, width: float, bins: int) -> np.ndarray:
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[_chain_mask(v, chain)]
+        if len(v):
+            idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+            counts = np.bincount(idx, minlength=bins)
+        else:
+            counts = np.zeros(bins, dtype=np.int64)
+        return pa.table({"h": pa.array([counts.astype(np.int64)], pa.list_(pa.int64()))})
+
+    out = np.zeros(bins, dtype=np.int64)
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        out += np.asarray(r["h"], dtype=np.int64)
+    return out
+
+
+def _collect_chain(ds, col: str, chain) -> np.ndarray:
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"v": pa.array(v[_chain_mask(v, chain)], pa.float64())})
+
+    parts = [
+        t.column("v").to_numpy(zero_copy_only=False)
+        for t in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    vals = np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+    return np.sort(vals)
+
+
+def _resolve_rank(
+    ds,
+    col: str,
+    rank: int,
+    chain,
+    lo: float,
+    hi: float,
+    below: int,
+    bins: int,
+    collect_limit: int,
+    max_refine: int,
+) -> float:
+    if hi <= lo:
+        return lo
+    width = (hi - lo) / bins
+    hist = _histogram(ds, col, chain, lo, width, bins)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(below + cum, rank + 1))
+    b_below = below + (int(cum[b - 1]) if b else 0)
+    sub_chain = [*chain, (lo, width, bins, b)]
+    if hist[b] > collect_limit and max_refine > 0:
+        return _resolve_rank(
+            ds,
+            col,
+            rank,
+            sub_chain,
+            lo + b * width,
+            lo + (b + 1) * width,
+            b_below,
+            bins,
+            collect_limit,
+            max_refine - 1,
+        )
+    vals = _collect_chain(ds, col, sub_chain)
+    return float(vals[rank - b_below])
+
+
+def rank_select_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 4096,
+    collect_limit: int = 100_000,
+    max_refine: int = 4,
+) -> pa.Table:
+    """Exact discrete quantiles of a numeric column: for each q, the
+    element at sorted rank ``floor(q × (n−1))``. Returns a small Arrow
+    table ``(q, v)``."""
+    pruned = ds.select_columns([col]).materialize()  # re-scanned per pass
+    n = pruned.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
+    mn = float(pruned.min(col))
+    mx = float(pruned.max(col))
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(math.floor(q * (n - 1)))
+        if mn == mx:
+            out_q.append(float(q))
+            out_v.append(mn)
+            continue
+        out_q.append(float(q))
+        out_v.append(
+            _resolve_rank(pruned, col, rank, [], mn, mx, 0, bins, collect_limit, max_refine)
+        )
+    return pa.table({"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())})
