@@ -265,24 +265,6 @@ def evaluate_batch(batch: pa.Table, checks: list[CheckSpec]) -> dict[str, int]:
     return out
 
 
-@ray.remote(num_cpus=0)
-class _DQCounts:
-    """Accumulates per-rule failure counts + checked rows emitted by the
-    fused gate stage during the (single) staging pass."""
-
-    def __init__(self):
-        self.counts: dict[str, int] = {}
-        self.rows = 0
-
-    def add(self, counts: dict, rows: int) -> None:
-        for k, v in counts.items():
-            self.counts[k] = self.counts.get(k, 0) + v
-        self.rows += rows
-
-    def get(self) -> tuple[dict, int]:
-        return dict(self.counts), self.rows
-
-
 def _write_failure_file(failure_dir: str, run_id: str, detail: pa.Table) -> None:
     os.makedirs(failure_dir, exist_ok=True)
     path = os.path.join(failure_dir, f"failures-{run_id}-{uuid.uuid4().hex[:8]}.parquet")
@@ -305,9 +287,11 @@ class DQGate:
       written by the workers), and ``finalize`` audits/raises AFTER the
       staged write but BEFORE the manifest commit. The 2PC keeps staged
       files invisible, so ERROR-before-visibility semantics hold at half
-      the cost of the pre-pass. Task retries may double-log failure
-      DETAIL rows (the counts actor is exactly-once per completed task;
-      detail files are forensic, not transactional).
+      the cost of the pre-pass. A Ray task retried after partial
+      completion re-reports its batches, so counts AND detail rows can
+      over-count under worker failure — audit/monitoring data, not a
+      transactional ledger (the pass/fail VERDICT stays correct: retries
+      can only re-observe failures that exist).
     """
 
     def __init__(
@@ -335,7 +319,9 @@ class DQGate:
         checks = build_checks(self.spec, extra)
         if not checks:
             return stage_fn, None
-        counter = _DQCounts.remote()
+        from ..stages.util import CounterActor
+
+        counter = CounterActor.remote()
         key_cols = self._key_cols()
         table, rc, fdir = self.spec.name, self.ctx.as_dict(), self.failure_dir
         run_id = self.ctx.run_id
@@ -344,7 +330,7 @@ class DQGate:
             counts, detail = evaluate_batch_detail(batch, checks, key_cols, table, rc)
             if detail.num_rows:
                 _write_failure_file(fdir, run_id, detail)
-            ray.get(counter.add.remote(counts, batch.num_rows))
+            ray.get(counter.add.remote({**counts, "__rows__": batch.num_rows}))
             return stage_fn(batch)
 
         return fn, (counter, checks, time.perf_counter())
@@ -355,7 +341,8 @@ class DQGate:
         if handle is None:
             return {}
         counter, checks, t0 = handle
-        counts, total_rows = ray.get(counter.get.remote())
+        counts = ray.get(counter.get.remote())
+        total_rows = int(counts.pop("__rows__", 0))
         return self._report(counts, total_rows, time.perf_counter() - t0, checks)
 
     # -- standalone pre-pass API ---------------------------------------

@@ -702,9 +702,18 @@ class CDCEngine:
 
     def _prune_retained(self, new_man: Manifest) -> None:
         """Drop retained deltas past the retention horizon and advance the
-        changefeed floor (the oldest since_lsn still reconstructible)."""
+        changefeed floor (the oldest since_lsn still reconstructible).
+        Also stamps ``retention_since_lsn`` on the FIRST retention-enabled
+        commit: folds from BEFORE that watermark were never retained, so
+        ``read_changes`` must still raise for them rather than silently
+        skipping their base files."""
         if self.changefeed_retention_lsn is None:
             return
+        if "retention_since_lsn" not in new_man.properties:
+            # everything already folded up to the PREVIOUS watermark is
+            # unrecoverable; coverage starts with this commit's folds
+            prev_lsn = self.manifest.applied_lsn
+            new_man.properties["retention_since_lsn"] = prev_lsn
         entries = new_man.properties.get("retained_deltas", [])
         if not entries:
             return
@@ -1160,6 +1169,10 @@ class CDCEngine:
         new_man = Manifest.from_json(man.to_json())
         new_man.version = version
         new_man.properties = {**new_man.properties, "salt_map": {**known, **new_keys}}
+        # TWO PHASES: replace every migrated source's file list first, THEN
+        # append moved files. A migrated partition can itself be another
+        # migration's TARGET (two hot partitions salting into each other);
+        # interleaving replace/append would drop the earlier append.
         for m in metas:
             src = int(m["pid"])
             self._retire_deltas(new_man, new_man.partitions[src].files)
@@ -1168,6 +1181,7 @@ class CDCEngine:
                 applied_lsn=man.applied_lsn,
                 rows=int(m["kept_live"]),
             )
+        for m in metas:
             for tpid, (path, live) in m["moved"].items():
                 st = new_man.partitions.setdefault(int(tpid), PartitionState())
                 st.files.append(path)
@@ -1232,9 +1246,15 @@ class CDCEngine:
                 if epoch_id <= since_lsn:
                     continue
                 if mode == "base":
-                    if retention_on:
-                        # the base's content above since_lsn is fully covered
-                        # by retained + live deltas (floor check passed)
+                    retention_since = man.properties.get("retention_since_lsn")
+                    if (
+                        retention_on
+                        and retention_since is not None
+                        and since_lsn >= int(retention_since)
+                    ):
+                        # this base's content above since_lsn was folded
+                        # AFTER retention activated → fully covered by
+                        # retained + live deltas (floor check passed)
                         continue
                     raise RuntimeError(
                         f"changes since {since_lsn} were compacted into "

@@ -36,21 +36,7 @@ from ..stages.dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from ..stages.util import cached_stage
-
-
-@ray.remote(num_cpus=0)
-class _FunnelCounter:
-    """Accumulates per-stage row counts emitted by streaming batch tasks."""
-
-    def __init__(self):
-        self.counts: dict[str, int] = {}
-
-    def add(self, stage: str, n: int) -> None:
-        self.counts[stage] = self.counts.get(stage, 0) + n
-
-    def get(self) -> dict[str, int]:
-        return dict(self.counts)
+from ..stages.util import CounterActor, cached_stage, in_sorted
 
 
 def _counted(ds: "ray.data.Dataset", counter, stage: str) -> "ray.data.Dataset":
@@ -61,7 +47,7 @@ def _counted(ds: "ray.data.Dataset", counter, stage: str) -> "ray.data.Dataset":
         return ds
 
     def count(batch: pa.Table) -> pa.Table:
-        ray.get(counter.add.remote(stage, batch.num_rows))
+        ray.get(counter.add.remote({stage: batch.num_rows}))
         return batch
 
     return ds.map_batches(count, batch_format="pyarrow")
@@ -88,7 +74,7 @@ def curate_documents(
     and the counts fall out of that single pass."""
     if near_dup not in ("minhash", "ngram", "simhash"):
         raise ValueError(f"near_dup must be minhash|ngram|simhash, got {near_dup!r}")
-    counter = _FunnelCounter.remote() if report else None
+    counter = CounterActor.remote() if report else None
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -138,12 +124,7 @@ def curate_documents(
     def keep_cluster_min(batch: pa.Table) -> pa.Table:
         keep = ray.get(kept_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(keep):
-            pos = np.clip(np.searchsorted(keep, ids), 0, len(keep) - 1)
-            mask = keep[pos] == ids
-        else:
-            mask = np.zeros(len(ids), dtype=bool)
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(in_sorted(ids, keep)))
 
     out = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
     funnel: dict[str, int] = {}

@@ -125,6 +125,7 @@ _SHINGLE_MUL = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
 from .util import cached_stage as _cached_stage  # shared deployment helper
+from .util import in_sorted
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
@@ -434,8 +435,8 @@ def _assign_clusters(
         ns, ls = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ns):
+            hit = in_sorted(ids, ns)
             idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
-            hit = ns[idx] == ids
             cluster = np.where(hit, ls[idx], ids)
         else:
             cluster = ids
@@ -744,11 +745,6 @@ def embedding_dedup_lsh(
     def mark(batch: pa.Table) -> pa.Table:
         d = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(d):
-            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-            dup = d[pos] == ids
-        else:
-            dup = np.zeros(len(ids), dtype=bool)
-        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+        return batch.append_column("is_dup", pa.array(in_sorted(ids, d), pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")

@@ -90,7 +90,20 @@ def _union_keyed(
     tagged = left.map_batches(tag(0, left_by, left_on, "_l_"), batch_format="pyarrow").union(
         right.map_batches(tag(1, right_by, right_on, "_r_"), batch_format="pyarrow")
     )
-    return tagged, l_names, r_cols
+    return tagged, l_names, r_cols, l_types, r_types
+
+
+def _typed_out(lhs: pd.DataFrame, l_names, l_types, extra: dict) -> pa.Table:
+    """Build the bucket UDF's output as an Arrow table with EXPLICIT field
+    types: a coarse bucket with zero left rows (or zero matches) must
+    still emit int64/timestamp columns, never pandas-inferred null/object
+    types that break downstream schema unification."""
+    cols = {}
+    for c in l_names:
+        cols[c] = pa.array(list(lhs[f"_l_{c}"]), type=l_types[c])
+    for name, (values, typ) in extra.items():
+        cols[name] = pa.array(list(values), type=typ)
+    return pa.table(cols)
 
 
 def asof_join(
@@ -110,22 +123,19 @@ def asof_join(
     ``left_by``/``right_by`` are the equality keys, ``left_on``/
     ``right_on`` the ordering (time) columns; the two time columns must
     be mutually comparable after Arrow casting."""
-    tagged, l_names, r_cols = _union_keyed(
+    tagged, l_names, r_cols, l_types, r_types = _union_keyed(
         left, right, left_by, right_by, left_on, right_on, right_cols, shuffle_buckets
     )
 
-    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["_side"] == 0]
+    def bucket_asof(df: pd.DataFrame) -> pa.Table:
+        lhs = df[df["_side"] == 0].reset_index(drop=True)
         rhs = df[df["_side"] == 1]
-        out = lhs[[f"_l_{c}" for c in l_names]].copy()
-        out.columns = l_names
         matched: dict[str, np.ndarray] = {
-            c: np.full(len(out), None, dtype=object) for c in r_cols
+            c: np.full(len(lhs), None, dtype=object) for c in r_cols
         }
         if len(rhs) and len(lhs):
             rhs = rhs.sort_values(["_key", "_t"])
             r_groups = {k: g for k, g in rhs.groupby("_key", sort=False)}
-            lhs = lhs.reset_index(drop=True)
             lt = lhs["_t"].to_numpy()
             for k, lg in lhs.groupby("_key", sort=False):  # one pass, no per-key scans
                 rg = r_groups.get(k)
@@ -137,9 +147,9 @@ def asof_join(
                 for c in r_cols:
                     vals = rg[f"_r_{c}"].to_numpy()
                     matched[c][sel[hit]] = vals[idx[hit]]
-        for c in r_cols:
-            out[f"r_{c}"] = matched[c]
-        return out
+        return _typed_out(
+            lhs, l_names, l_types, {f"r_{c}": (matched[c], r_types[c]) for c in r_cols}
+        )
 
     return tagged.groupby("_cb").map_groups(bucket_asof, batch_format="pandas")
 
@@ -169,16 +179,14 @@ def trailing_window_join(
     R) per key, no row pairing ever materialized (a naive inequality join
     would be O(L×R) rows before aggregation, which is how the SQL oracle
     states it)."""
-    tagged, l_names, r_cols = _union_keyed(
+    tagged, l_names, r_cols, l_types, _r_types = _union_keyed(
         left, right, left_by, right_by, left_on, right_on, [value_col], shuffle_buckets
     )
     vcol = f"_r_{value_col}"
 
-    def bucket_window(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_window(df: pd.DataFrame) -> pa.Table:
         lhs = df[df["_side"] == 0].reset_index(drop=True)
         rhs = df[df["_side"] == 1]
-        out = lhs[[f"_l_{c}" for c in l_names]].copy()
-        out.columns = l_names
         counts = np.zeros(len(lhs), dtype=np.int64)
         sums = np.zeros(len(lhs), dtype=np.float64)
         if len(rhs) and len(lhs):
@@ -203,8 +211,11 @@ def trailing_window_join(
                 hi = np.searchsorted(rt, lt[sel], side="right")  # ≤ t
                 counts[sel] = hi - lo
                 sums[sel] = cs[hi] - cs[lo]
-        out[count_name] = counts
-        out[sum_name] = sums
-        return out
+        return _typed_out(
+            lhs,
+            l_names,
+            l_types,
+            {count_name: (counts, pa.int64()), sum_name: (sums, pa.float64())},
+        )
 
     return tagged.groupby("_cb").map_groups(bucket_window, batch_format="pandas")

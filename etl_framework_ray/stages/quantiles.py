@@ -89,11 +89,13 @@ def _resolve_rank(
     bins: int,
     collect_limit: int,
     max_refine: int,
+    hist: np.ndarray | None = None,  # precomputed level histogram (shared across qs)
 ) -> float:
     if hi <= lo:
         return lo
     width = (hi - lo) / bins
-    hist = _histogram(ds, col, chain, lo, width, bins)
+    if hist is None:
+        hist = _histogram(ds, col, chain, lo, width, bins)
     cum = np.cumsum(hist)
     b = int(np.searchsorted(below + cum, rank + 1))
     b_below = below + (int(cum[b - 1]) if b else 0)
@@ -124,14 +126,29 @@ def rank_select_quantiles(
     max_refine: int = 4,
 ) -> pa.Table:
     """Exact discrete quantiles of a numeric column: for each q, the
-    element at sorted rank ``floor(q × (n−1))``. Returns a small Arrow
-    table ``(q, v)``."""
-    pruned = ds.select_columns([col]).materialize()  # re-scanned per pass
+    element at sorted rank ``floor(q × (n−1))``, where n counts NON-NULL
+    values (nulls are excluded, like SQL aggregate quantiles; an all-null
+    or empty column returns an empty table). Returns a small Arrow table
+    ``(q, v)``."""
+    import pyarrow.compute as pc
+
+    pruned = (
+        ds.select_columns([col])
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
+        )
+        .materialize()  # re-scanned per pass
+    )
     n = pruned.count()
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
     mn = float(pruned.min(col))
     mx = float(pruned.max(col))
+    # one level-0 histogram pass serves EVERY quantile; only refinements
+    # and the final bucket collects are per-rank
+    hist0 = (
+        _histogram(pruned, col, [], mn, (mx - mn) / bins, bins) if mx > mn else None
+    )
     out_q, out_v = [], []
     for q in qs:
         rank = int(math.floor(q * (n - 1)))
@@ -141,6 +158,9 @@ def rank_select_quantiles(
             continue
         out_q.append(float(q))
         out_v.append(
-            _resolve_rank(pruned, col, rank, [], mn, mx, 0, bins, collect_limit, max_refine)
+            _resolve_rank(
+                pruned, col, rank, [], mn, mx, 0, bins, collect_limit, max_refine,
+                hist=hist0,
+            )
         )
     return pa.table({"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())})

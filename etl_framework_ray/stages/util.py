@@ -2,7 +2,38 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import ray
+
+
+def in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a SORTED array (the broadcast
+    id-set pattern: ``ray.put`` one sorted int64 array once, probe with
+    two ops per batch instead of Python-set lookups)."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_arr, values), 0, len(sorted_arr) - 1)
+    return sorted_arr[pos] == values
+
+
+@ray.remote(num_cpus=0)
+class CounterActor:
+    """Zero-CPU accumulator for per-batch metrics emitted by streaming
+    tasks (DQ failure counts, curation funnel rows). NOT transactional:
+    a task retried by Ray after partial completion re-adds its batches —
+    acceptable for monitoring/audit counters, never for correctness
+    decisions beyond the same single run."""
+
+    def __init__(self):
+        self.counts: dict = {}
+
+    def add(self, counts: dict) -> None:
+        for k, v in counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+
+    def get(self) -> dict:
+        return dict(self.counts)
 
 
 def cached_stage(cls, *args, **kwargs):

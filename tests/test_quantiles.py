@@ -41,3 +41,16 @@ def test_quantiles_empty_and_constant():
     const = ray.data.from_arrow(pa.table({"x": pa.array([7.0] * 100, pa.float64())}))
     out = rank_select_quantiles(const, "x", (0.0, 0.5, 1.0)).to_pandas()
     assert (out.v == 7.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantiles_exclude_nulls():
+    """n counts NON-NULL values (SQL aggregate semantics); all-null is empty."""
+    import ray.data
+
+    v = [None, 1.0, None, 2.0, 3.0, None, 4.0, 5.0]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v, pa.float64())})).repartition(3)
+    out = rank_select_quantiles(ds, "x", (0.0, 0.5, 1.0)).to_pandas()
+    assert list(out.v) == [1.0, 3.0, 5.0]  # ranks over the 5 non-null values
+    allnull = ray.data.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
+    assert rank_select_quantiles(allnull, "x").num_rows == 0

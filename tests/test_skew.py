@@ -194,3 +194,49 @@ def test_salt_migration_crash_before_commit_is_invisible(tmp_path):
     # the retried mitigation commits atomically and preserves state
     assert eng.mitigate_skew() != {}
     assert eng.snapshot_arrow().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mutual_migration_between_two_hot_partitions(tmp_path):
+    """Two hot conversations on DIFFERENT partitions salted in one round,
+    each fanning into the other's partition — the manifest update must not
+    drop either migration's files (regression: interleaved replace/append
+    lost the earlier append)."""
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
+
+    P = 4
+    # two hot convs that hash to different partitions
+    hot_a = "hotA"
+    hot_b = next(
+        c
+        for c in (f"hotB{i}" for i in range(50))
+        if partition_ids(pa.array([c]), P)[0] != partition_ids(pa.array([hot_a]), P)[0]
+    )
+    rows = []
+    lsn = 0
+    for conv, turns in [(hot_a, 300), (hot_b, 300)] + [(f"bg-{i}", 2) for i in range(20)]:
+        for t in range(turns):
+            lsn += 1
+            rows.append(
+                {
+                    "lsn": lsn, "op": "I", "ts": lsn * 1000, "conv_id": conv,
+                    "turn_idx": t, "role": "user", "text": f"{conv}/{t}", "tool": None,
+                }
+            )
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema([f.with_nullable(True) for f in CHANGELOG_SCHEMA]))
+    clog = ChangeLog(str(tmp_path / "log"))
+    pq.write_table(tbl, str(tmp_path / "log" / f"segment-{1:012d}-{lsn:012d}.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=P)
+    eng.replay(clog, vacuum=False)
+    before = eng.snapshot_arrow()
+    assert before.num_rows == len(rows)  # all keys distinct
+
+    salted = eng.mitigate_skew(factor=1.5, fanout=P, min_share=0.4)
+    assert set(salted) == {hot_a, hot_b}  # both migrated in ONE round
+    # no rows lost: state identical, also after vacuum and a restart
+    assert eng.snapshot_arrow().equals(before)
+    eng.vacuum()
+    assert CDCEngine(str(tmp_path / "tbl"), num_partitions=P).snapshot_arrow().equals(before)

@@ -125,3 +125,33 @@ def test_changefeed_retention_expiry(tmp_path):
         eng.read_changes(since_lsn=floor - 400)
     recent = eng.read_changes(since_lsn=floor)  # at the floor: served
     assert recent.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_toggle_does_not_hide_pre_retention_folds(tmp_path):
+    """Enabling retention on an EXISTING table must not silently skip base
+    files whose deltas were folded (and vacuumed) before retention was
+    active — consumers behind that point still get the loud error."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    epochs = clog.epochs(1)
+
+    plain = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    for ep in epochs[:4]:  # pre-retention: folds never retained
+        plain.apply_epoch(ep)
+    pre_watermark = plain.manifest.applied_lsn
+
+    ret = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=50_000,
+    )
+    for ep in epochs[4:]:
+        ret.apply_epoch(ep)
+    # a consumer behind the retention activation point: loud error, not a
+    # silently incomplete feed
+    with pytest.raises(RuntimeError, match="compacted"):
+        ret.read_changes(since_lsn=pre_watermark - 500)
+    # a consumer at/after the activation watermark is fully served
+    feed = ret.read_changes(since_lsn=pre_watermark)
+    assert feed.num_rows > 0
