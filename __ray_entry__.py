@@ -159,6 +159,35 @@ def _q_text_stats(sf_dir: str):
     )
 
 
+def _q_doc_chunks_packed(sf_dir: str):
+    """Chunk documents into 128-token windows, pack into 512-token
+    sequences (partition-local first-fit) — rows-only (packing layout is
+    partitioning-dependent by design; budget/coverage invariants are
+    unit-tested)."""
+    import ray.data
+
+    from etl_framework_ray.stages.packing import chunk_documents, pack_chunks
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_chunks(chunk_documents(ds, max_tokens=128, overlap=16), budget=512).drop_columns(
+        ["text"]
+    )
+
+
+def _q_sample_docs(sf_dir: str):
+    """Deterministic 10% sample by key modulus — SQL-identical predicate."""
+    import ray.data
+
+    from etl_framework_ray.stages.packing import sample_mod
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return sample_mod(ds, 10, key_col="doc_id")
+
+
 def _q_price_quantiles(sf_dir: str):
     """Distributed exact rank-select quantiles (histogram refinement)."""
     import ray.data
@@ -469,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
         "price_quantiles": _q_price_quantiles,
+        "doc_chunks_packed": _q_doc_chunks_packed,
+        "sample_docs_10pct": _q_sample_docs,
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
@@ -641,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
             FROM documents""",
+        "sample_docs_10pct": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 < 10""",
         "price_quantiles": """
             WITH s AS (
                 SELECT l_extendedprice AS v,

@@ -1,0 +1,140 @@
+"""Document chunking and sequence packing — the tokenizer-side operators
+every LLM training-data pipeline runs after curation.
+
+- ``chunk_documents``: split each document into ≤ ``max_tokens``-token
+  windows with ``overlap`` tokens of context carry-over (flat-map shape:
+  one input row → N chunk rows). Token = whitespace token (the engine's
+  ``n_tokens`` definition); chunk ids are deterministic (doc_id,
+  chunk_idx).
+- ``pack_chunks``: greedy first-fit packing of chunks into fixed
+  ``budget``-token sequences WITHOUT splitting a chunk across packs —
+  the "sequence packing" step that turns a curated corpus into
+  fixed-length training rows. Packing is PARTITION-LOCAL (each block
+  packs independently, pack ids are salted by block via the first
+  doc id) — at scale that is exactly what you want: no global state, no
+  shuffle, deterministic for a fixed input partitioning; cross-block
+  bin-perfection is not worth an all-to-all (document the trade).
+
+Both stages stream; neither holds more than one batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def chunk_documents(
+    ds: "object",
+    max_tokens: int = 512,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """One row per (doc, window): ``doc_id, chunk_idx, n_tokens, text``.
+
+    Windows advance by ``max_tokens − overlap``; a document at or under
+    ``max_tokens`` yields exactly one chunk. Deterministic."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_n, out_text = [], [], [], []
+        for i, t in enumerate(texts):
+            words = t.split()
+            if not words:
+                continue
+            starts = range(0, max(1, len(words) - overlap), step)
+            for ci, s in enumerate(starts):
+                w = words[s : s + max_tokens]
+                out_id.append(ids[i])
+                out_idx.append(ci)
+                out_n.append(len(w))
+                out_text.append(" ".join(w))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int32()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                text_col: pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def pack_chunks(
+    ds: "object",
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+):
+    """Greedy first-fit sequence packing: assigns every chunk a
+    ``(pack_id, pack_pos)`` such that each pack's token sum ≤ ``budget``
+    (chunks above ``budget`` get a singleton pack). Partition-local —
+    pack ids embed the block's first (doc_id, chunk_idx) so they are
+    globally unique without coordination."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            t = batch.append_column("pack_id", pa.array([], pa.int64()))
+            return t.append_column("pack_pos", pa.array([], pa.int32()))
+        toks = batch.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = (
+            batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "chunk_idx" in batch.column_names
+            else np.zeros(n, dtype=np.int64)
+        )
+        # block-unique pack-id base: first row's (doc_id, chunk_idx)
+        base = (int(ids[0]) << 20) ^ (int(cidx[0]) << 40)
+        pack_id = np.zeros(n, dtype=np.int64)
+        pack_pos = np.zeros(n, dtype=np.int32)
+        bins: list[int] = []  # remaining budget per open bin (first-fit)
+        for i in range(n):  # chunk count per block is batch-bounded
+            t = int(toks[i])
+            placed = None
+            for b, rem in enumerate(bins):
+                if t <= rem:
+                    placed = b
+                    break
+            if placed is None:
+                bins.append(budget)
+                placed = len(bins) - 1
+                bins[placed] = max(0, budget - t)
+                pack_pos[i] = 0
+            else:
+                pack_pos[i] = 1  # refined below
+                bins[placed] -= t
+            pack_id[i] = base + placed
+        # positions within each pack in arrival order
+        order = np.argsort(pack_id, kind="stable")
+        pos = np.zeros(n, dtype=np.int32)
+        seen: dict[int, int] = {}
+        for i in order:
+            p = int(pack_id[i])
+            pos[i] = seen.get(p, 0)
+            seen[p] = pos[i] + 1
+        out = batch.append_column("pack_id", pa.array(pack_id, pa.int64()))
+        return out.append_column("pack_pos", pa.array(pos, pa.int32()))
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def sample_mod(
+    ds: "object", rate_pct: int, key_col: str = "doc_id", modulus: int = 100
+):
+    """Deterministic sampling: keep rows where ``key % modulus <
+    rate_pct`` — reproducible across runs/engines and SQL-expressible
+    (the oracle states the identical predicate). For keys with skewed
+    low-order bits, hash the key first (``stable_hash_array``) — modulo
+    on sequential ids is already uniform."""
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((k % modulus) < rate_pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

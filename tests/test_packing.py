@@ -1,0 +1,100 @@
+"""Chunking / sequence-packing / deterministic-sampling operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etl_framework_ray.stages.packing import chunk_documents, pack_chunks, sample_mod
+
+
+def _docs():
+    texts = [
+        " ".join(f"w{i}" for i in range(25)),  # 25 tokens → 3 chunks @ (10, ov 2)
+        " ".join(f"x{i}" for i in range(8)),  # 8 tokens → 1 chunk
+        "",  # empty → no chunks
+        "single",  # 1 token → 1 chunk
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunking_windows_and_overlap():
+    import ray.data
+
+    out = (
+        chunk_documents(ray.data.from_arrow(_docs()), max_tokens=10, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    # windows advance by 8: [0:10], [8:18], [16:25]
+    assert list(d0.n_tokens) == [10, 10, 9]
+    assert d0.iloc[1].text.split()[:2] == ["w8", "w9"]  # overlap carried over
+    assert list(out[out.doc_id == 1].n_tokens) == [8]
+    assert (out.doc_id != 2).all()  # empty doc yields nothing
+    assert list(out[out.doc_id == 3].n_tokens) == [1]
+    # every chunk respects the cap; full coverage of doc 0's tokens
+    assert (out.n_tokens <= 10).all()
+    covered = set()
+    for t in d0.text:
+        covered.update(t.split())
+    assert covered == {f"w{i}" for i in range(25)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_packing_budget_and_positions():
+    import ray.data
+
+    chunks = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "chunk_idx": pa.array([0] * 5, pa.int32()),
+            "n_tokens": pa.array([600, 500, 900, 100, 2500], pa.int64()),
+        }
+    )
+    out = pack_chunks(ray.data.from_arrow(chunks), budget=1000).to_pandas()
+    # no pack exceeds the budget (the 2500 oversize chunk sits alone)
+    sums = out.groupby("pack_id").n_tokens.sum()
+    per_pack_counts = out.groupby("pack_id").size()
+    for pid, s in sums.items():
+        assert s <= 1000 or per_pack_counts[pid] == 1
+    # greedy first-fit: 600+100 ≤ 1000 share a pack; 500 and 900 cannot join it
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[1].pack_id == by_doc.loc[4].pack_id
+    assert by_doc.loc[3].pack_id != by_doc.loc[1].pack_id
+    # positions are 0..k-1 within each pack
+    for pid, g in out.groupby("pack_id"):
+        assert sorted(g.pack_pos) == list(range(len(g)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_then_pack_composes():
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    texts = [" ".join(f"t{i}_{j}" for j in range(int(rng.integers(5, 200)))) for i in range(60)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)
+    packed = pack_chunks(chunk_documents(ds, max_tokens=64, overlap=8), budget=256).to_pandas()
+    sums = packed.groupby("pack_id").n_tokens.sum()
+    counts = packed.groupby("pack_id").size()
+    assert all(s <= 256 or counts[p] == 1 for p, s in sums.items())
+    # every chunk assigned exactly once
+    assert len(packed) == len(packed[["doc_id", "chunk_idx"]].drop_duplicates())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_mod_deterministic():
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(1000), pa.int64()), "v": pa.array(range(1000))})
+    ).repartition(4)
+    a = sample_mod(ds, 10).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sample_mod(ds, 10).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 100 and (a.doc_id % 100 < 10).all()
