@@ -200,6 +200,15 @@ def _q_price_quantiles(sf_dir: str):
     return rank_select_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
 
 
+def _q_normalize_text(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import normalize_text
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text, batch_format="pyarrow")
+
+
 def _q_top_tokens(sf_dir: str):
     import ray.data
 
@@ -497,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
+        "normalize_text": _q_normalize_text,
         "price_quantiles": _q_price_quantiles,
         "doc_chunks_packed": _q_doc_chunks_packed,
         "sample_docs_10pct": _q_sample_docs,
@@ -671,6 +681,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT)
                        AS n_bpe_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+            FROM documents""",
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                       '\s+', ' ', 'g')) AS text
             FROM documents""",
         "sample_docs_10pct": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 < 10""",

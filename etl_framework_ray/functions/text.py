@@ -110,6 +110,23 @@ class QualityScorer:
         return out.append_column("quality_score", pa.array(score.to_numpy(np.float64)))
 
 
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", lowercase: bool = False
+) -> pa.Table:
+    """Boilerplate-stripping normalization (curation pre-pass): remove
+    HTML-ish tags, collapse whitespace runs, trim. Pure Arrow RE2 kernels
+    — the SQL oracle applies the IDENTICAL patterns via
+    ``regexp_replace(..., 'g')``, so outputs match byte-for-byte."""
+    t = batch.column(text_col)
+    t = pc.replace_substring_regex(t, r"<[^>]*>", " ")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    if lowercase:
+        t = pc.utf8_lower(t)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, t)
+
+
 def token_counts(
     ds: "object", text_col: str = "text", k: int | None = 100
 ) -> "object":

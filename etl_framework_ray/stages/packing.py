@@ -103,12 +103,9 @@ def pack_chunks(
                     placed = b
                     break
             if placed is None:
-                bins.append(budget)
+                bins.append(max(0, budget - t))
                 placed = len(bins) - 1
-                bins[placed] = max(0, budget - t)
-                pack_pos[i] = 0
             else:
-                pack_pos[i] = 1  # refined below
                 bins[placed] -= t
             pack_id[i] = base + placed
         # positions within each pack in arrival order

@@ -116,3 +116,21 @@ def test_token_counts_vocabulary(tmp_path):
     # k=None returns the whole vocabulary
     full = token_counts(ray.data.read_parquet(str(d)), k=None).to_pandas()
     assert set(full.token) == {"a", "b", "c", "!", "-"}
+
+
+def test_normalize_text_strips_tags_and_whitespace():
+    from etl_framework_ray.functions.text import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["<p>Hello   <b>World</b></p>", "  spaced\t\nout  ", "plain"],
+                pa.string(),
+            ),
+        }
+    )
+    out = normalize_text(t).column("text").to_pylist()
+    assert out == ["Hello World", "spaced out", "plain"]
+    low = normalize_text(t, lowercase=True).column("text").to_pylist()
+    assert low[0] == "hello world"
