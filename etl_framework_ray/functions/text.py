@@ -120,7 +120,11 @@ def normalize_text(
     t = batch.column(text_col)
     t = pc.replace_substring_regex(t, r"<[^>]*>", " ")
     t = pc.replace_substring_regex(t, r"\s+", " ")
-    t = pc.utf8_trim_whitespace(t)
+    # trim SPACES only: after the collapse every RE2-\s boundary run is a
+    # single space, and DuckDB's trim() also strips only ' ' — trimming
+    # full Unicode whitespace here (e.g. \x0b, which RE2 \s excludes)
+    # would silently break the byte-parity contract
+    t = pc.utf8_trim(t, " ")
     if lowercase:
         t = pc.utf8_lower(t)
     i = batch.schema.get_field_index(text_col)

@@ -728,6 +728,15 @@ class CDCEngine:
         new_man.properties["retained_deltas"] = keep
         new_man.properties["changefeed_floor"] = floor
 
+    def _invalidate_retention_coverage(self, new_man: Manifest, folded: bool) -> None:
+        """A FOLD committed while retention is OFF breaks changefeed
+        coverage for every earlier watermark (its deltas were never
+        retained). Clear the activation stamp so a later re-enable
+        re-stamps at its own watermark — consumers behind the off-window
+        get the loud replay-from-snapshot error, never a silent gap."""
+        if self.changefeed_retention_lsn is None and folded:
+            new_man.properties.pop("retention_since_lsn", None)
+
     def _public_schema(self) -> pa.Schema:
         lake = self.manifest.schema
         return pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
@@ -911,6 +920,9 @@ class CDCEngine:
             }
         )
         self._prune_retained(new_man)
+        self._invalidate_retention_coverage(
+            new_man, folded=any(m["mode"] == "base" for m in metas)
+        )
         self.store.commit(new_man)
         self.manifest = new_man
         return new_man.history[-1]
@@ -1084,6 +1096,7 @@ class CDCEngine:
                 files=[m["path"]], applied_lsn=epoch_id, rows=int(m["rows_live"])
             )
         self._prune_retained(new_man)
+        self._invalidate_retention_coverage(new_man, folded=bool(metas))
         new_man.history.append(
             {"op": "compact", "version": new_man.version, "partitions": len(metas), **self.run_context.as_dict()}
         )
@@ -1198,6 +1211,7 @@ class CDCEngine:
             }
         )
         self._prune_retained(new_man)
+        self._invalidate_retention_coverage(new_man, folded=bool(metas))
         self.store.commit(new_man)
         self.manifest = new_man
         return new_keys

@@ -435,8 +435,9 @@ def _assign_clusters(
         ns, ls = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ns):
-            hit = in_sorted(ids, ns)
+            # one searchsorted serves both membership and label gather
             idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
+            hit = ns[idx] == ids
             cluster = np.where(hit, ls[idx], ids)
         else:
             cluster = ids

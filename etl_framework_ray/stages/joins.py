@@ -100,9 +100,14 @@ def _typed_out(lhs: pd.DataFrame, l_names, l_types, extra: dict) -> pa.Table:
     types that break downstream schema unification."""
     cols = {}
     for c in l_names:
-        cols[c] = pa.array(list(lhs[f"_l_{c}"]), type=l_types[c])
+        cols[c] = pa.Array.from_pandas(lhs[f"_l_{c}"], type=l_types[c])
     for name, (values, typ) in extra.items():
-        cols[name] = pa.array(list(values), type=typ)
+        # numpy value arrays convert directly; object arrays (asof match
+        # results holding None) go through from_pandas for null handling
+        if isinstance(values, np.ndarray) and values.dtype != object:
+            cols[name] = pa.array(values, type=typ)
+        else:
+            cols[name] = pa.Array.from_pandas(pd.Series(values), type=typ)
     return pa.table(cols)
 
 

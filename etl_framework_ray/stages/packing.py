@@ -41,8 +41,7 @@ def chunk_documents(
 
     def chunk(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pandas().fillna("")
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out_id, out_idx, out_n, out_text = [], [], [], []
+        src_idx, out_idx, out_n, out_text = [], [], [], []
         for i, t in enumerate(texts):
             words = t.split()
             if not words:
@@ -50,13 +49,14 @@ def chunk_documents(
             starts = range(0, max(1, len(words) - overlap), step)
             for ci, s in enumerate(starts):
                 w = words[s : s + max_tokens]
-                out_id.append(ids[i])
+                src_idx.append(i)
                 out_idx.append(ci)
                 out_n.append(len(w))
                 out_text.append(" ".join(w))
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
+                # take() preserves the id column's own type (int, string, …)
+                id_col: batch.column(id_col).take(pa.array(src_idx, pa.int64())),
                 "chunk_idx": pa.array(out_idx, pa.int32()),
                 "n_tokens": pa.array(out_n, pa.int64()),
                 text_col: pa.array(out_text, pa.string()),
@@ -75,8 +75,11 @@ def pack_chunks(
     """Greedy first-fit sequence packing: assigns every chunk a
     ``(pack_id, pack_pos)`` such that each pack's token sum ≤ ``budget``
     (chunks above ``budget`` get a singleton pack). Partition-local —
-    pack ids embed the block's first (doc_id, chunk_idx) so they are
-    globally unique without coordination."""
+    the pack-id base is a 62-bit stable hash of the block's first
+    (id, chunk_idx), so ids are deterministic for a fixed partitioning
+    and collide across blocks only with probability ≲2⁻⁶² per pair
+    (a block's first row belongs to exactly one block)."""
+    from ..functions.hashing import stable_hash_array
 
     def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -84,14 +87,16 @@ def pack_chunks(
             t = batch.append_column("pack_id", pa.array([], pa.int64()))
             return t.append_column("pack_pos", pa.array([], pa.int32()))
         toks = batch.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cidx = (
-            batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx0 = (
+            int(batch.column("chunk_idx")[0].as_py())
             if "chunk_idx" in batch.column_names
-            else np.zeros(n, dtype=np.int64)
+            else 0
         )
-        # block-unique pack-id base: first row's (doc_id, chunk_idx)
-        base = (int(ids[0]) << 20) ^ (int(cidx[0]) << 40)
+        # block-unique (w.h.p.) pack-id base: hash of first (id, chunk_idx)
+        first_key = f"{batch.column(id_col)[0].as_py()}|{cidx0}"
+        base = int(
+            stable_hash_array(np.asarray([first_key], dtype=object))[0] % np.uint64(1 << 62)
+        )
         pack_id = np.zeros(n, dtype=np.int64)
         pack_pos = np.zeros(n, dtype=np.int32)
         bins: list[int] = []  # remaining budget per open bin (first-fit)
@@ -129,9 +134,15 @@ def sample_mod(
     rate_pct`` — reproducible across runs/engines and SQL-expressible
     (the oracle states the identical predicate). For keys with skewed
     low-order bits, hash the key first (``stable_hash_array``) — modulo
-    on sequential ids is already uniform."""
+    on sequential ids is already uniform. Requires NON-NEGATIVE keys
+    (raises otherwise): numpy's modulo takes the divisor's sign while
+    SQL's takes the dividend's, so negative keys would silently diverge
+    from the oracle."""
+
     def keep(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and k.min() < 0:
+            raise ValueError("sample_mod requires non-negative keys (SQL % sign parity)")
         return batch.filter(pa.array((k % modulus) < rate_pct))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -155,3 +155,35 @@ def test_retention_toggle_does_not_hide_pre_retention_folds(tmp_path):
     # a consumer at/after the activation watermark is fully served
     feed = ret.read_changes(since_lsn=pre_watermark)
     assert feed.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_off_window_invalidates_coverage(tmp_path):
+    """Retention on → OFF (folds happen unretained) → on again: consumers
+    inside the off-window must get the loud error, not a silent gap."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    epochs = clog.epochs(1)
+
+    on1 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+                    changefeed_retention_lsn=50_000)
+    for ep in epochs[:3]:
+        on1.apply_epoch(ep)
+    early_watermark = on1.manifest.applied_lsn
+
+    off = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    for ep in epochs[3:6]:  # folds WITHOUT retention
+        off.apply_epoch(ep)
+    off_watermark = off.manifest.applied_lsn
+
+    on2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+                    changefeed_retention_lsn=50_000)
+    for ep in epochs[6:]:
+        on2.apply_epoch(ep)
+    # the off-window broke coverage: consumers from before/inside it error
+    for since in (early_watermark, off_watermark - 500):
+        with pytest.raises(RuntimeError, match="compacted"):
+            on2.read_changes(since_lsn=since)
+    # consumers from the re-activation watermark onward are served
+    assert on2.read_changes(since_lsn=off_watermark).num_rows > 0
