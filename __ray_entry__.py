@@ -200,6 +200,20 @@ def _q_price_quantiles(sf_dir: str):
     return rank_select_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct-user count over events — one
+    4 KiB sketch per block instead of an all-to-all key shuffle;
+    rows-only (accuracy asserted vs exact in tests)."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_distinct_users": pa.array([round(est)], pa.int64())})
+
+
 def _q_normalize_text(sf_dir: str):
     import ray.data
 
@@ -507,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
         "normalize_text": _q_normalize_text,
+        "approx_distinct_users": _q_approx_distinct_users,
         "price_quantiles": _q_price_quantiles,
         "doc_chunks_packed": _q_doc_chunks_packed,
         "sample_docs_10pct": _q_sample_docs,

@@ -1,0 +1,95 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+``hll_distinct``: HyperLogLog approximate distinct count (Flajolet et
+al. 2007) — THE pattern for "how many unique users/keys" over data too
+big to shuffle for an exact ``unique``:
+
+- every block folds its values into a 2^p-register sketch (one numpy
+  pass: stable 64-bit hash → register index from the top p bits,
+  rank-of-leading-zero max per register);
+- one small (2^p bytes) partial per block reaches the driver and merges
+  by elementwise max — associative/commutative, so the result is
+  independent of partitioning and arrival order;
+- the standard bias-corrected estimator with linear-counting small-range
+  correction produces the estimate (~1.04/√2^p relative error; p=12 →
+  ~1.6%).
+
+An EXACT distinct needs an all-to-all shuffle of every key; the sketch
+needs 4 KiB per block. Accuracy is asserted against exact counts in
+tests; the driver query is rows-only (approximation is the point).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _fold_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """One vectorized pass: values → max rank-of-leading-zeros per
+    register (uint8[2^p])."""
+    m = 1 << p
+    h = stable_hash_array(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)  # top p bits → register
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # low bits, padded
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1
+    rank = np.zeros(len(h), dtype=np.uint8)
+    remaining = rest.copy()
+    # leading-zero count via float64 exponent trick is lossy; use a
+    # 16-bit-table-free loop over bit positions (≤64 fixed iterations,
+    # each a vectorized compare — O(64n) bit ops, no per-row Python)
+    lz = np.full(len(h), 64, dtype=np.uint8)
+    nonzero = remaining != 0
+    # log2 via bit_length: np.frexp on float conversion is exact for the
+    # TOP bit position because we only need floor(log2(x))
+    r = remaining[nonzero]
+    # split 64-bit into two 32-bit halves to keep float64 exact
+    hi = (r >> np.uint64(32)).astype(np.uint32)
+    lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    top = np.where(
+        hi != 0,
+        63 - (np.floor(np.log2(hi.astype(np.float64) + 0.0)).astype(np.int64) + 32),
+        63 - np.floor(np.log2(np.maximum(lo, 1).astype(np.float64))).astype(np.int64),
+    )
+    lz[nonzero] = top.astype(np.uint8)
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting (small range)
+    return float(est)
+
+
+def hll_distinct(ds: "object", col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via per-block HLL partials merged
+    on the driver (2^p bytes per block — never the values)."""
+    m = 1 << p
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_pandas().dropna().to_numpy()
+        regs = _fold_registers(v, p) if len(v) else np.zeros(m, dtype=np.uint8)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(m, dtype=np.uint8)
+    for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+        merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
+    return _estimate(merged)
