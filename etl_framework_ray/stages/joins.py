@@ -48,10 +48,19 @@ def _union_keyed(
     hashed key. Returns ``(tagged_ds, l_names, r_cols)``."""
     l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
     r_schema = right.schema()
+    if l_schema is None:
+        raise ValueError("left dataset has no schema (empty input?)")
     l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
-    l_names = list(l_schema.names)
     r_cols = [c for c in dict.fromkeys(right_cols) if c != right_by]
+    if r_schema is None:
+        # a fully EMPTY right side: no rows will ever match, and there is
+        # no schema to type the payload — emit consistently null-typed
+        # r_* columns (uniform across blocks, so unification still works)
+        r_types = {c: pa.null() for c in r_cols}
+        right = None
+    else:
+        r_types = dict(zip(r_schema.names, r_schema.types))
+    l_names = list(l_schema.names)
     key_t = l_types[left_by]
     # time comparisons happen on a COMMON comparable type
     t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
@@ -87,9 +96,11 @@ def _union_keyed(
 
         return fn
 
-    tagged = left.map_batches(tag(0, left_by, left_on, "_l_"), batch_format="pyarrow").union(
-        right.map_batches(tag(1, right_by, right_on, "_r_"), batch_format="pyarrow")
-    )
+    tagged = left.map_batches(tag(0, left_by, left_on, "_l_"), batch_format="pyarrow")
+    if right is not None:
+        tagged = tagged.union(
+            right.map_batches(tag(1, right_by, right_on, "_r_"), batch_format="pyarrow")
+        )
     return tagged, l_names, r_cols, l_types, r_types
 
 

@@ -116,3 +116,122 @@ def test_trailing_window_bounds():
     assert out.loc[2].n_right == 0 and out.loc[2].sum_value == 0.0
     # eid=3: key 2 has no right rows at all
     assert out.loc[3].n_right == 0 and out.loc[3].sum_value == 0.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None)
+@given(
+    n_left=st.integers(1, 60),
+    n_right=st.integers(0, 60),
+    n_keys=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_asof_matches_pandas_merge_asof(n_left, n_right, n_keys, seed):
+    """Property: asof_join ≡ pandas.merge_asof (backward, by-key) on
+    random inputs — an independent oracle implementation."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "eid": pa.array(range(n_left), pa.int64()),
+            "k": pa.array(rng.integers(0, n_keys, n_left), pa.int64()),
+            "t": pa.array(np.round(rng.uniform(0, 100, n_left), 3), pa.float64()),
+        }
+    )
+    # unique (k, rt) on the right: ties are pre-reduced by contract
+    rk = rng.integers(0, n_keys, n_right)
+    rt = np.round(rng.uniform(0, 100, n_right), 3)
+    rdf = (
+        pd.DataFrame({"k": rk, "rt": rt, "v": np.arange(n_right, dtype=np.int64)})
+        .drop_duplicates(["k", "rt"])
+        .reset_index(drop=True)
+    )
+    right = pa.Table.from_pandas(rdf, preserve_index=False)
+
+    got = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right),
+            left_by="k",
+            right_by="k",
+            left_on="t",
+            right_on="rt",
+            right_cols=["rt", "v"],
+            shuffle_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.to_pandas().sort_values("t"),
+        rdf.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("eid").reset_index(drop=True)
+    assert list(got.eid) == list(exp.eid)
+    for c, ec in (("r_rt", "rt"), ("r_v", "v")):
+        g = got[c].astype("float64")
+        e = exp[ec].astype("float64")
+        assert ((g.isna() & e.isna()) | (g == e)).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(
+    n_left=st.integers(1, 40),
+    n_right=st.integers(0, 40),
+    span=st.sampled_from([1.0, 7.5, 50.0]),
+    seed=st.integers(0, 10_000),
+)
+def test_trailing_window_matches_bruteforce(n_left, n_right, span, seed):
+    """Property: trailing_window_join ≡ the O(L×R) brute force."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import trailing_window_join
+
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, 4, n_left)
+    lt = np.round(rng.uniform(0, 100, n_left), 3)
+    rk = rng.integers(0, 4, n_right)
+    rt = np.round(rng.uniform(0, 100, n_right), 3)
+    rv = np.round(rng.uniform(0, 10, n_right), 3)
+    left = pa.table(
+        {
+            "eid": pa.array(range(n_left), pa.int64()),
+            "k": pa.array(lk, pa.int64()),
+            "t": pa.array(lt, pa.float64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array(rk, pa.int64()), "rt": pa.array(rt, pa.float64()), "v": pa.array(rv, pa.float64())}
+    )
+    got = (
+        trailing_window_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            left_by="k",
+            right_by="k",
+            left_on="t",
+            right_on="rt",
+            value_col="v",
+            span_s=span,
+            shuffle_buckets=3,
+        )
+        .to_pandas()
+        .set_index("eid")
+        .sort_index()
+    )
+    for i in range(n_left):
+        mask = (rk == lk[i]) & (rt > lt[i] - span) & (rt <= lt[i])
+        assert got.loc[i].n_right == int(mask.sum()), i
+        assert abs(got.loc[i].sum_value - float(rv[mask].sum())) < 1e-9, i
