@@ -200,6 +200,20 @@ def _q_price_quantiles(sf_dir: str):
     return rank_select_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
 
 
+def _q_top_events_per_user(sf_dir: str):
+    """Generic per-group top-k (value DESC, event_id tie-break)."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import group_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "value"]
+    )
+    return group_topk(
+        ds, "user_id", ["value", "event_id"], k=3, descending=[True, False]
+    )
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct-user count over events — one
     4 KiB sketch per block instead of an all-to-all key shuffle;
@@ -522,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "normalize_text": _q_normalize_text,
         "approx_distinct_users": _q_approx_distinct_users,
+        "top_events_per_user": _q_top_events_per_user,
         "price_quantiles": _q_price_quantiles,
         "doc_chunks_packed": _q_doc_chunks_packed,
         "sample_docs_10pct": _q_sample_docs,
@@ -697,6 +712,14 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
             FROM documents""",
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3""",
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),

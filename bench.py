@@ -275,6 +275,74 @@ def _membench_worker(_):
     return time.perf_counter() - t0
 
 
+def run_soak() -> dict:
+    """All-features soak: replay 4× the tier's events with compaction,
+    tombstone TTL, changefeed retention AND auto skew mitigation enabled,
+    then cross-check the committed row count against a plain replay of
+    the same input. One JSON line; methodology notes in BASELINE.md."""
+    import shutil as _sh
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name()
+    global BENCH_EVENTS
+    if BENCH_EVENTS is None:
+        BENCH_EVENTS = 4 * BENCH_SIZES[sf][0]
+    clog_dir = _bench_changelog(sf)
+    n_events = BENCH_EVENTS
+
+    def leg(label: str, **kw):
+        lake = tempfile.mkdtemp(prefix=f"etl_soak_{label}_")
+        eng = CDCEngine(
+            os.path.join(lake, "transcripts"),
+            num_partitions=64,
+            **{k: v for k, v in kw.items() if k != "replay"},
+        )
+        t0 = time.perf_counter()
+        eng.replay(ChangeLog(clog_dir), segments_per_epoch=4, pipelined=True,
+                   **(kw.get("replay") or {}))
+        sec = time.perf_counter() - t0
+        rows = eng.snapshot().count()
+        retained = len(eng.manifest.properties.get("retained_deltas", []))
+        _sh.rmtree(lake, ignore_errors=True)
+        return {"seconds": round(sec, 2), "events_per_sec": round(n_events / sec, 1),
+                "rows": rows, "retained_deltas": retained}
+
+    full = leg(
+        "full",
+        compact_every=4,
+        tombstone_ttl_lsn=n_events // 2,
+        changefeed_retention_lsn=n_events // 4,
+        replay={"auto_mitigate_skew": True},
+    )
+    plain = leg("plain")
+    result = {
+        "metric": "all_features_soak (compaction+TTL+retention+auto_salt vs plain)",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "all_features": full,
+        "plain": plain,
+        "state_rows_match": full["rows"] == plain["rows"],
+    }
+    ray.shutdown()
+    return result
+
+
 def run_membench() -> dict:
     """Reproduce BASELINE.md's memory-bandwidth ceiling measurement: pure
     numpy memcpy at increasing process counts, no Ray involved."""
@@ -295,6 +363,8 @@ def run_membench() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--soak" in sys.argv:
+        print(json.dumps(run_soak()))
     elif "--membench" in sys.argv:
         print(json.dumps(run_membench()))
     else:

@@ -170,6 +170,53 @@ def asof_join(
     return tagged.groupby("_cb").map_groups(bucket_asof, batch_format="pandas")
 
 
+def group_topk(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k rows PER GROUP by ``order_cols`` (the generic form of A5's
+    argmax; deterministic when ``order_cols`` ends in a unique
+    tie-breaker). Coarse-bucketed: groups co-locate via
+    ``hash(group) % shuffle_buckets`` and one pandas sort+head per bucket
+    handles ALL of its groups — one UDF dispatch per bucket, not per
+    group. Pre-trim: each input block keeps only its own per-group top-k
+    before the shuffle, so at most ``k × groups`` rows per block move."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    ascending = [not d for d in descending]
+
+    def trim(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.sort_values(order_cols, ascending=ascending, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        cb = (
+            stable_hash_array(out[group_col].to_numpy()) % np.uint64(shuffle_buckets)
+        ).astype(np.int64)
+        out = out.assign(_cb=cb)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=["_cb"])
+            .sort_values(order_cols, ascending=ascending, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    return (
+        ds.map_batches(trim, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+
+
 def trailing_window_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

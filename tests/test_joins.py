@@ -235,3 +235,30 @@ def test_trailing_window_matches_bruteforce(n_left, n_right, span, seed):
         mask = (rk == lk[i]) & (rt > lt[i] - span) & (rt <= lt[i])
         assert got.loc[i].n_right == int(mask.sum()), i
         assert abs(got.loc[i].sum_value - float(rv[mask].sum())) < 1e-9, i
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_topk_semantics():
+    import ray.data
+
+    from etl_framework_ray.stages.joins import group_topk
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "id": pa.array([10, 11, 12, 13, 20, 21, 30], pa.int64()),
+            "v": pa.array([5.0, 9.0, 9.0, 1.0, 2.0, 2.0, 7.0], pa.float64()),
+        }
+    )
+    out = (
+        group_topk(
+            ray.data.from_arrow(t).repartition(3), "g", ["v", "id"], k=2,
+            descending=[True, False], shuffle_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # group 1: the two v=9 rows, tie-broken by id ASC; group 2: both rows;
+    # group 3: its single row
+    assert list(zip(out.g, out.id)) == [(1, 11), (1, 12), (2, 20), (2, 21), (3, 30)]
