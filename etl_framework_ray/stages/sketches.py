@@ -79,6 +79,71 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def bloom_build(ds: "object", col: str, num_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Build a Bloom filter over a key column: per-block bit-array
+    partials OR-merged on the driver (``num_bits/8`` bytes per block —
+    never the keys). ZERO false negatives by construction; false-positive
+    rate ≈ (1 − e^(−kn/m))^k — size ``num_bits`` ≈ 10–15 bits per
+    expected distinct key for ~1% FPR.
+
+    The classic use is the broadcast semi-join pre-filter: build over the
+    small side's keys, ``ray.put`` the packed bits, and drop non-matching
+    rows of the big side BEFORE any shuffle (``bloom_probe``); survivors
+    still need the exact join (false positives), but shuffle volume drops
+    to matches + FPR."""
+    m = num_bits
+
+    def part(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m // 8 + 1, dtype=np.uint8)
+        v = batch.column(col).to_pandas().dropna().to_numpy()
+        if len(v):
+            for pos in _bloom_positions(v, m, k):
+                # ufunc.at: duplicate byte indices must EACH apply their
+                # bit (fancy-index |= collapses duplicates)
+                np.bitwise_or.at(
+                    bits, pos >> 3, (np.int64(1) << (pos & 7)).astype(np.uint8)
+                )
+        return pa.table({"bits": pa.array([bits], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(m // 8 + 1, dtype=np.uint8)
+    for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+        merged |= np.asarray(row["bits"], dtype=np.uint8)
+    return merged
+
+
+def _bloom_positions(values: np.ndarray, m: int, k: int):
+    """k derived hash positions per value via double hashing
+    (h1 + i·h2 — Kirsch & Mitzenmacher 2006): two base hashes generate
+    all k probes with no per-i rehash."""
+    h1 = stable_hash_array(values)
+    h2 = stable_hash_array(np.char.add(values.astype(str), "#2").astype(object))
+    h2 = h2 | np.uint64(1)  # odd → full-period stride
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_probe(
+    ds: "object", col: str, bits: np.ndarray, num_bits: int = 1 << 20, k: int = 4
+):
+    """Keep rows whose key MIGHT be in the filter (no false negatives).
+    ``bits`` is broadcast once (``ray.put`` by the caller or captured) —
+    one vectorized probe pass per batch."""
+    import ray as _ray
+
+    ref = _ray.put(bits)
+    m = num_bits
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _ray.get(ref)
+        v = batch.column(col).to_pandas().fillna("").to_numpy()
+        mask = np.ones(len(v), dtype=bool)
+        for pos in _bloom_positions(v, m, k):
+            mask &= (b[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hll_distinct(ds: "object", col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col) via per-block HLL partials merged
     on the driver (2^p bytes per block — never the values)."""

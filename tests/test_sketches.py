@@ -44,3 +44,59 @@ def test_hll_real_events_users():
     exact = ds.unique("user_id")
     est = hll_distinct(ds, "user_id", p=12)
     assert abs(est - len(exact)) / len(exact) < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_no_false_negatives_and_low_fpr():
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import bloom_build, bloom_probe
+
+    members = [f"key-{i}" for i in range(5_000)]
+    non_members = [f"other-{i}" for i in range(20_000)]
+    small = ray.data.from_arrow(pa.table({"k": pa.array(members, pa.string())})).repartition(4)
+    bits = bloom_build(small, "k", num_bits=1 << 17, k=4)  # ~26 bits/key
+
+    probe_tbl = pa.table({"k": pa.array(members + non_members, pa.string())})
+    kept = bloom_probe(
+        ray.data.from_arrow(probe_tbl).repartition(4), "k", bits, num_bits=1 << 17, k=4
+    ).to_pandas()
+    kept_set = set(kept.k)
+    # ZERO false negatives: every member survives
+    assert all(m in kept_set for m in members)
+    # false-positive rate small
+    fpr = (len(kept) - len(members)) / len(non_members)
+    assert fpr < 0.01, fpr
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_prefilter_exactness():
+    """bloom_probe + exact filter == exact semi-join (the pre-filter
+    composes without changing results)."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(6)
+    big = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 10_000, 50_000), pa.int64()),
+            "v": pa.array(rng.standard_normal(50_000), pa.float64()),
+        }
+    )
+    small_keys = np.unique(rng.integers(0, 10_000, 300))
+    small = ray.data.from_arrow(pa.table({"k": pa.array(small_keys, pa.int64())}))
+    bits = bloom_build(small, "k", num_bits=1 << 14, k=4)
+    pre = bloom_probe(ray.data.from_arrow(big).repartition(4), "k", bits, num_bits=1 << 14, k=4)
+
+    keyset = set(int(x) for x in small_keys)
+    exact = pre.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b.column("k").to_numpy(zero_copy_only=False), small_keys))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    expected = big.to_pandas()
+    expected = expected[expected.k.isin(keyset)]
+    assert len(exact) == len(expected)
+    assert sorted(exact.k) == sorted(expected.k)
