@@ -126,7 +126,9 @@ def _bench_changelog(sf: str) -> str:
     return d
 
 
-def run_bench() -> dict:
+def _bench_session():
+    """One place owns the bench Ray-session config so every leg (headline,
+    soak) runs under identical settings."""
     import ray
 
     ray.init(
@@ -139,6 +141,11 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def run_bench() -> dict:
+    ray = _bench_session()
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
     from etl_framework_ray.sources.changelog import ChangeLog
@@ -283,18 +290,7 @@ def run_soak() -> dict:
     import shutil as _sh
     import tempfile
 
-    import ray
-
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    ray = _bench_session()
     from etl_framework_ray.pipelines.cdc import CDCEngine
     from etl_framework_ray.sources.changelog import ChangeLog
 

@@ -190,15 +190,26 @@ def group_topk(
     ascending = [not d for d in descending]
 
     def trim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         df = batch.to_pandas()
         out = (
             df.sort_values(order_cols, ascending=ascending, kind="mergesort")
-            .groupby(group_col, sort=False)
+            .groupby(group_col, sort=False, dropna=False)  # SQL keeps the NULL partition
             .head(k)
         )
-        cb = (
-            stable_hash_array(out[group_col].to_numpy()) % np.uint64(shuffle_buckets)
-        ).astype(np.int64)
+        # bucket routing must be DTYPE-STABLE under nulls: hash only the
+        # valid keys at their true Arrow dtype (a pandas conversion flips
+        # int64→float64 when a batch happens to hold a null, splitting one
+        # group across buckets); null-key rows get a dedicated bucket
+        arr = pa.Array.from_pandas(out[group_col], type=batch.schema.field(group_col).type)
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        cb = np.full(len(out), shuffle_buckets, dtype=np.int64)  # null bucket
+        vv = arr.drop_null().to_numpy(zero_copy_only=False)
+        if len(vv):
+            cb[np.flatnonzero(valid)] = (
+                stable_hash_array(vv) % np.uint64(shuffle_buckets)
+            ).astype(np.int64)
         out = out.assign(_cb=cb)
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -206,7 +217,7 @@ def group_topk(
         return (
             df.drop(columns=["_cb"])
             .sort_values(order_cols, ascending=ascending, kind="mergesort")
-            .groupby(group_col, sort=False)
+            .groupby(group_col, sort=False, dropna=False)
             .head(k)
         )
 

@@ -1,30 +1,43 @@
 """Mergeable sketches for corpus-scale statistics.
 
-``hll_distinct``: HyperLogLog approximate distinct count (Flajolet et
-al. 2007) — THE pattern for "how many unique users/keys" over data too
-big to shuffle for an exact ``unique``:
+- ``hll_distinct``: HyperLogLog approximate distinct count (Flajolet et
+  al. 2007) — one 2^p-register partial per block, merged by elementwise
+  max (associative/commutative ⇒ partitioning/order independent);
+  bias-corrected estimator with linear-counting small-range correction
+  (~1.04/√2^p relative error; p=12 → ~1.6%). An exact distinct needs an
+  all-to-all shuffle of every key; the sketch ships 4 KiB per block.
+- ``bloom_build`` / ``bloom_probe``: Bloom-filter semi-join pre-filter —
+  build ORs per-block bit partials (m/8 bytes each), probe broadcasts
+  the packed bits and drops non-matching big-side rows BEFORE any
+  shuffle. Zero false negatives by construction; ~1% FPR at 10–15 bits
+  per expected distinct key.
 
-- every block folds its values into a 2^p-register sketch (one numpy
-  pass: stable 64-bit hash → register index from the top p bits,
-  rank-of-leading-zero max per register);
-- one small (2^p bytes) partial per block reaches the driver and merges
-  by elementwise max — associative/commutative, so the result is
-  independent of partitioning and arrival order;
-- the standard bias-corrected estimator with linear-counting small-range
-  correction produces the estimate (~1.04/√2^p relative error; p=12 →
-  ~1.6%).
-
-An EXACT distinct needs an all-to-all shuffle of every key; the sketch
-needs 4 KiB per block. Accuracy is asserted against exact counts in
-tests; the driver query is rows-only (approximation is the point).
+Null/dtype discipline (learned the hard way): values are ALWAYS
+extracted via Arrow ``drop_null()`` so the numpy dtype never depends on
+whether a particular batch happens to contain a null — a pandas
+``dropna``/``fillna`` flips int64 columns to float64/object per batch,
+making identical keys hash differently across blocks (silent
+false-negatives / double counting). Null keys hash nowhere: they are
+excluded from builds/counts and always fail probes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash_array
+
+
+def _valid_values(arr) -> np.ndarray:
+    """Dtype-stable non-null values of an Arrow column (see module doc)."""
+    return arr.drop_null().to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
 
 
 def _alpha(m: int) -> float:
@@ -43,28 +56,20 @@ def _fold_registers(values: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     h = stable_hash_array(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)  # top p bits → register
-    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # low bits, padded
-    # rank = leading zeros of `rest` + 1, capped at 64-p+1
-    rank = np.zeros(len(h), dtype=np.uint8)
-    remaining = rest.copy()
-    # leading-zero count via float64 exponent trick is lossy; use a
-    # 16-bit-table-free loop over bit positions (≤64 fixed iterations,
-    # each a vectorized compare — O(64n) bit ops, no per-row Python)
-    lz = np.full(len(h), 64, dtype=np.uint8)
-    nonzero = remaining != 0
-    # log2 via bit_length: np.frexp on float conversion is exact for the
-    # TOP bit position because we only need floor(log2(x))
-    r = remaining[nonzero]
-    # split 64-bit into two 32-bit halves to keep float64 exact
-    hi = (r >> np.uint64(32)).astype(np.uint32)
-    lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    top = np.where(
-        hi != 0,
-        63 - (np.floor(np.log2(hi.astype(np.float64) + 0.0)).astype(np.int64) + 32),
-        63 - np.floor(np.log2(np.maximum(lo, 1).astype(np.float64))).astype(np.int64),
-    )
-    lz[nonzero] = top.astype(np.uint8)
-    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    # suffix shifted to the top, low p bits padded with 1s → never zero
+    # and rank is automatically capped at 64-p+1
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # leading zeros via floor(log2): split into 32-bit halves so float64
+    # stays exact; hi==0 lanes evaluate a masked-out log2(0) → silence it
+    hi = (rest >> np.uint64(32)).astype(np.uint32)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lz = np.where(
+            hi != 0,
+            31 - np.floor(np.log2(np.maximum(hi, 1).astype(np.float64))).astype(np.int64),
+            63 - np.floor(np.log2(np.maximum(lo, 1).astype(np.float64))).astype(np.int64),
+        )
+    rank = (lz + 1).astype(np.uint8)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -79,23 +84,48 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def bloom_build(ds: "object", col: str, num_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
-    """Build a Bloom filter over a key column: per-block bit-array
-    partials OR-merged on the driver (``num_bits/8`` bytes per block —
-    never the keys). ZERO false negatives by construction; false-positive
-    rate ≈ (1 − e^(−kn/m))^k — size ``num_bits`` ≈ 10–15 bits per
-    expected distinct key for ~1% FPR.
+def hll_distinct(ds: "object", col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) — nulls excluded, like SQL — via
+    per-block HLL partials merged on the driver (2^p bytes per block,
+    never the values)."""
+    m = 1 << p
 
-    The classic use is the broadcast semi-join pre-filter: build over the
-    small side's keys, ``ray.put`` the packed bits, and drop non-matching
-    rows of the big side BEFORE any shuffle (``bloom_probe``); survivors
-    still need the exact join (false positives), but shuffle volume drops
-    to matches + FPR."""
+    def part(batch: pa.Table) -> pa.Table:
+        v = _valid_values(batch.column(col))
+        regs = _fold_registers(v, p) if len(v) else np.zeros(m, dtype=np.uint8)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(m, dtype=np.uint8)
+    for row in ds.map_batches(part, batch_format="pyarrow").take_all():
+        merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
+    return _estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(values: np.ndarray, m: int, k: int):
+    """k derived hash positions per value via double hashing
+    (h1 + i·h2 — Kirsch & Mitzenmacher 2006). h2 is an arithmetic remix
+    of h1 (murmur fmix64 step, forced odd) — no second hash pass, no
+    string conversions in the probe hot path."""
+    h1 = stable_hash_array(values)
+    h2 = ((h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)) | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_build(ds: "object", col: str, num_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Build a Bloom filter over a key column (nulls excluded): per-block
+    bit-array partials OR-merged on the driver. Probe with the SAME
+    ``num_bits``/``k`` (``bloom_probe`` validates the array length)."""
     m = num_bits
 
     def part(batch: pa.Table) -> pa.Table:
         bits = np.zeros(m // 8 + 1, dtype=np.uint8)
-        v = batch.column(col).to_pandas().dropna().to_numpy()
+        v = _valid_values(batch.column(col))
         if len(v):
             for pos in _bloom_positions(v, m, k):
                 # ufunc.at: duplicate byte indices must EACH apply their
@@ -111,23 +141,17 @@ def bloom_build(ds: "object", col: str, num_bits: int = 1 << 20, k: int = 4) -> 
     return merged
 
 
-def _bloom_positions(values: np.ndarray, m: int, k: int):
-    """k derived hash positions per value via double hashing
-    (h1 + i·h2 — Kirsch & Mitzenmacher 2006): two base hashes generate
-    all k probes with no per-i rehash."""
-    h1 = stable_hash_array(values)
-    h2 = stable_hash_array(np.char.add(values.astype(str), "#2").astype(object))
-    h2 = h2 | np.uint64(1)  # odd → full-period stride
-    for i in range(k):
-        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
-
-
 def bloom_probe(
     ds: "object", col: str, bits: np.ndarray, num_bits: int = 1 << 20, k: int = 4
 ):
-    """Keep rows whose key MIGHT be in the filter (no false negatives).
-    ``bits`` is broadcast once (``ray.put`` by the caller or captured) —
-    one vectorized probe pass per batch."""
+    """Keep rows whose key MIGHT be in the filter (no false negatives for
+    non-null keys; null keys never match — they were never inserted).
+    ``bits`` is broadcast once; one vectorized probe pass per batch."""
+    if len(bits) != num_bits // 8 + 1:
+        raise ValueError(
+            f"bits length {len(bits)} does not match num_bits={num_bits} "
+            "(build and probe must use identical num_bits/k)"
+        )
     import ray as _ray
 
     ref = _ray.put(bits)
@@ -135,26 +159,15 @@ def bloom_probe(
 
     def keep(batch: pa.Table) -> pa.Table:
         b = _ray.get(ref)
-        v = batch.column(col).to_pandas().fillna("").to_numpy()
-        mask = np.ones(len(v), dtype=bool)
-        for pos in _bloom_positions(v, m, k):
-            mask &= (b[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        arr = batch.column(col)
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        v = _valid_values(arr)
+        sub = np.ones(len(v), dtype=bool)
+        if len(v):
+            for pos in _bloom_positions(v, m, k):
+                sub &= (b[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[np.flatnonzero(valid)] = sub
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
-
-
-def hll_distinct(ds: "object", col: str, p: int = 12) -> float:
-    """Approximate COUNT(DISTINCT col) via per-block HLL partials merged
-    on the driver (2^p bytes per block — never the values)."""
-    m = 1 << p
-
-    def part(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_pandas().dropna().to_numpy()
-        regs = _fold_registers(v, p) if len(v) else np.zeros(m, dtype=np.uint8)
-        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
-
-    merged = np.zeros(m, dtype=np.uint8)
-    for row in ds.map_batches(part, batch_format="pyarrow").take_all():
-        merged = np.maximum(merged, np.asarray(row["regs"], dtype=np.uint8))
-    return _estimate(merged)

@@ -262,3 +262,39 @@ def test_group_topk_semantics():
     # group 1: the two v=9 rows, tie-broken by id ASC; group 2: both rows;
     # group 3: its single row
     assert list(zip(out.g, out.id)) == [(1, 11), (1, 12), (2, 20), (2, 21), (3, 30)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_topk_keeps_null_group():
+    """SQL's ROW_NUMBER PARTITION BY keeps the NULL partition; so must we
+    (and a null in one block must not split an int group across buckets)."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import group_topk
+
+    a = pa.table(
+        {
+            "g": pa.array([1, 1, None], pa.int64()),
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([5.0, 6.0, 9.0], pa.float64()),
+        }
+    )
+    b = pa.table(
+        {
+            "g": pa.array([1, None], pa.int64()),
+            "id": pa.array([4, 5], pa.int64()),
+            "v": pa.array([7.0, 1.0], pa.float64()),
+        }
+    )
+    out = (
+        group_topk(
+            ray.data.from_arrow([a, b]), "g", ["v", "id"], k=2,
+            descending=[True, False], shuffle_buckets=2,
+        )
+        .to_pandas()
+    )
+    grp1 = out[out.g == 1]
+    # group 1 spans both blocks (one of which holds a null): top-2 = ids 4,2
+    assert sorted(grp1.id) == [2, 4]
+    nulls = out[out.g.isna()]
+    assert sorted(nulls.id) == [3, 5]  # the NULL partition survives, top-2

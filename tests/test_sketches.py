@@ -100,3 +100,41 @@ def test_bloom_semi_join_prefilter_exactness():
     expected = expected[expected.k.isin(keyset)]
     assert len(exact) == len(expected)
     assert sorted(exact.k) == sorted(expected.k)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketches_dtype_stable_under_nulls():
+    """A null in one batch must not flip the hashed dtype (regression:
+    pandas dropna/fillna made int64 keys hash as float64 per batch,
+    inflating HLL ~2x and zeroing bloom matches)."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import bloom_build, bloom_probe
+
+    keys = list(range(500))
+    block_a = pa.table({"k": pa.array(keys, pa.int64())})
+    block_b = pa.table({"k": pa.array(keys + [None], pa.int64())})  # same keys + a null
+    ds = ray.data.from_arrow([block_a, block_b])
+    est = hll_distinct(ds, "k", p=12)
+    assert abs(est - 500) / 500 < 0.05, est  # NOT ~1000
+
+    bits = bloom_build(ray.data.from_arrow(block_a), "k", num_bits=1 << 15, k=4)
+    kept = bloom_probe(
+        ray.data.from_arrow(block_b), "k", bits, num_bits=1 << 15, k=4
+    ).to_pandas()
+    # zero false negatives even though the probe batch holds a null;
+    # the null row itself never matches
+    assert sorted(kept.k.dropna()) == keys
+    assert kept.k.isna().sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_probe_validates_sizing():
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import bloom_build, bloom_probe
+
+    small = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    bits = bloom_build(small, "k", num_bits=1 << 14)
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_probe(small, "k", bits, num_bits=1 << 20)
