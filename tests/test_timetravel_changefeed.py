@@ -187,3 +187,30 @@ def test_retention_off_window_invalidates_coverage(tmp_path):
             on2.read_changes(since_lsn=since)
     # consumers from the re-activation watermark onward are served
     assert on2.read_changes(since_lsn=off_watermark).num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_expired_retained_deltas_are_vacuumed(tmp_path):
+    """Once retention expires an entry, the floor advances AND vacuum may
+    physically remove the file (it is no longer manifest-live)."""
+    import glob as _glob
+    import os as _os
+
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=1_200,
+    )
+    for ep in clog.epochs(1):
+        eng.apply_epoch(ep)
+    retained = {e["path"] for e in eng.manifest.properties.get("retained_deltas", [])}
+    assert retained  # some still within retention
+    removed = eng.vacuum()
+    assert removed > 0
+    # retained-within-horizon files survived the vacuum
+    assert all(_os.path.exists(p) for p in retained)
+    # and the feed still serves from the floor
+    floor = eng.manifest.properties["changefeed_floor"]
+    assert eng.read_changes(since_lsn=floor).num_rows > 0
