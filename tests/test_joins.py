@@ -298,3 +298,47 @@ def test_group_topk_keeps_null_group():
     assert sorted(grp1.id) == [2, 4]
     nulls = out[out.g.isna()]
     assert sorted(nulls.id) == [3, 5]  # the NULL partition survives, top-2
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 80),
+    n_groups=st.integers(1, 8),
+    k=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+)
+def test_group_topk_matches_pandas_reference(n, n_groups, k, seed):
+    """Property: group_topk ≡ pandas sort+groupby.head on random inputs
+    (unique tie-breaker guarantees a single correct answer)."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import group_topk
+
+    rng = np.random.default_rng(seed)
+    df = {
+        "g": rng.integers(0, n_groups, n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(0, 10, n), 2),
+    }
+    t = pa.table({c: pa.array(v) for c, v in df.items()})
+    got = (
+        group_topk(
+            ray.data.from_arrow(t).repartition(3), "g", ["v", "id"], k=k,
+            descending=[True, False], shuffle_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame(df)
+        .sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(k)
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    assert got[["g", "id"]].astype("int64").equals(exp[["g", "id"]].astype("int64"))

