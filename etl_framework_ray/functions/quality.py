@@ -319,9 +319,16 @@ class DQGate:
         checks = build_checks(self.spec, extra)
         if not checks:
             return stage_fn, None
-        from ..stages.util import CounterActor
+        import uuid
 
-        counter = CounterActor.remote()
+        from ..stages.util import BatchCounts
+
+        # file-backed count sink: no per-batch actor round-trip (the old
+        # CounterActor ray.get blocked every staging batch ~1 ms and
+        # serialized all writers through one actor)
+        counter = BatchCounts(
+            os.path.join(os.path.dirname(self.failure_dir), "_dq_counts", uuid.uuid4().hex)
+        )
         key_cols = self._key_cols()
         table, rc, fdir = self.spec.name, self.ctx.as_dict(), self.failure_dir
         run_id = self.ctx.run_id
@@ -330,18 +337,21 @@ class DQGate:
             counts, detail = evaluate_batch_detail(batch, checks, key_cols, table, rc)
             if detail.num_rows:
                 _write_failure_file(fdir, run_id, detail)
-            ray.get(counter.add.remote({**counts, "__rows__": batch.num_rows}))
+            counter.add({**counts, "__rows__": batch.num_rows})
             return stage_fn(batch)
 
         return fn, (counter, checks, time.perf_counter())
 
     def finalize(self, handle) -> dict[str, dict]:
         """Audit the fused counts; raise ``DQError`` on ERROR failures.
-        MUST run before the manifest commit."""
+        MUST run before the manifest commit (and after the staged write's
+        execution has completed — task completion implies the workers'
+        count lines are on disk)."""
         if handle is None:
             return {}
         counter, checks, t0 = handle
-        counts = ray.get(counter.get.remote())
+        counts = counter.collect()
+        counter.cleanup()
         total_rows = int(counts.pop("__rows__", 0))
         return self._report(counts, total_rows, time.perf_counter() - t0, checks)
 

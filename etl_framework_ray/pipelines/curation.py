@@ -36,18 +36,18 @@ from ..stages.dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from ..stages.util import CounterActor, cached_stage, in_sorted
+from ..stages.util import BatchCounts, cached_stage, in_sorted
 
 
-def _counted(ds: "ray.data.Dataset", counter, stage: str) -> "ray.data.Dataset":
+def _counted(ds: "ray.data.Dataset", counter: BatchCounts | None, stage: str) -> "ray.data.Dataset":
     """Pass-through stage that streams batches while adding their row
-    counts to the funnel counter (synchronous tiny actor RPC per batch —
-    amortized over thousand-row batches)."""
+    counts to the funnel sink (file-backed append per batch — no blocking
+    actor round-trip in the hot path; see ``stages.util.BatchCounts``)."""
     if counter is None:
         return ds
 
     def count(batch: pa.Table) -> pa.Table:
-        ray.get(counter.add.remote({stage: batch.num_rows}))
+        counter.add({stage: batch.num_rows})
         return batch
 
     return ds.map_batches(count, batch_format="pyarrow")
@@ -74,7 +74,12 @@ def curate_documents(
     and the counts fall out of that single pass."""
     if near_dup not in ("minhash", "ngram", "simhash"):
         raise ValueError(f"near_dup must be minhash|ngram|simhash, got {near_dup!r}")
-    counter = CounterActor.remote() if report else None
+    if report:
+        import tempfile
+
+        counter = BatchCounts(tempfile.mkdtemp(prefix="curation_funnel_"))
+    else:
+        counter = None
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -106,31 +111,43 @@ def curate_documents(
     ds = exact_dedup(ds, text_col="text", id_col="doc_id").materialize()
 
     # near-dup clusters over the surviving corpus; keep cluster minima.
-    # The kept-id set is O(survivors) — broadcast once as ONE sorted int64
-    # array and probed with searchsorted per batch (no per-batch set
-    # rebuilds, no Python-object membership tests).
+    # Broadcast the DROPPED-id set — the complement of the survivors.
+    # Survivors are the overwhelming majority of any real corpus, so the
+    # kept set is O(corpus); the dropped set is O(duplicates) — the same
+    # broadcast economics as ``embedding_dedup_lsh``. ONE sorted int64
+    # array via ``ray.put``, probed with searchsorted per batch.
     if near_dup == "simhash":
         clusters = simhash_dedup(ds, text_col="text", id_col="doc_id")
     elif near_dup == "ngram":
         clusters = ngram_jaccard_dedup(ds, minhash, text_col="text", id_col="doc_id")
     else:
         clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
-    kept_pdf = clusters.map_batches(
-        lambda b: b.filter(b.column("is_kept")).select(["doc_id"]), batch_format="pyarrow"
-    ).to_pandas()
-    kept_arr = np.sort(kept_pdf["doc_id"].to_numpy().astype(np.int64))
-    kept_ref = ray.put(kept_arr)
+    import pyarrow.compute as pc
+
+    dropped_pdf = clusters.map_batches(
+        lambda b: b.filter(pc.invert(b.column("is_kept"))).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # O(duplicates) — the broadcast payload
+    # a dup-free corpus yields only empty frames (no schema) — same guard
+    # as embedding_dedup_lsh
+    dropped = (
+        dropped_pdf["doc_id"].to_numpy() if "doc_id" in dropped_pdf.columns else np.array([])
+    )
+    dropped_arr = np.sort(dropped.astype(np.int64))
+    dropped_ref = ray.put(dropped_arr)
 
     def keep_cluster_min(batch: pa.Table) -> pa.Table:
-        keep = ray.get(kept_ref)
+        dropped = ray.get(dropped_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(in_sorted(ids, keep)))
+        return batch.filter(pa.array(~in_sorted(ids, dropped)))
 
     out = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
     funnel: dict[str, int] = {}
     if report:
         out = out.materialize()
-        funnel = ray.get(counter.get.remote())
+        funnel = counter.collect()
+        counter.cleanup()
+        funnel["near_dup_dropped_broadcast"] = int(len(dropped_arr))
         funnel["after_exact_dedup"] = ds.count()  # materialized → metadata
         funnel["after_near_dedup"] = out.count()
     return out, funnel

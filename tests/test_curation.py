@@ -52,6 +52,13 @@ def test_curate_removes_planted_duplicates(tmp_path):
     assert 21 not in kept  # near dup of doc 1 removed
     assert 0 in kept and 1 in kept
     assert funnel["after_near_dedup"] == len(kept)
+    # the broadcast is the O(duplicates) COMPLEMENT, not the kept set:
+    # its size must equal exactly the near-dup rows dropped after exact
+    # dedup (doc 21; doc 20 is already gone at the exact stage)
+    assert (
+        funnel["near_dup_dropped_broadcast"]
+        == funnel["after_exact_dedup"] - funnel["after_near_dedup"]
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
