@@ -24,7 +24,7 @@ from ..functions.transforms import cast_columns, filter_regex, rename_columns
 from ..pipelines.cdc import CDCEngine
 from ..pipelines.writer import LakeWriter
 from ..sources.csv import ingest_directory
-from ..state.schema import ColumnSpec, QualityRule, TableSpec
+from ..state.schema import ColumnSpec, ForeignKey, QualityRule, TableSpec
 
 # ---------------------------------------------------------------------------
 # silver step: aisles (/root/reference/src/silver/aisle.py:17-54 shape)
@@ -177,6 +177,43 @@ def build_product_dimension(lake_root: str) -> "ray.data.Dataset":
     return products.map_batches(join, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# gold step: order_fact — pure re-projection of silver orders with a WARN
+# rule and an FK to product_dimension
+# (/root/reference/src/gold/order_fact.py:20-88)
+# ---------------------------------------------------------------------------
+
+ORDER_FACT = TableSpec(
+    name="order_fact",
+    columns=(
+        ColumnSpec("order_id", pa.int32(), nullable=False),
+        ColumnSpec("user_id", pa.int32(), nullable=False),
+        ColumnSpec(
+            "product_id",
+            pa.int32(),
+            foreign_key=ForeignKey("product_dimension", "product_id"),  # order_fact.py:44-49
+        ),
+        ColumnSpec("order_number", pa.int32(), nullable=False),
+        ColumnSpec("order_day_of_week", pa.int32(), nullable=False),
+        ColumnSpec("order_hour", pa.int32(), nullable=False),
+        ColumnSpec(
+            "days_since_prior_order",
+            pa.int32(),
+            quality=QualityRule(criticality="warn", min_value=0),  # order_fact.py:65-70
+        ),
+    ),
+    primary_key=("order_id",),
+)
+
+
+def build_order_fact(lake_root: str) -> "ray.data.Dataset":
+    """silver.orders → declared-column re-projection (order_fact.py:75-88:
+    the reference's main() is a select of the fact columns + gated
+    overwrite; the select happens via the writer's declared-order
+    projection, so this is a pure read of the silver table)."""
+    return CDCEngine(os.path.join(lake_root, "silver", "orders"), ORDERS).snapshot()
+
+
 SILVER_STEPS = [
     ("aisles", AISLES, clean_aisles),
     ("departments", DEPARTMENTS, clean_departments),
@@ -185,8 +222,18 @@ SILVER_STEPS = [
 ]
 
 
-def run_full_medallion(csv_dir: str, lake_root: str, run_context: RunContext | None = None) -> dict:
-    """bronze → silver → gold → metadata, end to end. Returns row counts."""
+def run_full_medallion(
+    csv_dir: str,
+    lake_root: str,
+    run_context: RunContext | None = None,
+    events_path: str | None = None,
+) -> dict:
+    """bronze → silver → gold (product_dimension + order_fact) →
+    metadata (quality + optional timeliness), end to end — the reference's
+    job-of-jobs DAG (databricks/jobs/full_medallion.yml). Returns row
+    counts. ``events_path`` (a parquet of ``ts``/``event_type`` events)
+    chains the SLO timeliness roll-up into the metadata layer the way the
+    reference's DAG runs its timeliness step after the gold builds."""
     rc = run_context or RunContext()
     counts: dict[str, int] = {}
 
@@ -207,9 +254,18 @@ def run_full_medallion(csv_dir: str, lake_root: str, run_context: RunContext | N
     writer = LakeWriter(os.path.join(lake_root, "gold", "product_dimension"), PRODUCT_DIMENSION, run_context=rc)
     counts["gold.product_dimension"] = writer.overwrite(gold)
 
+    # gold: order_fact re-projection, WARN rule on days_since_prior_order
+    if "orders" in bronze_specs:
+        fact_writer = LakeWriter(
+            os.path.join(lake_root, "gold", "order_fact"), ORDER_FACT, run_context=rc
+        )
+        counts["gold.order_fact"] = fact_writer.overwrite(build_order_fact(lake_root))
+
     # metadata: roll the run's DQ audit into the quality table (§3.3)
-    from .slo import track_quality
+    from .slo import track_quality, track_timeliness
 
     audit_root = os.path.join(lake_root, "gold", "product_dimension", "_metrics", "dq")
     track_quality(audit_root, lake_root, rc)
+    if events_path is not None:
+        counts["metadata.timeliness"] = track_timeliness(events_path, lake_root, rc).count()
     return counts

@@ -7,6 +7,7 @@ import pytest
 from etl_framework_ray.functions.quality import DQError
 from etl_framework_ray.pipelines.medallion_steps import (
     AISLES,
+    ORDER_FACT,
     ORDERS,
     PRODUCT_DIMENSION,
     PRODUCTS,
@@ -38,10 +39,33 @@ def test_full_medallion_happy_path(tmp_path):
     _write_csvs(src)
     lake = str(tmp_path / "lake")
 
-    counts = run_full_medallion(str(src), lake)
+    counts = run_full_medallion(
+        str(src), lake, events_path="/root/testdata/sf0.001/events.parquet"
+    )
     assert counts["silver.products"] == 2  # dirty row filtered (regex ^\d+$)
     assert counts["silver.orders"] == 2  # warn row LOGGED but kept
     assert counts["gold.product_dimension"] == 2
+    assert counts["gold.order_fact"] == 2  # re-projection keeps both orders
+    assert counts["metadata.timeliness"] > 0  # timeliness chained into the job
+
+    # order_fact content: declared-order projection of silver orders with
+    # the fact columns only (order_fact.py:75-88)
+    from etl_framework_ray.pipelines.cdc import CDCEngine as _OF
+
+    fact = _OF(f"{lake}/gold/order_fact", ORDER_FACT).snapshot_arrow()
+    assert fact.column_names == [
+        "order_id", "user_id", "product_id", "order_number",
+        "order_day_of_week", "order_hour", "days_since_prior_order",
+    ]
+    fact_rows = {r["order_id"]: r for r in fact.to_pylist()}
+    assert fact_rows[2]["days_since_prior_order"] == -5  # WARN logs, keeps
+    from etl_framework_ray.functions.quality import read_audit as _ra
+
+    fact_audit = _ra(f"{lake}/gold/order_fact/_metrics/dq").to_pylist()
+    assert any(
+        r["rule_name"] == "days_since_prior_order_is_in_range" and r["failed_rows"] == 1
+        for r in fact_audit
+    )
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
 
