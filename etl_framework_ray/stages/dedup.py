@@ -124,8 +124,36 @@ class MinHashConfig:
 _SHINGLE_MUL = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
+from .util import BatchCounts
 from .util import cached_stage as _cached_stage  # shared deployment helper
 from .util import in_sorted
+
+
+def _trunc_counter() -> BatchCounts:
+    import tempfile
+
+    return BatchCounts(tempfile.mkdtemp(prefix="lsh_trunc_"))
+
+
+def _report_truncation(counter: BatchCounts, stats_out: dict | None, op: str) -> None:
+    """Surface bucket-cap truncation after the verify stage has executed
+    (the brief's no-silent-caps rule): totals go to the caller's
+    ``stats_out`` and any non-zero truncation is logged loudly."""
+    counts = counter.collect()
+    counter.cleanup()
+    if stats_out is not None:
+        stats_out.update(counts)
+    if counts.get("truncated_buckets"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: %d LSH bucket(s) exceeded max_bucket; %d id-sorted candidate "
+            "rows were excluded from pair generation (raise max_bucket or "
+            "re-shard hot buckets if these are not boilerplate)",
+            op,
+            counts["truncated_buckets"],
+            counts["truncated_rows"],
+        )
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
@@ -266,20 +294,29 @@ def _make_bucket_verifier(
     verify: str,  # "sig_jaccard" | "exact_jaccard" | "hamming"
     threshold: float,
     max_bucket: int,
+    counter=None,  # stages.util.BatchCounts | None — truncation reporting
 ):
     """Per-coarse-bucket UDF: generate candidate pairs inside every true
     LSH bucket and verify them against the co-located payloads, emitting
     only the surviving duplicate EDGES (a < b). Buckets larger than
-    ``max_bucket`` are truncated — a giant bucket means near-identical
-    boilerplate where any spanning pairing suffices (documented cap;
-    raises no silent correctness issue because components merge via CC)."""
+    ``max_bucket`` are truncated DETERMINISTICALLY (id-sorted rows keep
+    the lowest ids) — a giant bucket means near-identical boilerplate
+    where any spanning pairing suffices; components still merge via CC.
+    Every truncation is COUNTED through ``counter`` (no silent caps —
+    callers log and surface the totals)."""
 
     def verify_group(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         dup = df[df.duplicated(bucket_cols, keep=False)]
         for _, g in dup.groupby(bucket_cols, sort=False):
-            order = np.argsort(g[id_col].to_numpy(), kind="stable")[:max_bucket]
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            if len(order) > max_bucket:
+                if counter is not None:
+                    counter.add(
+                        {"truncated_buckets": 1, "truncated_rows": len(order) - max_bucket}
+                    )
+                order = order[:max_bucket]
             ids = g[id_col].to_numpy()[order]
             if len(ids) < 2:
                 continue
@@ -465,12 +502,14 @@ def minhash_edges(
     exact_verify: bool = False,
     shuffle_buckets: int = 32,
     max_bucket: int = 200,
+    counter: BatchCounts | None = None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Signature + verified-duplicate-edge stages of the MinHash pipeline.
 
     Returns ``(sigs, edges)`` — both Datasets. Exposed separately so tests
     can compare the distributed component labeling against the driver
-    union-find on identical edges."""
+    union-find on identical edges. ``counter`` receives bucket-cap
+    truncation counts during the (lazy) verify stage."""
     sigs = ds.map_batches(
         _cached_stage(MinHasher, cfg, text_col, id_col, exact_verify),
         batch_format="pyarrow",
@@ -484,7 +523,7 @@ def minhash_edges(
     verify = "exact_jaccard" if exact_verify else "sig_jaccard"
     edges = bands.groupby("_cb").map_groups(
         _make_bucket_verifier(
-            id_col, ["band", "band_hash"], verify, cfg.jaccard_threshold, max_bucket
+            id_col, ["band", "band_hash"], verify, cfg.jaccard_threshold, max_bucket, counter
         ),
         batch_format="pandas",
     )
@@ -498,6 +537,8 @@ def minhash_dedup(
     id_col: str = "doc_id",
     exact_verify: bool = False,
     shuffle_buckets: int = 32,
+    max_bucket: int = 200,
+    stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dup pipeline, distributed end-to-end.
 
@@ -508,11 +549,14 @@ def minhash_dedup(
 
     ``exact_verify=True`` verifies candidates with exact shingle-set
     Jaccard (the n-gram-Jaccard dedup variant); band rows then carry the
-    shingle sets instead of the signatures."""
+    shingle sets instead of the signatures. ``stats_out`` (optional dict)
+    receives truncation counts — oversize-bucket caps are never silent."""
+    counter = _trunc_counter()
     sigs, edges = minhash_edges(
-        ds, cfg, text_col, id_col, exact_verify, shuffle_buckets
+        ds, cfg, text_col, id_col, exact_verify, shuffle_buckets, max_bucket, counter=counter
     )
     labels = components_labels(edges, shuffle_buckets)
+    _report_truncation(counter, stats_out, "minhash_dedup")
     return _assign_clusters(sigs.select_columns([id_col]), labels, id_col)
 
 
@@ -559,6 +603,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     shuffle_buckets: int = 32,
     max_bucket: int = 200,
+    stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Near-dup by simhash hamming distance ≤ t, distributed end-to-end.
 
@@ -592,17 +637,19 @@ def simhash_dedup(
             )
         return pa.concat_tables(parts)
 
+    counter = _trunc_counter()
     edges = (
         sh.map_batches(band_rows, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(
             _make_bucket_verifier(
-                id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket
+                id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket, counter
             ),
             batch_format="pandas",
         )
     )
     labels = components_labels(edges, shuffle_buckets)
+    _report_truncation(counter, stats_out, "simhash_dedup")
     return _assign_clusters(sh.select_columns([id_col]), labels, id_col)
 
 
@@ -644,14 +691,37 @@ def embedding_dedup(
     return ds.map_batches(mark, batch_format="pyarrow")
 
 
+def _derive_num_planes(ds: "ray.data.Dataset", target_bucket: int) -> int:
+    """Plane count sized so the EXPECTED bucket population ≈
+    ``target_bucket``: ``ceil(log2(N / target_bucket))``, clamped to
+    [8, 20]. N comes from dataset METADATA only (``_meta_count`` — row
+    counts of a bare read / materialized set); a mid-pipeline dataset
+    whose size would require execution falls back to the 8-plane floor.
+    A fixed plane count would let bucket population grow linearly with
+    corpus size — the round-2 scale wart this closes."""
+    n = None
+    try:
+        n = ds._meta_count()  # metadata-only; None when unknown
+    except Exception:
+        n = None
+    if not n:
+        return 8
+    import math
+
+    return int(min(20, max(8, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))))))
+
+
 def embedding_dedup_lsh(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     seed: int = 13,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 4096,
+    target_bucket: int = 1024,
+    shuffle_buckets: int = 64,
+    stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Bucketed approximation of ``embedding_dedup`` — the 100-TB path.
 
@@ -663,10 +733,29 @@ def embedding_dedup_lsh(
     work — no O(N²), no driver materialization; the flagged-id set
     (O(duplicates)) is broadcast to mark the corpus.
 
+    ``num_planes=None`` (default) derives the plane count from the
+    corpus size when metadata knows it (expected bucket ≈
+    ``target_bucket``), so buckets stay bounded as the corpus grows.
+    LSH buckets route to ``shuffle_buckets`` COARSE groups — one UDF
+    dispatch per coarse group handles all of its buckets (the per-group
+    dispatch cost pattern measured at 15 s vs 0.5 s elsewhere). Buckets
+    larger than ``max_bucket`` compare only the ``max_bucket`` LOWEST-id
+    index rows (deterministic under any row order) and the truncation is
+    counted into ``stats_out`` and logged — never silent.
+
     Shuffle cost: (num_planes + 2) copies of each vector. Recall is
     measured against the exact tier in tests (≥0.95 on the seeded corpus
     at τ=0.95); residual misses are pairs whose buckets differ in ≥2 bits.
     """
+    if num_planes is None:
+        num_planes = _derive_num_planes(ds, target_bucket)
+    if stats_out is not None:
+        stats_out["num_planes"] = num_planes
+
+    def _cb_of(bucket: np.ndarray) -> pa.Array:
+        return pa.array(
+            ((bucket.astype(np.uint64) * _MIX) % np.uint64(shuffle_buckets)).astype(np.int64)
+        )
 
     def emit_probe_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -676,6 +765,7 @@ def embedding_dedup_lsh(
                     id_col: pa.array([], pa.int64()),
                     vec_col: batch.column(vec_col),
                     "role": pa.array([], pa.int8()),
+                    "_cb": pa.array([], pa.int64()),
                 }
             )
         m = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
@@ -693,6 +783,7 @@ def embedding_dedup_lsh(
                     id_col: pa.array(ids),
                     vec_col: vecs,
                     "role": pa.array(np.zeros(n, dtype=np.int8)),  # index
+                    "_cb": _cb_of(home),
                 }
             ),
             pa.table(
@@ -701,43 +792,62 @@ def embedding_dedup_lsh(
                     id_col: pa.array(ids),
                     vec_col: vecs,
                     "role": pa.array(np.ones(n, dtype=np.int8)),  # query, home probe
+                    "_cb": _cb_of(home),
                 }
             ),
         ]
         for p in range(num_planes):  # hamming-1 probes
+            probe = home ^ (1 << p)
             parts.append(
                 pa.table(
                     {
-                        "bucket": pa.array(home ^ (1 << p)),
+                        "bucket": pa.array(probe),
                         id_col: pa.array(ids),
                         vec_col: vecs,
                         "role": pa.array(np.ones(n, dtype=np.int8)),
+                        "_cb": _cb_of(probe),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
-        idx = group[group["role"] == 0]
-        qry = group[group["role"] == 1]
-        if not len(idx) or not len(qry):
+    counter = _trunc_counter()
+
+    def coarse_bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        """All LSH buckets of one coarse group, one dispatch; per bucket
+        one (Q, I) matmul against the id-sorted (capped) index rows."""
+        out: list[np.ndarray] = []
+        for _, g in group.groupby("bucket", sort=False):
+            idx = g[g["role"] == 0]
+            qry = g[g["role"] == 1]
+            if not len(idx) or not len(qry):
+                continue
+            order = np.argsort(idx[id_col].to_numpy(), kind="stable")
+            if len(order) > max_bucket:  # deterministic: lowest ids kept
+                counter.add(
+                    {"truncated_buckets": 1, "truncated_rows": len(order) - max_bucket}
+                )
+                order = order[:max_bucket]
+            iids = idx[id_col].to_numpy()[order]
+            im = np.stack(idx[vec_col].to_numpy()[order]).astype(np.float64)
+            im /= np.maximum(np.linalg.norm(im, axis=1, keepdims=True), 1e-12)
+            qids = qry[id_col].to_numpy()
+            qm = np.stack(qry[vec_col].to_numpy()).astype(np.float64)
+            qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            sims = qm @ im.T  # (Q, I)
+            hit = (sims >= threshold) & (iids[None, :] < qids[:, None])
+            out.append(qids[hit.any(axis=1)].astype(np.int64))
+        if not out:
             return pd.DataFrame({"dup_id": np.array([], np.int64)})
-        iids = idx[id_col].to_numpy()[:max_bucket]
-        im = np.stack(idx[vec_col].to_numpy()[:max_bucket]).astype(np.float64)
-        im /= np.maximum(np.linalg.norm(im, axis=1, keepdims=True), 1e-12)
-        qids = qry[id_col].to_numpy()
-        qm = np.stack(qry[vec_col].to_numpy()).astype(np.float64)
-        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-        sims = qm @ im.T  # (Q, I)
-        hit = (sims >= threshold) & (iids[None, :] < qids[:, None])
-        return pd.DataFrame({"dup_id": np.unique(qids[hit.any(axis=1)]).astype(np.int64)})
+        return pd.DataFrame({"dup_id": np.unique(np.concatenate(out))})
 
     dup_rows = (
         ds.map_batches(emit_probe_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_dups, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(coarse_bucket_dups, batch_format="pandas")
         .to_pandas()  # O(duplicates) — the broadcast payload
     )
+    _report_truncation(counter, stats_out, "embedding_dedup_lsh")
     # a fully-duplicate-free corpus yields only empty frames (no schema)
     dups = dup_rows["dup_id"].to_numpy() if "dup_id" in dup_rows.columns else np.array([])
     dup_ids = np.unique(dups.astype(np.int64))

@@ -185,3 +185,69 @@ def test_embedding_dedup_lsh_recall():
     assert lsh_dups <= exact_dups  # bucketing can only MISS, never invent
     recall = len(lsh_dups & exact_dups) / len(exact_dups)
     assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_bucket_truncation_is_counted_and_deterministic():
+    """No silent caps: an oversize LSH bucket must increment the reported
+    truncation counters; truncation keeps the LOWEST ids so results do not
+    depend on within-group row order."""
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal(16)
+    # 40 near-identical vectors → ONE giant home bucket
+    vecs = v[None, :] + 0.0001 * rng.standard_normal((40, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(v_) for v_ in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    stats: dict = {}
+    out = embedding_dedup_lsh(ds, threshold=0.95, max_bucket=10, stats_out=stats).to_pandas()
+    assert stats["truncated_buckets"] >= 1
+    assert stats["truncated_rows"] >= 1
+    assert stats["num_planes"] >= 8
+    # deterministic: ids 1..39 all probe against the 10 lowest-id index
+    # rows, every one of which is an earlier near-identical vector
+    assert set(out[out.is_dup].vec_id) == set(range(1, 40))
+
+    # minhash family: 30 identical texts overflow max_bucket=8 and report
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(["the same exact boilerplate text here"] * 30),
+        }
+    )
+    from etl_framework_ray.stages.dedup import minhash_dedup
+
+    mstats: dict = {}
+    clusters = minhash_dedup(
+        ray.data.from_arrow(docs).repartition(2),
+        MinHashConfig(jaccard_threshold=0.7),
+        max_bucket=8,
+        stats_out=mstats,
+    ).to_pandas()
+    assert mstats["truncated_buckets"] >= 1
+    # truncation semantics: only the 8 lowest-id rows of the bucket pair
+    # up, so 1..7 cluster under 0 and the overflow rows stay singletons —
+    # exactly what the reported counter tells the operator about
+    assert set(clusters[~clusters.is_kept].doc_id) == set(range(1, 8))
+
+
+def test_derive_num_planes_scales_with_corpus():
+    from etl_framework_ray.stages.dedup import _derive_num_planes
+
+    class _Fake:
+        def __init__(self, n):
+            self._n = n
+
+        def _meta_count(self):
+            return self._n
+
+    assert _derive_num_planes(_Fake(None), 1024) == 8  # unknown → floor
+    assert _derive_num_planes(_Fake(1_000), 1024) == 8
+    assert _derive_num_planes(_Fake(1 << 20), 1024) == 10  # 1M/1k → 2^10 buckets
+    assert _derive_num_planes(_Fake(1 << 40), 1024) == 20  # clamped ceiling
