@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -373,19 +374,30 @@ def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+def latest_event_per_user(sf_dir: str, shuffle_buckets: int = 64) -> "ray.data.Dataset":
     """Per user_id, the event with max (ts, event_id) — batch-level LWW
-    combiner then per-group reduce; same kernel as the CDC apply."""
+    combiner then per-COARSE-BUCKET reduce; same kernel as the CDC apply.
+
+    Keys co-locate via ``hash(user_id) % shuffle_buckets`` and one
+    vectorized ``lww_reduce`` per bucket handles ALL of its users (the
+    kernel is multi-key already) — one UDF dispatch per bucket, not per
+    user, which is the difference between 64 dispatches and millions at
+    corpus scale (the group_topk pattern, stages/joins.py)."""
+    from ..functions.hashing import stable_hash_array
 
     def combine(batch: pa.Table) -> pa.Table:
-        return lww_reduce(batch, ("user_id",), ("ts", "event_id"))
+        batch = lww_reduce(batch, ("user_id",), ("ts", "event_id"))
+        cb = (stable_hash_array(batch.column("user_id")) % np.uint64(shuffle_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("_cb", pa.array(cb))
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        return lww_reduce(group, ("user_id",), ("ts", "event_id"))
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        return lww_reduce(group.drop_columns(["_cb"]), ("user_id",), ("ts", "event_id"))
 
     return (
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
         .map_batches(combine, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(reduce_group, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )

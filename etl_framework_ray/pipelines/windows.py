@@ -137,16 +137,41 @@ def hopping_counts(
     return out.map_batches(snap, batch_format="pyarrow")
 
 
-def session_windows(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
+def session_windows(sf_dir: str, gap_s: int = 1800, shuffle_buckets: int = 64) -> "ray.data.Dataset":
     """Per-user sessions: a new session starts when the gap since the
-    previous event exceeds ``gap_s``. Output one row per session."""
+    previous event exceeds ``gap_s``. Output one row per session.
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        g["session_id"] = (gap > gap_s).fillna(False).cumsum()
+    COARSE-BUCKETED: users co-locate via ``hash(user_id) %
+    shuffle_buckets`` and ONE vectorized kernel per bucket sessionizes all
+    of its users — sort by (user, ts, event_id), session boundaries =
+    user-change OR gap>τ (the ``lww.last_per_key_mask`` adjacent-diff
+    trick), cumsum for ids, one pandas groupby-agg in C for the rollup.
+    Per-user ``map_groups`` costs one Python dispatch per user — a scale
+    bug at millions of keys (measured on this engine: per-group vs
+    per-bucket dispatch is 15 s vs 0.5 s for 5 k groups, joins.py)."""
+    import numpy as np
+
+    from ..functions.hashing import stable_hash_array
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cb = (stable_hash_array(batch.column("user_id")) % np.uint64(shuffle_buckets)).astype(
+            np.int64
+        )
+        return batch.append_column("_cb", pa.array(cb))
+
+    def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        gap = np.empty(len(g))
+        gap[0] = np.inf
+        gap[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (uid[1:] != uid[:-1]) | (gap[1:] > gap_s)
+        g = g.assign(_sid=np.cumsum(new_session))
         out = (
-            g.groupby("session_id", sort=True)
+            g.groupby("_sid", sort=True)
             .agg(
                 user_id=("user_id", "first"),
                 session_start=("ts", "min"),
@@ -160,4 +185,8 @@ def session_windows(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
     )
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
