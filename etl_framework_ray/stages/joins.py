@@ -1,4 +1,5 @@
-"""As-of (temporal) join — a custom operator Ray Data lacks natively.
+"""As-of (temporal) and trailing-window joins — custom operators Ray Data
+lacks natively.
 
 ``asof_join(left, right, ...)``: for each left row, attach the LATEST
 right row of the same key whose time is ≤ the left row's time (backward
@@ -6,15 +7,24 @@ direction; LEFT-join semantics — unmatched left rows keep nulls). The
 classic "attach the dimension version in effect at event time" /
 point-in-time-correct lookup of feature-store and market-data pipelines.
 
-Execution shape (the documented composition pattern for operators Ray
-Data lacks): both sides are normalized onto ONE union schema (left
-payload + right payload + shared ``_key``/``_t`` columns, absent side
-nulled), tagged, unioned, and coarse-bucketed by the hashed key — one
-UDF dispatch per coarse bucket, not per key. Inside a bucket the right
-side is sorted once and every left row resolves with one
-``searchsorted`` per key — no per-row Python, no driver materialization.
-Partitioning assumption: all rows of ONE key fit a worker (the same
-co-location contract as the CDC applier).
+Execution shape — a DIRECT two-round hash exchange (the CDC engine's own
+shuffle pattern, pipelines/cdc.py): one map task per input block
+hash-splits that block by key into B bucket slices (``num_returns=B``),
+one reduce task per bucket concatenates its slices from every block and
+runs the vectorized bucket kernel (sort right side once, one
+``searchsorted`` batch per key). Round 2 replaced the Dataset
+``groupby("_cb").map_groups`` route: that is a sort-based all-to-all
+(sample → sort-map → sort-reduce → apply, four scheduling rounds with a
+barrier) whose fixed costs measured ~95% of the operator wall at sf0.1 —
+9.6 s wall against 0.36 s of bucket compute (BASELINE.md round 2); it
+also required UNIONING both sides onto one wide schema, doubling the
+shuffled volume with null padding. The direct exchange ships each side's
+own slim schema and needs no sort.
+
+Partitioning assumptions (documented per the operator brief): all rows
+of ONE key fit a worker (the same co-location contract as the CDC
+applier), and blocks × buckets object refs stay bounded
+(≲1e5 — the cdc.py exchange bound; beyond that, raise block size).
 
 Determinism: if the right side can hold several rows with the SAME
 (key, time), pre-reduce it first (the oracle query does the same) —
@@ -31,87 +41,173 @@ import ray
 
 from ..functions.hashing import stable_hash_array
 
+_RESERVED = ("_key", "_t")
 
-def _union_keyed(
+
+def _single_threaded_arrow() -> None:
+    """Arrow kernels inside raw Ray tasks must not fan out onto Arrow's
+    global thread pool (one task per CPU already — see cdc.py's measured
+    3× oversubscription note)."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+
+
+def _block_refs(ds: "ray.data.Dataset") -> list:
+    """Object refs of the dataset's blocks — executes the (lazy) upstream
+    pipeline streaming into the object store; nothing lands on the
+    driver."""
+    refs: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(getattr(bundle, "block_refs", None) or [r for r, _ in bundle.blocks])
+    return refs
+
+
+def _resolve_side_types(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_by: str,
+    left_on: str,
+    right_by: str,
+    right_cols: list[str],
+):
+    """Schema resolution shared by the temporal joins: left payload keeps
+    its own types; the shared ``_key``/``_t`` columns get one common
+    comparable type; an EMPTY right side types its payload columns null
+    (uniform across blocks, so unification still works)."""
+    l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
+    if l_schema is None:
+        raise ValueError("left dataset has no schema (empty input?)")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    l_names = list(l_schema.names)
+    for r in _RESERVED:
+        if r in l_names:
+            raise ValueError(f"left dataset may not contain a column named {r!r}")
+    r_cols = [c for c in dict.fromkeys(right_cols) if c != right_by]
+    r_schema = right.schema()
+    if r_schema is None:
+        r_types = {c: pa.null() for c in r_cols}
+        right_empty = True
+    else:
+        r_types = dict(zip(r_schema.names, r_schema.types))
+        right_empty = False
+    key_t = l_types[left_by]
+    t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
+    return l_names, l_types, r_cols, r_types, key_t, t_t, right_empty
+
+
+@ray.remote
+def _split_side_task(
+    block,
+    by: str,
+    on: str,
+    keep_cols: list[str],
+    keep_types: dict,
+    key_t,
+    t_t,
+    num_buckets: int,
+):
+    """Map round: normalize one block onto its side's slim schema
+    (payload + ``_key``/``_t``) and hash-split it by key into
+    ``num_buckets`` sub-tables (``num_returns=num_buckets``) — the
+    cdc.py ``_prep_segment_task`` shape."""
+    _single_threaded_arrow()
+    t = pa.Table.from_pandas(block, preserve_index=False) if isinstance(block, pd.DataFrame) else block
+    if t.num_rows == 0:
+        # zero-row blocks (e.g. from repartition) arrive with ZERO columns —
+        # emit the slim schema explicitly so concat/unification still works
+        empty = pa.table(
+            {
+                **{c: pa.nulls(0, keep_types[c]) for c in keep_cols},
+                "_key": pa.nulls(0, key_t),
+                "_t": pa.nulls(0, t_t),
+            }
+        )
+        return tuple(empty for _ in range(num_buckets)) if num_buckets > 1 else empty
+    cols = {}
+    for c in keep_cols:
+        cols[c] = (
+            t.column(c).cast(keep_types[c])
+            if c in t.column_names
+            else pa.nulls(t.num_rows, keep_types[c])
+        )
+    cols["_key"] = t.column(by).cast(key_t)
+    cols["_t"] = t.column(on).cast(t_t)
+    slim = pa.table(cols)
+    pid = (stable_hash_array(slim.column("_key")) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(pid, kind="stable")
+    slim = slim.take(pa.array(order))
+    bounds = np.searchsorted(pid[order], np.arange(num_buckets + 1))
+    slices = tuple(slim.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
+    return slices if num_buckets > 1 else slices[0]
+
+
+@ray.remote
+def _bucket_join_task(kernel, n_left: int, *pieces: pa.Table) -> pa.Table:
+    """Reduce round: concat this bucket's left and right slices from every
+    block and run the vectorized bucket kernel."""
+    _single_threaded_arrow()
+    lhs = pa.concat_tables(pieces[:n_left]).to_pandas() if n_left else pd.DataFrame()
+    rhs = pa.concat_tables(pieces[n_left:]) if len(pieces) > n_left else None
+    rdf = rhs.to_pandas() if rhs is not None else pd.DataFrame()
+    return kernel(lhs.reset_index(drop=True), rdf)
+
+
+def _direct_keyed_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     left_by: str,
     right_by: str,
     left_on: str,
     right_on: str,
-    right_cols: list[str],
+    l_names: list[str],
+    l_types: dict,
+    keep_cols: list[str],
+    keep_types: dict,
+    key_t,
+    t_t,
+    right_empty: bool,
+    kernel,
     shuffle_buckets: int,
-):
-    """Shared plumbing for keyed temporal joins: normalize both sides onto
-    ONE union schema (shared ``_key``/``_t``, left payload ``_l_*``, right
-    payload ``_r_*``, absent side nulled), tag, union, coarse-bucket by
-    hashed key. Returns ``(tagged_ds, l_names, r_cols)``."""
-    l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
-    r_schema = right.schema()
-    if l_schema is None:
-        raise ValueError("left dataset has no schema (empty input?)")
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_cols = [c for c in dict.fromkeys(right_cols) if c != right_by]
-    if r_schema is None:
-        # a fully EMPTY right side: no rows will ever match, and there is
-        # no schema to type the payload — emit consistently null-typed
-        # r_* columns (uniform across blocks, so unification still works)
-        r_types = {c: pa.null() for c in r_cols}
-        right = None
-    else:
-        r_types = dict(zip(r_schema.names, r_schema.types))
-    l_names = list(l_schema.names)
-    key_t = l_types[left_by]
-    # time comparisons happen on a COMMON comparable type
-    t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
+) -> "ray.data.Dataset":
+    """Run ``kernel(lhs_df, rhs_df) -> pa.Table`` per hash bucket via the
+    direct exchange; returns the result as a streaming Dataset."""
+    l_refs = _block_refs(left)
+    r_refs = [] if right_empty else _block_refs(right)
+    # scale buckets with input blocks: 32 buckets cap reduce parallelism
+    # at 32 tasks regardless of cluster size (round-2 finding)
+    nb = int(max(shuffle_buckets, min(256, len(l_refs) + len(r_refs))))
+    if not l_refs:
+        return ray.data.from_arrow_refs([_bucket_join_task.remote(kernel, 0)])
 
-    union_fields = (
-        [("_key", key_t), ("_t", t_t), ("_side", pa.int8()), ("_cb", pa.int64())]
-        + [(f"_l_{c}", l_types[c]) for c in l_names]
-        + [(f"_r_{c}", r_types[c]) for c in r_cols]
-    )
-    union_schema = pa.schema(union_fields)
+    def split(refs, by, on, kc, kt):
+        outs = [
+            _split_side_task.options(num_returns=nb).remote(b, by, on, kc, kt, key_t, t_t, nb)
+            for b in refs
+        ]
+        return [[o] for o in outs] if nb == 1 else outs
 
-    def tag(side: int, by: str, on: str, payload_prefix: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cb = (stable_hash_array(batch.column(by)) % np.uint64(shuffle_buckets)).astype(
-                np.int64
-            )
-            cols = {
-                "_key": batch.column(by).cast(key_t),
-                "_t": batch.column(on).cast(t_t),
-                "_side": pa.array(np.full(n, side, dtype=np.int8)),
-                "_cb": pa.array(cb),
-            }
-            for f in union_schema:
-                if f.name in cols:
-                    continue
-                src = f.name[len(payload_prefix) :] if f.name.startswith(payload_prefix) else None
-                if src is not None and src in batch.column_names:
-                    cols[f.name] = batch.column(src).cast(f.type)
-                else:
-                    cols[f.name] = pa.nulls(n, f.type)
-            return pa.table({f.name: cols[f.name] for f in union_schema})
-
-        return fn
-
-    tagged = left.map_batches(tag(0, left_by, left_on, "_l_"), batch_format="pyarrow")
-    if right is not None:
-        tagged = tagged.union(
-            right.map_batches(tag(1, right_by, right_on, "_r_"), batch_format="pyarrow")
+    splits_l = split(l_refs, left_by, left_on, l_names, l_types)
+    splits_r = split(r_refs, right_by, right_on, keep_cols, keep_types)
+    out_refs = [
+        _bucket_join_task.remote(
+            kernel, len(splits_l), *[s[i] for s in splits_l], *[s[i] for s in splits_r]
         )
-    return tagged, l_names, r_cols, l_types, r_types
+        for i in range(nb)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def _typed_out(lhs: pd.DataFrame, l_names, l_types, extra: dict) -> pa.Table:
-    """Build the bucket UDF's output as an Arrow table with EXPLICIT field
-    types: a coarse bucket with zero left rows (or zero matches) must
+    """Build the bucket kernel's output as an Arrow table with EXPLICIT
+    field types: a bucket with zero left rows (or zero matches) must
     still emit int64/timestamp columns, never pandas-inferred null/object
     types that break downstream schema unification."""
     cols = {}
     for c in l_names:
-        cols[c] = pa.Array.from_pandas(lhs[f"_l_{c}"], type=l_types[c])
+        cols[c] = pa.Array.from_pandas(
+            lhs[c] if c in lhs.columns else pd.Series([], dtype=object), type=l_types[c]
+        )
     for name, (values, typ) in extra.items():
         # numpy value arrays convert directly; object arrays (asof match
         # results holding None) go through from_pandas for null handling
@@ -131,6 +227,7 @@ def asof_join(
     right_on: str,
     right_cols: list[str],
     shuffle_buckets: int = 32,
+    tie_break: str | None = None,
 ) -> "ray.data.Dataset":
     """Backward as-of LEFT join. Output = all left columns + one
     ``r_<col>`` per entry of ``right_cols`` (nulls where no right row
@@ -138,22 +235,35 @@ def asof_join(
 
     ``left_by``/``right_by`` are the equality keys, ``left_on``/
     ``right_on`` the ordering (time) columns; the two time columns must
-    be mutually comparable after Arrow casting."""
-    tagged, l_names, r_cols, l_types, r_types = _union_keyed(
-        left, right, left_by, right_by, left_on, right_on, right_cols, shuffle_buckets
-    )
+    be mutually comparable after Arrow casting.
 
-    def bucket_asof(df: pd.DataFrame) -> pa.Table:
-        lhs = df[df["_side"] == 0].reset_index(drop=True)
-        rhs = df[df["_side"] == 1]
+    ``tie_break``: when the right side may hold SEVERAL rows with the
+    same (key, time), ``"max"``/``"min"`` keeps the lexicographically
+    largest/smallest ``right_cols`` tuple per (key, time) — resolved
+    VECTORIZED inside each bucket kernel, so no pre-reduce shuffle is
+    needed (a Ray ``groupby().max()`` pre-reduce measured 5.1 s of
+    sort-shuffle fixed cost at sf0.1 against 1.0 s for the whole
+    exchange). Default ``None`` = caller guarantees unique (key, time)
+    and tie choice is engine-defined (DuckDB ASOF parity)."""
+    l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
+        left, right, left_by, left_on, right_by, right_cols
+    )
+    if tie_break not in (None, "max", "min"):
+        raise ValueError("tie_break must be None, 'max' or 'min'")
+
+    def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pa.Table:
         matched: dict[str, np.ndarray] = {
-            c: np.full(len(lhs), None, dtype=object) for c in r_cols
+            c: np.full(len(ldf), None, dtype=object) for c in r_cols
         }
-        if len(rhs) and len(lhs):
-            rhs = rhs.sort_values(["_key", "_t"])
-            r_groups = {k: g for k, g in rhs.groupby("_key", sort=False)}
-            lt = lhs["_t"].to_numpy()
-            for k, lg in lhs.groupby("_key", sort=False):  # one pass, no per-key scans
+        if len(rdf) and len(ldf):
+            if tie_break is not None:
+                rdf = rdf.sort_values(["_key", "_t"] + r_cols).drop_duplicates(
+                    ["_key", "_t"], keep="last" if tie_break == "max" else "first"
+                )
+            rdf = rdf.sort_values(["_key", "_t"], kind="mergesort")
+            r_groups = {k: g for k, g in rdf.groupby("_key", sort=False)}
+            lt = ldf["_t"].to_numpy()
+            for k, lg in ldf.groupby("_key", sort=False):  # one pass, no per-key scans
                 rg = r_groups.get(k)
                 if rg is None:
                     continue
@@ -161,13 +271,17 @@ def asof_join(
                 idx = np.searchsorted(rg["_t"].to_numpy(), lt[sel], side="right") - 1
                 hit = idx >= 0
                 for c in r_cols:
-                    vals = rg[f"_r_{c}"].to_numpy()
+                    vals = rg[c].to_numpy()
                     matched[c][sel[hit]] = vals[idx[hit]]
         return _typed_out(
-            lhs, l_names, l_types, {f"r_{c}": (matched[c], r_types[c]) for c in r_cols}
+            ldf, l_names, l_types, {f"r_{c}": (matched[c], r_types[c]) for c in r_cols}
         )
 
-    return tagged.groupby("_cb").map_groups(bucket_asof, batch_format="pandas")
+    return _direct_keyed_join(
+        left, right, left_by, right_by, left_on, right_on,
+        l_names, l_types, r_cols, r_types, key_t, t_t, right_empty, kernel,
+        shuffle_buckets,
+    )
 
 
 def group_topk(
@@ -184,10 +298,24 @@ def group_topk(
     ``hash(group) % shuffle_buckets`` and one pandas sort+head per bucket
     handles ALL of its groups — one UDF dispatch per bucket, not per
     group. Pre-trim: each input block keeps only its own per-group top-k
-    before the shuffle, so at most ``k × groups`` rows per block move."""
+    before the shuffle, so at most ``k × groups`` rows per block move.
+    Outputs rebuild at the INPUT's Arrow types (a pandas round-trip flips
+    nullable int64 → float64 only in blocks that happen to hold nulls,
+    splitting block schemas)."""
     if isinstance(descending, bool):
         descending = [descending] * len(order_cols)
     ascending = [not d for d in descending]
+    schema = ds.schema()
+    if schema is None:
+        return ds
+    out_types = dict(zip(schema.names, schema.types))
+    out_names = list(schema.names)
+
+    def _retype(df: pd.DataFrame, extra: dict | None = None) -> pa.Table:
+        cols = {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in out_names}
+        if extra:
+            cols.update(extra)
+        return pa.table(cols)
 
     def trim(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -210,16 +338,16 @@ def group_topk(
             cb[np.flatnonzero(valid)] = (
                 stable_hash_array(vv) % np.uint64(shuffle_buckets)
             ).astype(np.int64)
-        out = out.assign(_cb=cb)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _retype(out, {"_cb": pa.array(cb, pa.int64())})
 
-    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def bucket_topk(df: pd.DataFrame) -> pa.Table:
+        out = (
             df.drop(columns=["_cb"])
             .sort_values(order_cols, ascending=ascending, kind="mergesort")
             .groupby(group_col, sort=False, dropna=False)
             .head(k)
         )
+        return _retype(out)
 
     return (
         ds.map_batches(trim, batch_format="pyarrow")
@@ -247,49 +375,50 @@ def trailing_window_join(
     feature-engineering staple. LEFT semantics: rows with no right match
     get count 0 / sum 0.0.
 
-    Same union/bucket plumbing as :func:`asof_join`; inside a bucket each
-    key's right side is sorted once, a prefix-sum array is built, and
+    Same direct-exchange plumbing as :func:`asof_join`; inside a bucket
+    each key's right side is sorted once, a prefix-sum array is built, and
     every left row resolves with TWO ``searchsorted`` calls — O((L+R) log
     R) per key, no row pairing ever materialized (a naive inequality join
     would be O(L×R) rows before aggregation, which is how the SQL oracle
     states it)."""
-    tagged, l_names, r_cols, l_types, _r_types = _union_keyed(
-        left, right, left_by, right_by, left_on, right_on, [value_col], shuffle_buckets
+    l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
+        left, right, left_by, left_on, right_by, [value_col]
     )
-    vcol = f"_r_{value_col}"
 
-    def bucket_window(df: pd.DataFrame) -> pa.Table:
-        lhs = df[df["_side"] == 0].reset_index(drop=True)
-        rhs = df[df["_side"] == 1]
-        counts = np.zeros(len(lhs), dtype=np.int64)
-        sums = np.zeros(len(lhs), dtype=np.float64)
-        if len(rhs) and len(lhs):
-            rhs = rhs.sort_values(["_key", "_t"])
-            r_groups = {k: g for k, g in rhs.groupby("_key", sort=False)}
-            lt = lhs["_t"].to_numpy()
+    def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pa.Table:
+        counts = np.zeros(len(ldf), dtype=np.int64)
+        sums = np.zeros(len(ldf), dtype=np.float64)
+        if len(rdf) and len(ldf):
+            rdf = rdf.sort_values(["_key", "_t"])
+            r_groups = {k: g for k, g in rdf.groupby("_key", sort=False)}
+            lt = ldf["_t"].to_numpy()
             span = (
                 np.timedelta64(int(span_s * 1_000_000), "us")
                 if np.issubdtype(lt.dtype, np.datetime64)
                 else span_s
             )
-            for k, lg in lhs.groupby("_key", sort=False):
+            for k, lg in ldf.groupby("_key", sort=False):
                 rg = r_groups.get(k)
                 if rg is None:
                     continue
                 sel = lg.index.to_numpy()
                 rt = rg["_t"].to_numpy()
                 cs = np.concatenate(
-                    [[0.0], np.cumsum(rg[vcol].to_numpy(dtype=np.float64))]
+                    [[0.0], np.cumsum(rg[value_col].to_numpy(dtype=np.float64))]
                 )
                 lo = np.searchsorted(rt, lt[sel] - span, side="right")  # > t−span
                 hi = np.searchsorted(rt, lt[sel], side="right")  # ≤ t
                 counts[sel] = hi - lo
                 sums[sel] = cs[hi] - cs[lo]
         return _typed_out(
-            lhs,
+            ldf,
             l_names,
             l_types,
             {count_name: (counts, pa.int64()), sum_name: (sums, pa.float64())},
         )
 
-    return tagged.groupby("_cb").map_groups(bucket_window, batch_format="pandas")
+    return _direct_keyed_join(
+        left, right, left_by, right_by, left_on, right_on,
+        l_names, l_types, r_cols, r_types, key_t, t_t, right_empty, kernel,
+        shuffle_buckets,
+    )

@@ -342,3 +342,42 @@ def test_group_topk_matches_pandas_reference(n, n_groups, k, seed):
         .reset_index(drop=True)
     )
     assert got[["g", "id"]].astype("int64").equals(exp[["g", "id"]].astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_tie_break_in_kernel():
+    """tie_break='max'/'min' resolves duplicate (key, time) right rows
+    inside the bucket kernel — no pre-reduce shuffle required."""
+    import ray.data
+
+    left = pa.table(
+        {
+            "eid": pa.array([1], pa.int64()),
+            "k": pa.array([10], pa.int64()),
+            "t": pa.array([15.0], pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, 10, 10], pa.int64()),
+            "rt": pa.array([10.0, 10.0, 10.0], pa.float64()),
+            "v": pa.array([7, 2, 9], pa.int64()),
+        }
+    )
+    for tb, want in (("max", 9), ("min", 2)):
+        out = (
+            asof_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right).repartition(3),
+                left_by="k",
+                right_by="k",
+                left_on="t",
+                right_on="rt",
+                right_cols=["v"],
+                shuffle_buckets=2,
+                tie_break=tb,
+            )
+            .to_pandas()
+            .set_index("eid")
+        )
+        assert out.loc[1].r_v == want, tb
