@@ -102,6 +102,62 @@ def _cdc_rollup(sf_dir: str):
     return conversation_rollup(eng.snapshot())
 
 
+def _cdc_changefeed(sf_dir: str):
+    """Streaming changefeed: replay the seeded log, then read the net
+    changes since the mid-stream watermark as a Dataset (one merge task
+    per partition — cdc.py:changefeed). Retention keeps folded deltas
+    readable; tombstones surface as ``deleted``."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    n_events = _CDC_SIZES[sf][0]
+    watermark = n_events // 2  # a segment boundary in every tier (lsn0=1)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_feed_{sf}_")
+    eng = CDCEngine(
+        os.path.join(lake, "transcripts"),
+        num_partitions=32,
+        changefeed_retention_lsn=n_events,  # cover the whole window
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    feed = eng.changefeed(since_lsn=watermark)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role"),
+                "text": batch.column("text").cast(pa.string()),
+                "ts": batch.column("ts"),
+                "deleted": batch.column("_deleted"),
+            }
+        )
+
+    return feed.map_batches(project, batch_format="pyarrow")
+
+
+def _cdc_changefeed_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    watermark = _CDC_SIZES[sf_name][0] // 2
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+            WHERE lsn > {watermark}
+        )
+        SELECT conv_id, turn_idx, role, text, ts, (op = 'D') AS deleted
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _cdc_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     return f"""
@@ -510,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
         "cdc_rollup": _cdc_rollup,
+        "cdc_changefeed": _cdc_changefeed,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
         "clean_parts": m.clean_parts,
@@ -580,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
+        "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "clean_orders": """
             SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
                    o_orderstatus AS order_status, o_totalprice,

@@ -698,7 +698,17 @@ class CDCEngine:
         for f in old_files:
             m = delta_re.match(os.path.basename(f))
             if m:
-                entries.append({"path": f, "epoch_id": int(m.group(2))})
+                # retired_lsn = the retiring commit's watermark: retention is
+                # promised "past retirement", not past creation — a delta
+                # created at epoch E but folded much later stays readable
+                # for the full window after the fold
+                entries.append(
+                    {
+                        "path": f,
+                        "epoch_id": int(m.group(2)),
+                        "retired_lsn": int(new_man.applied_lsn),
+                    }
+                )
 
     def _prune_retained(self, new_man: Manifest) -> None:
         """Drop retained deltas past the retention horizon and advance the
@@ -721,7 +731,9 @@ class CDCEngine:
         floor = int(new_man.properties.get("changefeed_floor", 0))
         keep = []
         for e in entries:
-            if e["epoch_id"] <= cutoff:
+            # prune on RETIREMENT lsn (see _retire_deltas); legacy entries
+            # without the stamp fall back to creation epoch
+            if int(e.get("retired_lsn", e["epoch_id"])) <= cutoff:
                 floor = max(floor, int(e["epoch_id"]))
             else:
                 keep.append(e)
@@ -733,9 +745,23 @@ class CDCEngine:
         coverage for every earlier watermark (its deltas were never
         retained). Clear the activation stamp so a later re-enable
         re-stamps at its own watermark — consumers behind the off-window
-        get the loud replay-from-snapshot error, never a silent gap."""
-        if self.changefeed_retention_lsn is None and folded:
+        get the loud replay-from-snapshot error, never a silent gap.
+
+        Retention OFF also drops the retained-deltas registry (advancing
+        the floor past the dropped entries) — otherwise ``_prune_retained``
+        never runs again and vacuum treats the retained files as live
+        forever, an unbounded leak for tables that toggle retention off.
+        A later re-enable sees the raised floor and fails loud."""
+        if self.changefeed_retention_lsn is not None:
+            return
+        if folded:
             new_man.properties.pop("retention_since_lsn", None)
+        entries = new_man.properties.pop("retained_deltas", None)
+        if entries:
+            floor = int(new_man.properties.get("changefeed_floor", 0))
+            new_man.properties["changefeed_floor"] = max(
+                [floor] + [int(e["epoch_id"]) for e in entries]
+            )
 
     def _public_schema(self) -> pa.Schema:
         lake = self.manifest.schema
@@ -900,7 +926,11 @@ class CDCEngine:
                     self._retire_deltas(new_man, prev.files)
                 if m.get("retained_path"):
                     new_man.properties.setdefault("retained_deltas", []).append(
-                        {"path": m["retained_path"], "epoch_id": epoch.epoch_id}
+                        {
+                            "path": m["retained_path"],
+                            "epoch_id": epoch.epoch_id,
+                            "retired_lsn": epoch.epoch_id,
+                        }
                     )
                 files = [m["path"]]  # compaction replaces the whole stack
             else:
@@ -1221,23 +1251,14 @@ class CDCEngine:
         time travel to superseded versions)."""
         return self.store.vacuum(self.manifest)
 
-    def read_changes(self, since_lsn: int) -> pa.Table:
-        """Changefeed for downstream consumers: the net row-level changes
-        committed after ``since_lsn`` (delta files with epoch > watermark),
-        LWW-reduced per key, tombstones INCLUDED (``_deleted`` marks
-        downstream deletes).
-
-        Retention: with ``changefeed_retention_lsn`` set, delta files
-        folded by compactions/salt migrations stay readable from the
-        manifest's retained-deltas registry for that many LSNs, so
-        consumers may lag past compaction cycles; polling BEHIND the
-        retention floor raises. Without retention (default), the horizon
-        is the compaction cadence — a folded base newer than ``since_lsn``
-        raises immediately."""
+    def _changefeed_files(self, since_lsn: int) -> list[tuple[int, str]]:
+        """Validate the watermark and list the qualifying delta files as
+        ``(pid, path)`` pairs (pid parsed from the engine's file naming) —
+        shared by :meth:`changefeed` and :meth:`read_changes`. Raises the
+        retention-floor / compaction-horizon errors; never reads data."""
         import re
 
         man = self.manifest
-        lake = man.schema
         retention_on = self.changefeed_retention_lsn is not None
         floor = int(man.properties.get("changefeed_floor", 0))
         if retention_on and since_lsn < floor:
@@ -1246,7 +1267,7 @@ class CDCEngine:
                 f"({floor}); replay from a snapshot"
             )
         cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
-        delta_files: list[str] = []
+        delta_files: list[tuple[int, str]] = []
         for pid in sorted(man.partitions):
             for f in man.partitions[pid].files:
                 m = cdc_name.match(os.path.basename(f))
@@ -1275,13 +1296,75 @@ class CDCEngine:
                         f"{os.path.basename(f)}; replay from a snapshot or "
                         "poll within the compaction horizon"
                     )
-                delta_files.append(f)
+                delta_files.append((pid, f))
         if retention_on:
-            delta_files.extend(
-                e["path"]
-                for e in man.properties.get("retained_deltas", [])
-                if int(e["epoch_id"]) > since_lsn
-            )
+            for e in man.properties.get("retained_deltas", []):
+                if int(e["epoch_id"]) > since_lsn:
+                    m = cdc_name.match(os.path.basename(e["path"]))
+                    delta_files.append((int(m.group(2)) if m else -1, e["path"]))
+        return delta_files
+
+    def changefeed(self, since_lsn: int) -> "ray.data.Dataset":
+        """Changefeed for downstream consumers as a STREAMING Dataset: the
+        net row-level changes committed after ``since_lsn`` (delta files
+        with epoch > watermark), LWW-reduced per key, tombstones INCLUDED
+        (``_deleted`` marks downstream deletes).
+
+        One task per partition merges that partition's qualifying delta
+        stack (the same streamed k-way chunk merge as :meth:`snapshot`,
+        peak memory O(chunk × files)), so a consumer lagging N epochs on a
+        100-TB table never lands O(changes) on the driver. Keys are unique
+        within a partition's output; a key whose partition changed inside
+        the window (salt migration) can surface once per routing era —
+        consumers applying the feed's own (ts, lsn) LWW contract converge
+        identically, and the Arrow convenience wrapper
+        (:meth:`read_changes`) resolves it with a final reduce.
+
+        Retention: with ``changefeed_retention_lsn`` set, delta files
+        folded by compactions/salt migrations stay readable from the
+        manifest's retained-deltas registry for that many LSNs past their
+        retirement, so consumers may lag past compaction cycles; polling
+        BEHIND the retention floor raises. Without retention (default),
+        the horizon is the compaction cadence — a folded base newer than
+        ``since_lsn`` raises immediately."""
+        lake = self.manifest.schema
+        by_pid: dict[int, list[str]] = {}
+        for pid, f in self._changefeed_files(since_lsn):
+            by_pid.setdefault(pid, []).append(f)
+        if not by_pid:
+            return ray.data.from_arrow(lake.empty_table())
+        parts = [{"pid": pid, "files": by_pid[pid]} for pid in sorted(by_pid)]
+        key_cols = self.key_cols
+
+        def resolve(batch: pa.Table):
+            _single_threaded_arrow()
+            yielded = False
+            for row in batch.to_pylist():
+                files = list(row["files"])
+                if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(files):
+                    for chunk in iter_merged_partition(files, lake, key_cols):
+                        if chunk.num_rows:
+                            yielded = True
+                            yield chunk
+                else:
+                    t = merge_partition_files(files, lake, key_cols)
+                    if t.num_rows:
+                        yielded = True
+                        yield t
+            if not yielded:
+                yield lake.empty_table()
+
+        return ray.data.from_items(parts).map_batches(
+            resolve, batch_format="pyarrow", batch_size=1
+        )
+
+    def read_changes(self, since_lsn: int) -> pa.Table:
+        """Driver-side Arrow convenience form of :meth:`changefeed` for
+        small windows/tables (tests, oracles, the CLI) — same validation
+        and content, plus a final global LWW-reduce for one canonical row
+        per key even across salt-migration routing eras."""
+        lake = self.manifest.schema
+        delta_files = [f for _pid, f in self._changefeed_files(since_lsn)]
         if not delta_files:
             return lake.empty_table()
         t = pa.concat_tables([normalize_table(pq.read_table(f), lake) for f in delta_files])

@@ -214,3 +214,96 @@ def test_expired_retained_deltas_are_vacuumed(tmp_path):
     # and the feed still serves from the floor
     floor = eng.manifest.properties["changefeed_floor"]
     assert eng.read_changes(since_lsn=floor).num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changefeed_dataset_matches_arrow(tmp_path):
+    """The streaming Dataset form (one merge task per partition) carries
+    the same content as the driver Arrow wrapper — across compaction with
+    retention on, tombstones included."""
+    log = generate_changelog(
+        GenConfig(num_events=4000, num_conversations=60, seed=88, out_of_order=True)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=10_000,
+    )
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    watermark = eng.manifest.applied_lsn
+    for ep in epochs[1:]:
+        eng.apply_epoch(ep)
+
+    arrow = eng.read_changes(since_lsn=watermark)
+    ds = pa.Table.from_pandas(
+        eng.changefeed(since_lsn=watermark).to_pandas(), preserve_index=False
+    )
+    key = lambda t: sorted(
+        (r["conv_id"], r["turn_idx"], r["_lsn"], r["_deleted"], r["text"])
+        for r in t.to_pylist()
+    )
+    assert key(arrow) == key(ds)
+    assert arrow.num_rows > 0
+    # keys unique in the Dataset form too (no migration inside the window)
+    ks = [(r["conv_id"], r["turn_idx"]) for r in ds.to_pylist()]
+    assert len(ks) == len(set(ks))
+    # empty window → empty Dataset with the lake schema
+    empty = eng.changefeed(since_lsn=eng.manifest.applied_lsn)
+    assert empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_prunes_on_retirement_not_creation(tmp_path):
+    """A delta created at epoch E but folded at later epoch F stays
+    readable for the retention window past F (the docstring's promise),
+    not past E."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)  # 8 epochs of 500 LSNs
+    # compact only at the END: early deltas age ~7 epochs before retiring
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=100,
+        changefeed_retention_lsn=1_000,  # ≪ the deltas' age at retirement
+    )
+    for ep in clog.epochs(1):
+        eng.apply_epoch(ep)
+    eng.compact()  # retires ALL deltas at the final watermark
+    entries = eng.manifest.properties.get("retained_deltas", [])
+    assert entries, "retirement must retain despite creation-age > window"
+    w = eng.manifest.applied_lsn
+    assert all(int(e["retired_lsn"]) == w for e in entries)
+    # creation-epoch pruning would have dropped the oldest entries here
+    assert min(int(e["epoch_id"]) for e in entries) <= w - 3 * 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_off_drops_retained_registry(tmp_path):
+    """Toggling retention OFF must not leak retained files forever: the
+    next commit drops the registry (raising the floor) and vacuum
+    reclaims the files."""
+    import os
+
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    epochs = ChangeLog(str(tmp_path / "log")).epochs(1)
+
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=50_000,
+    )
+    for ep in epochs[:4]:
+        eng.apply_epoch(ep)
+    retained = [e["path"] for e in eng.manifest.properties.get("retained_deltas", [])]
+    assert retained and all(os.path.exists(p) for p in retained)
+
+    # reopen with retention OFF; the next commit clears the registry
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    eng2.apply_epoch(epochs[4])
+    assert not eng2.manifest.properties.get("retained_deltas")
+    assert int(eng2.manifest.properties.get("changefeed_floor", 0)) > 0
+    removed = eng2.vacuum()
+    assert removed >= len(retained)
+    assert not any(os.path.exists(p) for p in retained)
