@@ -34,7 +34,67 @@ from ..functions.quality import DQGate
 from ..sources.changelog import Epoch, Segment
 from ..state.manifest import Manifest, PartitionState
 from ..state.schema import DELETED_COL, LSN_COL, TableSpec
-from .cdc import CDCEngine
+from .cdc import CDCEngine, _single_threaded_arrow
+
+
+@ray.remote
+def _block_len_task(block) -> int:
+    return len(block) if not hasattr(block, "num_rows") else block.num_rows
+
+
+@ray.remote
+def _stage_segment_task(
+    block,
+    lo: int,
+    op: str,
+    names: list[str],
+    dtypes: dict,
+    ts_stamp,
+    checks,
+    key_cols: tuple,
+    table_name: str,
+    rc: dict,
+    failure_dir: str,
+    run_id: str,
+    seg_dir: str,
+) -> dict:
+    """Stage ONE source block as a changelog segment file: run the DQ
+    checks over the block, normalize onto the declared columns, stamp the
+    block's dense LSN sub-range ``[lo, lo+rows)`` and write the segment
+    atomically. Returns the segment meta + per-rule failure counts (the
+    driver aggregates counts and renders the gate verdict BEFORE any
+    staged file joins an epoch)."""
+    import pandas as pd
+
+    from ..functions.quality import _write_failure_file, evaluate_batch_detail
+
+    _single_threaded_arrow()
+    t = pa.Table.from_pandas(block, preserve_index=False) if isinstance(block, pd.DataFrame) else block
+    n = t.num_rows
+    counts: dict[str, int] = {}
+    if n and checks:
+        counts, detail = evaluate_batch_detail(t, checks, key_cols, table_name, rc)
+        if detail.num_rows:
+            _write_failure_file(failure_dir, run_id, detail)
+    if n == 0:
+        return {"path": None, "lo": lo, "hi": lo - 1, "rows": 0, "counts": counts}
+    cols = {
+        "lsn": pa.array(range(lo, lo + n), pa.int64()),
+        "op": pa.array([op] * n, pa.string()),
+    }
+    for name in names:
+        if name in t.column_names:
+            cols[name] = t.column(name)
+        elif name == "ts":
+            cols[name] = pa.array([ts_stamp] * n, dtypes[name])
+        else:
+            cols[name] = pa.nulls(n, dtypes[name])
+    hi = lo + n - 1
+    path = os.path.join(seg_dir, f"segment-{lo:012d}-{hi:012d}.parquet")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return {"path": path, "lo": lo, "hi": hi, "rows": n, "counts": counts}
 
 
 class LakeWriter:
@@ -130,18 +190,22 @@ class LakeWriter:
 
     # ------------------------------------------------------------------
     def _stage_changelog(self, ds: "ray.data.Dataset", op: str) -> Epoch | None:
-        """Materialize source rows as a changelog segment with the next LSN
-        range (driver-side staging; source batches stream through). The DQ
-        gate runs INLINE over the same stream — counts/detail accumulate
-        per batch and the verdict lands before the segment file exists, so
-        an ERROR write stages nothing at all (single pass)."""
+        """Stage source rows as changelog segment files — DISTRIBUTED: the
+        source executes into object-store blocks, each block gets a dense
+        deterministic LSN sub-range (running offset over the block row
+        counts, so duplicate source keys still resolve by block order),
+        and one Ray task per block runs the DQ checks and writes its own
+        segment file. Nothing but per-block row counts and failure COUNTS
+        touch the driver, so a 100× merge source is bounded by worker
+        memory, not driver memory, and gating runs in parallel.
+
+        The gate verdict renders after staging but BEFORE the epoch exists:
+        on ERROR every staged file is deleted and ``DQError`` raises, so a
+        failed write leaves nothing behind and nothing visible (the files
+        were never in any epoch or manifest)."""
         import time as _time
 
-        from ..functions.quality import (
-            _write_failure_file,
-            build_checks,
-            evaluate_batch_detail,
-        )
+        from ..functions.quality import build_checks
 
         man = self.engine.manifest
         start = man.applied_lsn + 1
@@ -149,7 +213,8 @@ class LakeWriter:
         seg_dir = os.path.join(self.engine.table_dir, "_writer_log")
         os.makedirs(seg_dir, exist_ok=True)
 
-        schema_names = set(ds.schema().names)
+        schema = ds.schema()
+        schema_names = set(schema.names) if schema is not None else set()
         if op == "D":
             # deletes carry only the key (+ optional event time): payload
             # columns are nulled, a missing ts is stamped once with the
@@ -162,54 +227,71 @@ class LakeWriter:
             raise ValueError(
                 f"source is missing declared columns {missing} of table {self.spec.name!r}"
             )
+        ts_stamp = None
+        if "ts" in names and "ts" not in schema_names:
+            # one stamp for the whole write (not per batch). Caveat (ts,lsn)
+            # LWW: a lake row whose EVENT time is ahead of this wall clock
+            # (clock skew, future-dated events) outranks the tombstone —
+            # warn so callers on ts-ordered tables pass an explicit ts
+            import datetime
+            import warnings
+
+            ts_stamp = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+            warnings.warn(
+                f"{op!r} write to ts-ordered table {self.spec.name!r} has no 'ts' "
+                "column; stamping wall-clock now — rows with future event times "
+                "will survive it. Pass ts explicitly for point-in-time semantics.",
+                stacklevel=3,
+            )
         gate = self._make_gate()
         # tombstones have no payload to validate — gating them against
         # payload rules would spuriously trip NOT NULL checks
         checks = build_checks(self.spec) if op != "D" else []
         key_cols = tuple(self.spec.primary_key) or (names[0],)
         rc = self.run_context.as_dict()
-        agg: dict[str, int] = {}
         t0 = _time.perf_counter()
 
-        tables = []
-        offset = 0
-        for batch in ds.iter_batches(batch_format="pyarrow"):
-            batch = pa.Table.from_batches([batch]) if not isinstance(batch, pa.Table) else batch
-            n = batch.num_rows
-            if checks:
-                counts, detail = evaluate_batch_detail(
-                    batch, checks, key_cols, self.spec.name, rc
+        # execute the source into the object store; dense LSN sub-ranges
+        # from the per-block row counts (footer metadata — no data read)
+        blocks: list[tuple] = []  # (ref, num_rows)
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                nr = meta.num_rows
+                if nr is None:  # metadata-less block: count remotely
+                    nr = ray.get(_block_len_task.remote(ref))
+                blocks.append((ref, int(nr)))
+        dtypes = {n: self.spec.column(n).dtype for n in names}
+        refs, offset = [], 0
+        for ref, nr in blocks:
+            if nr == 0:
+                continue
+            refs.append(
+                _stage_segment_task.remote(
+                    ref, start + offset, op, names, dtypes, ts_stamp, checks,
+                    key_cols, self.spec.name, rc, gate.failure_dir,
+                    self.run_context.run_id, seg_dir,
                 )
-                for k, v in counts.items():
-                    agg[k] = agg.get(k, 0) + v
-                if detail.num_rows:
-                    _write_failure_file(gate.failure_dir, self.run_context.run_id, detail)
-            lsn = pa.array(range(start + offset, start + offset + n), pa.int64())
-            cols = {"lsn": lsn, "op": pa.array([op] * n, pa.string())}
-            for name in names:
-                if name in batch.column_names:
-                    cols[name] = batch.column(name)
-                elif name == "ts":
-                    import datetime
-
-                    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-                    cols[name] = pa.array([now] * n, self.spec.column(name).dtype)
-                else:
-                    cols[name] = pa.nulls(n, self.spec.column(name).dtype)
-            tables.append(pa.table(cols))
-            offset += n
-        if checks and offset:
-            # audit + ERROR raise before ANY file is staged
-            gate._report(agg, offset, _time.perf_counter() - t0, checks)
+            )
+            offset += nr
         if offset == 0:
             return None  # empty source → nothing to merge
-        seg = pa.concat_tables(tables)
-        lo, hi = start, start + offset - 1
-        path = os.path.join(seg_dir, f"segment-{lo:012d}-{hi:012d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(seg, tmp)
-        os.replace(tmp, path)
-        return Epoch((Segment(path, lo, hi),))
+        metas = ray.get(refs)
+        agg: dict[str, int] = {}
+        for m in metas:
+            for k, v in m["counts"].items():
+                agg[k] = agg.get(k, 0) + v
+        if checks:
+            try:
+                # audit + ERROR verdict before any file joins an epoch
+                gate._report(agg, offset, _time.perf_counter() - t0, checks)
+            except Exception:
+                for m in metas:  # ERROR stages nothing: remove the files
+                    if m["path"] and os.path.exists(m["path"]):
+                        os.remove(m["path"])
+                raise
+        return Epoch(
+            tuple(Segment(m["path"], m["lo"], m["hi"]) for m in metas if m["path"])
+        )
 
     def merge(self, ds: "ray.data.Dataset") -> dict:
         """PK upsert of ``ds`` into the table.

@@ -168,3 +168,94 @@ def test_delete_skips_payload_gate(tmp_path):
                                           "price": pa.array([1.0, 2.0])})))
     w.delete(ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})))
     assert w.engine.snapshot_arrow().to_pylist() == [{"k": 2, "price": 2.0}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_multiblock_stages_parallel_segments(tmp_path):
+    """A merge source spanning several blocks stages >1 segment file
+    (one Ray task per block, dense deterministic LSN sub-ranges) and the
+    committed state equals a single-block merge of the same rows."""
+    import glob
+    import os
+
+    import ray.data
+
+    t = pa.table(
+        {
+            "date": pa.array([f"2026-01-{d:02d}" for d in range(1, 31)] * 4),
+            "job_name": pa.array([f"job{j}" for j in range(4) for _ in range(30)]),
+            "ready_by_09": pa.array([d % 2 == 0 for d in range(120)]),
+        }
+    )
+    multi = LakeWriter(str(tmp_path / "a"), SLO_SPEC, num_partitions=2)
+    multi.merge(ray.data.from_arrow(t).repartition(5))
+    segs = glob.glob(os.path.join(str(tmp_path / "a"), "_writer_log", "segment-*.parquet"))
+    assert len(segs) > 1, "multi-block source must stage per-block segments"
+    # dense, non-overlapping LSN ranges
+    ranges = sorted(
+        tuple(int(x) for x in os.path.basename(s)[8:-8].split("-")) for s in segs
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo2 == hi1 + 1
+
+    single = LakeWriter(str(tmp_path / "b"), SLO_SPEC, num_partitions=2)
+    single.merge(ray.data.from_arrow(t))
+    assert multi.engine.snapshot_arrow().equals(single.engine.snapshot_arrow())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_error_gate_stages_nothing(tmp_path):
+    """A gated ERROR merge deletes every staged per-block segment before
+    raising — nothing visible, nothing left behind."""
+    import glob
+    import os
+
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "g"), GATED_SPEC, num_partitions=2)
+    bad = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                    "price": pa.array([1.0, -5.0, 2.0, -1.0])})
+    with pytest.raises(DQError):
+        w.merge(ray.data.from_arrow(bad).repartition(2))
+    assert not glob.glob(os.path.join(str(tmp_path / "g"), "_writer_log", "*.parquet"))
+    assert w.engine.snapshot_arrow().num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delete_without_ts_on_ts_table_warns(tmp_path):
+    """Un-ts'd deletes on a ts-ordered table stamp wall-clock now and WARN
+    (a lake row with a future event time would survive the tombstone)."""
+    import ray.data
+
+    spec = TableSpec(
+        name="tst",
+        columns=(
+            ColumnSpec("k", pa.int64(), nullable=False),
+            ColumnSpec("v", pa.string()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+        primary_key=("k",),
+    )
+    import datetime
+
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    t0 = datetime.datetime(2020, 1, 1)
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"]),
+        "ts": pa.array([t0, t0], pa.timestamp("us")),
+    })))
+    with pytest.warns(UserWarning, match="no 'ts' column"):
+        w.delete(ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})))
+    snap = w.engine.snapshot_arrow()
+    assert snap.column("k").to_pylist() == [2]
+    # explicit ts on the delete: no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        w.delete(ray.data.from_arrow(pa.table({
+            "k": pa.array([2], pa.int64()),
+            "ts": pa.array([datetime.datetime(2026, 1, 1)], pa.timestamp("us")),
+        })))
+    assert w.engine.snapshot_arrow().num_rows == 0
