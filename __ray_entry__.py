@@ -142,6 +142,39 @@ def _cdc_changefeed(sf_dir: str):
     return feed.map_batches(project, batch_format="pyarrow")
 
 
+def _cdc_rollup_incremental(sf_dir: str):
+    """Incrementally-maintained gold rollup (IVM): replay HALF the log,
+    bootstrap the view, replay the rest, advance — only the conversations
+    changed in the second window recompute (pipelines/incremental.py).
+    The final view must equal the full-recompute oracle byte-for-byte."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    src = _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivm_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    for f in segs[:half]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalRollup(eng, os.path.join(work, "view"))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()  # bootstrap at the half-log state
+    for f in segs[half:]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
+    view.advance()  # incremental window: touched conversations only
+    return view.read()
+
+
 def _cdc_changefeed_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     watermark = _CDC_SIZES[sf_name][0] // 2
@@ -566,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
         "cdc_rollup": _cdc_rollup,
+        "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
@@ -637,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
+        "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "clean_orders": """
             SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,

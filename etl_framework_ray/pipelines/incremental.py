@@ -1,0 +1,385 @@
+"""Incremental materialized-view maintenance over the CDC changefeed.
+
+``IncrementalRollup`` keeps the gold ``conversation_rollup`` aggregate
+(publish.py) continuously up to date WITHOUT recomputing the whole table:
+each ``advance()`` call lists the delta files committed since the view's
+watermark, derives the set of TOUCHED conversations (and therefore touched
+hash partitions), recomputes the rollup for exactly those conversations
+from the lake's merge-on-read state, and splices the fresh rows into the
+view's partition files — untouched partitions carry forward by reference,
+untouched conversations inside a touched partition carry forward from the
+previous view file.
+
+Why group-level recompute rather than differential deltas: the rollup's
+``last_ts = MAX(ts)`` is NOT an invertible aggregate (and updates/deletes
+would need before-images the changefeed deliberately does not carry), so
+the textbook IVM strategy for this aggregate class is "recompute the
+affected groups only" — cost O(changed conversations' turns), not
+O(corpus). This is the same trade the reference's gold tables make by
+re-projecting silver state (/root/reference/src/gold/order_fact.py:75-88),
+made incremental by the CDC lineage.
+
+Scale shape (100-TB audit):
+- Touched-conversation discovery is one Ray task per new delta file
+  returning UNIQUE conversation-id hashes; the driver holds and broadcasts
+  O(changed conversations) per window — the documented O(dups)-style
+  broadcast, never O(corpus).
+- Recompute is one Ray task per TOUCHED partition: streamed k-way
+  merge-on-read (peak memory O(chunk x files)), a vectorized partial
+  rollup per chunk, one combine per task. No shuffle anywhere — the view
+  is partitioned by the same ``hash(conv_id) % P`` as the lake, so every
+  group's turns are already co-located (salted hot keys pull their fanout
+  partitions' files into the one task that owns the group).
+- Commit is a versioned manifest swap (tmp+rename); superseded and
+  crash-orphaned view files are pruned AFTER the commit, so readers of the
+  previous version never race a delete within ``advance()`` itself.
+
+Collision note: touched-set membership tests use 64-bit SipHash values.
+A collision can only mark an UNTOUCHED conversation as touched — it gets
+recomputed to the same value it already had (wasted work, never a wrong
+result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import stable_hash_array
+from ..stages.util import in_sorted
+
+#: public schema of the maintained view (matches publish.conversation_rollup
+#: and the cdc_rollup oracle SQL column-for-column)
+VIEW_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("n_turns", pa.int64()),
+        pa.field("n_assistant_turns", pa.int64()),
+        pa.field("total_chars", pa.int64()),
+        pa.field("last_ts", pa.timestamp("us")),
+    ]
+)
+
+_MANIFEST = "_view_manifest.json"
+
+
+def _conv_hashes(t_or_col) -> np.ndarray:
+    col = t_or_col.column("conv_id") if isinstance(t_or_col, pa.Table) else t_or_col
+    return stable_hash_array(col)
+
+
+@ray.remote
+def _touched_hashes_task(path: str) -> np.ndarray:
+    """Unique conversation-id hashes present in one delta file (column-pruned
+    read; output is O(distinct convs in the file))."""
+    from .cdc import _single_threaded_arrow
+
+    _single_threaded_arrow()
+    t = pq.read_table(path, columns=["conv_id"])
+    return np.unique(_conv_hashes(t))
+
+
+def _rollup_partial(live: pa.Table) -> pd.DataFrame:
+    """Vectorized per-chunk partial of the conversation rollup (same kernel
+    as publish.conversation_rollup's map_batches stage)."""
+    df = pd.DataFrame(
+        {
+            "conv_id": live.column("conv_id").to_pandas(),
+            "is_assistant": pc.equal(live.column("role"), "assistant")
+            .to_pandas()
+            .fillna(False),
+            "chars": pc.utf8_length(
+                pc.coalesce(live.column("text"), pa.scalar("", pa.large_string()))
+            ).to_pandas(),
+            "ts": live.column("ts").to_pandas(),
+        }
+    )
+    return df.groupby("conv_id", sort=False).agg(
+        n_turns=("conv_id", "size"),
+        n_assistant_turns=("is_assistant", "sum"),
+        total_chars=("chars", "sum"),
+        last_ts=("ts", "max"),
+    )
+
+
+def _combine_partials(partials: list[pd.DataFrame]) -> pa.Table:
+    if not partials:
+        return VIEW_SCHEMA.empty_table()
+    df = pd.concat(partials)
+    out = (
+        df.groupby(level=0, sort=False)
+        .agg(
+            n_turns=("n_turns", "sum"),
+            n_assistant_turns=("n_assistant_turns", "sum"),
+            total_chars=("total_chars", "sum"),
+            last_ts=("last_ts", "max"),
+        )
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "conv_id": pa.Array.from_pandas(out["conv_id"], type=pa.string()),
+            "n_turns": pa.Array.from_pandas(out["n_turns"], type=pa.int64()),
+            "n_assistant_turns": pa.Array.from_pandas(
+                out["n_assistant_turns"], type=pa.int64()
+            ),
+            "total_chars": pa.Array.from_pandas(out["total_chars"], type=pa.int64()),
+            "last_ts": pa.Array.from_pandas(out["last_ts"], type=pa.timestamp("us")),
+        }
+    )
+
+
+class IncrementalRollup:
+    """Incrementally-maintained ``conversation_rollup`` view of a
+    ``CDCEngine`` table. One instance per view directory; all durable
+    state lives in the directory (versioned manifest + partition files),
+    so it is safe to re-create after a crash. Single-writer: concurrent
+    ``advance()`` calls on the same view directory are not supported
+    (matching the engine's own single-committer contract)."""
+
+    def __init__(self, engine, view_dir: str):
+        self.engine = engine
+        self.view_dir = view_dir
+        os.makedirs(view_dir, exist_ok=True)
+
+    # -- durable state -------------------------------------------------
+    def _load_state(self) -> dict | None:
+        path = os.path.join(self.view_dir, _MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_state(self, state: dict) -> None:
+        path = os.path.join(self.view_dir, _MANIFEST)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+        # prune AFTER the swap: superseded versions and crash orphans
+        live = {os.path.basename(p) for p in state["files"].values()} | {_MANIFEST}
+        for name in os.listdir(self.view_dir):
+            if name not in live and name.endswith(".parquet"):
+                os.remove(os.path.join(self.view_dir, name))
+
+    # -- public API ----------------------------------------------------
+    @property
+    def watermark(self) -> int:
+        state = self._load_state()
+        return int(state["watermark_lsn"]) if state else 0
+
+    def read(self) -> "ray.data.Dataset":
+        """The maintained view as a Dataset (one read task per partition
+        file; plain Parquet, so downstream pipelines compose normally)."""
+        state = self._load_state()
+        files = sorted(state["files"].values()) if state else []
+        if not files:
+            return ray.data.from_arrow(VIEW_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
+
+    def read_arrow(self) -> pa.Table:
+        """Driver-side convenience form for tests/small views."""
+        state = self._load_state()
+        files = sorted(state["files"].values()) if state else []
+        if not files:
+            return VIEW_SCHEMA.empty_table()
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by("conv_id")
+
+    def rebuild(self) -> dict:
+        """Full recompute (bootstrap path) — also the documented recovery
+        when ``advance()`` raises because the view lagged past the
+        changefeed retention floor."""
+        return self._run(full=True)
+
+    def advance(self) -> dict:
+        """Bring the view up to the engine's current committed LSN.
+        Raises (fail-loud, from the changefeed horizon validation) when
+        the view's watermark is no longer reconstructible — call
+        :meth:`rebuild`."""
+        state = self._load_state()
+        if state is None:
+            return self._run(full=True)
+        wm = int(state["watermark_lsn"])
+        if self.engine.manifest.applied_lsn <= wm:
+            return {
+                "watermark_lsn": wm,
+                "touched_convs": 0,
+                "touched_partitions": 0,
+                "rows_written": 0,
+            }
+        return self._run(full=False, state=state, wm=wm)
+
+    # -- core ----------------------------------------------------------
+    def _run(self, full: bool, state: dict | None = None, wm: int = 0) -> dict:
+        eng = self.engine
+        man = eng.manifest
+        num_partitions = int(man.num_partitions)
+        cur_lsn = int(man.applied_lsn)
+        old_files: dict[str, str] = dict(state["files"]) if state and not full else {}
+        version = int(state["version"]) + 1 if state else 1
+
+        if full:
+            # a rebuild starts from scratch: carrying forward view files for
+            # partitions whose lake files vanished would resurrect stale rows
+            touched = None  # recompute every conversation
+            pid_set = {pid for pid in man.partitions if man.partitions[pid].files}
+            # a salted conv's HOME partition may itself hold no files while
+            # its rows live in the fanout partitions — its view task must
+            # still run
+            for val in eng.salt_map:
+                h = stable_hash_array(np.array([val], dtype=object))[0]
+                pid_set.add(int(h % np.uint64(num_partitions)))
+            touched_pids = sorted(pid_set)
+        else:
+            # validates the horizon (raises past retention floor/compaction)
+            new_deltas = eng._changefeed_files(wm)
+            if not new_deltas:
+                touched, touched_pids = np.array([], dtype=np.uint64), []
+            else:
+                uniq = ray.get(
+                    [_touched_hashes_task.remote(f) for _pid, f in new_deltas]
+                )
+                touched = np.unique(np.concatenate(uniq))
+                # view partition = UNSALTED hash(conv) % P (a salted hot
+                # conv's group row lives with its home partition)
+                touched_pids = sorted(
+                    int(p) for p in np.unique(touched % np.uint64(num_partitions))
+                )
+        if not touched_pids:
+            new_state = {"version": version, "watermark_lsn": cur_lsn, "files": old_files}
+            self._commit_state(new_state)
+            return {
+                "watermark_lsn": cur_lsn,
+                "touched_convs": 0,
+                "touched_partitions": 0,
+                "rows_written": 0,
+            }
+
+        # salted hot conversations fan out across (hash+s) % P — the view
+        # task owning the conv's HOME partition must read the fanout
+        # partitions' file stacks too (filtered back down by touched/pid)
+        extra_files: dict[int, list[str]] = {}
+        salt_map = eng.salt_map
+        if salt_map:
+            sm_vals = np.array(list(salt_map.keys()), dtype=object)
+            sm_hash = stable_hash_array(sm_vals)
+            for val, h in zip(sm_vals, sm_hash):
+                home = int(h % np.uint64(num_partitions))
+                if touched is not None and not in_sorted(
+                    np.array([h], dtype=np.uint64), touched
+                )[0]:
+                    continue
+                if home not in touched_pids:
+                    continue
+                fanout = int(salt_map[val])
+                for s in range(fanout):
+                    fpid = int((h + np.uint64(s)) % np.uint64(num_partitions))
+                    if fpid != home:
+                        extra_files.setdefault(home, []).extend(
+                            man.partitions[fpid].files if fpid in man.partitions else []
+                        )
+
+        touched_ref = ray.put(touched)  # None (full) or sorted uint64 array
+        lake_sch = man.schema
+        key_cols = eng.key_cols
+        view_dir = self.view_dir
+        items = []
+        for pid in touched_pids:
+            files = list(man.partitions[pid].files) if pid in man.partitions else []
+            files += extra_files.get(pid, [])
+            items.append(
+                {
+                    "pid": pid,
+                    "files": files,
+                    "old_file": old_files.get(str(pid)),
+                    "out": os.path.join(
+                        view_dir, f"part-{pid:05d}-v{version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+                    ),
+                }
+            )
+
+        def rebuild_partition(batch: pa.Table) -> pa.Table:
+            from .cdc import (
+                DELETED_COL,
+                _is_cdc_sorted,
+                _single_threaded_arrow,
+                iter_merged_partition,
+                merge_partition_files,
+            )
+
+            _single_threaded_arrow()
+            touched_local = ray.get(touched_ref)
+            out_meta = []
+            for row in batch.to_pylist():
+                pid = int(row["pid"])
+                files = list(row["files"])
+
+                def select(chunk: pa.Table) -> pa.Table:
+                    live = chunk.filter(pc.invert(chunk.column(DELETED_COL)))
+                    if not live.num_rows:
+                        return live
+                    h = _conv_hashes(live)
+                    keep = (h % np.uint64(num_partitions)).astype(np.int64) == pid
+                    if touched_local is not None:
+                        keep &= in_sorted(h, touched_local)
+                    return live.filter(pa.array(keep))
+
+                partials: list[pd.DataFrame] = []
+                if files:
+                    if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(files):
+                        for chunk in iter_merged_partition(files, lake_sch, key_cols):
+                            sel = select(chunk)
+                            if sel.num_rows:
+                                partials.append(_rollup_partial(sel))
+                    else:
+                        sel = select(merge_partition_files(files, lake_sch, key_cols))
+                        if sel.num_rows:
+                            partials.append(_rollup_partial(sel))
+                fresh = _combine_partials(partials)
+
+                pieces = [fresh]
+                if touched_local is not None and row["old_file"]:
+                    old = pq.read_table(row["old_file"])
+                    keep_old = ~in_sorted(_conv_hashes(old), touched_local)
+                    old_kept = old.filter(pa.array(keep_old))
+                    if old_kept.num_rows:
+                        pieces.append(old_kept)
+                out = pa.concat_tables(pieces).sort_by("conv_id")
+                tmp = f"{row['out']}.tmp-{os.getpid()}"
+                pq.write_table(out, tmp)
+                os.replace(tmp, row["out"])
+                out_meta.append({"pid": pid, "rows": out.num_rows, "path": row["out"]})
+            return pa.Table.from_pylist(out_meta)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(rebuild_partition, batch_format="pyarrow", batch_size=1)
+            .take_all()  # O(touched partitions) meta rows only
+        )
+
+        files = dict(old_files)
+        rows_written = 0
+        for r in results:
+            rows_written += int(r["rows"])
+            if r["rows"]:
+                files[str(r["pid"])] = r["path"]
+            else:
+                files.pop(str(r["pid"]), None)
+                os.remove(r["path"])
+        new_state = {"version": version, "watermark_lsn": cur_lsn, "files": files}
+        self._commit_state(new_state)
+        return {
+            "watermark_lsn": cur_lsn,
+            "touched_convs": -1 if touched is None else int(len(touched)),
+            "touched_partitions": len(touched_pids),
+            "rows_written": rows_written,
+        }

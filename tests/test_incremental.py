@@ -1,0 +1,194 @@
+"""Incremental materialized-view maintenance (IVM) over the changefeed.
+
+The view must equal a from-scratch recompute after every advance, touch
+only the partitions whose conversations changed, survive deletes and
+salted hot keys, and fail loud (with a documented rebuild path) when it
+lags past the changefeed horizon."""
+
+import datetime
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.pipelines.incremental import IncrementalRollup
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import (
+    CHANGELOG_SCHEMA,
+    GenConfig,
+    generate_changelog,
+)
+
+
+def _expected(eng) -> pd.DataFrame:
+    """Independent driver-side recompute of the rollup from committed state."""
+    snap = eng.snapshot_arrow().to_pandas()
+    return (
+        snap.assign(
+            is_assistant=(snap["role"] == "assistant"),
+            chars=snap["text"].fillna("").str.len(),
+        )
+        .groupby("conv_id", sort=True)
+        .agg(
+            n_turns=("conv_id", "size"),
+            n_assistant_turns=("is_assistant", "sum"),
+            total_chars=("chars", "sum"),
+            last_ts=("ts", "max"),
+        )
+        .reset_index()
+        .astype({"n_turns": "int64", "n_assistant_turns": "int64", "total_chars": "int64"})
+    )
+
+
+def _assert_view_equals(view: IncrementalRollup, eng) -> None:
+    got = view.read_arrow().to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _expected(eng))
+
+
+def _next_ts(eng) -> datetime.datetime:
+    return pc.max(eng.snapshot_arrow().column("ts")).as_py() + datetime.timedelta(seconds=5)
+
+
+def _manual_rows(eng, clog: ChangeLog, rows: list[dict]) -> None:
+    """Append a hand-built segment continuing the log's LSN sequence."""
+    lsn0 = eng.manifest.applied_lsn + 1
+    ts = _next_ts(eng)
+    full = [
+        {
+            "lsn": lsn0 + i,
+            "ts": ts,
+            "role": None,
+            "text": None,
+            "tool": None,
+            **r,
+        }
+        for i, r in enumerate(rows)
+    ]
+    clog.write_segments(pa.Table.from_pylist(full, schema=CHANGELOG_SCHEMA), segment_rows=len(full))
+
+
+def _setup(tmp_path, **gen_kw):
+    cfg = GenConfig(
+        num_events=gen_kw.pop("num_events", 6000),
+        num_conversations=gen_kw.pop("num_conversations", 80),
+        seed=gen_kw.pop("seed", 11),
+        delete_frac=gen_kw.pop("delete_frac", 0.08),
+        **gen_kw,
+    )
+    log = generate_changelog(cfg)
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=100)
+    return clog, eng
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_then_incremental_matches_recompute(tmp_path):
+    clog, eng = _setup(tmp_path)
+    epochs = clog.epochs(1)
+    for ep in epochs[:3]:
+        eng.apply_epoch(ep)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    s1 = view.advance()
+    assert s1["touched_convs"] == -1  # bootstrap = full compute
+    _assert_view_equals(view, eng)
+
+    for ep in epochs[3:]:
+        eng.apply_epoch(ep)
+    s2 = view.advance()
+    assert 0 < s2["touched_convs"] <= 80
+    assert s2["watermark_lsn"] == eng.manifest.applied_lsn
+    _assert_view_equals(view, eng)
+
+    s3 = view.advance()  # nothing new: exact no-op
+    assert s3["touched_convs"] == 0 and s3["rows_written"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_single_conv_touch_rewrites_one_partition_and_prunes(tmp_path):
+    clog, eng = _setup(tmp_path)
+    eng.replay(clog, segments_per_epoch=2)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    before = dict(view._load_state()["files"])
+
+    _manual_rows(
+        eng, clog, [{"op": "U", "conv_id": "conv-000003", "turn_idx": 0, "role": "user", "text": "edited"}]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    s = view.advance()
+    assert s["touched_convs"] == 1 and s["touched_partitions"] == 1
+    after = dict(view._load_state()["files"])
+    changed = {p for p in set(before) | set(after) if before.get(p) != after.get(p)}
+    assert len(changed) == 1  # every other partition carried forward by reference
+    _assert_view_equals(view, eng)
+
+    # directory holds ONLY the referenced files (superseded ones pruned)
+    on_disk = {n for n in os.listdir(view.view_dir) if n.endswith(".parquet")}
+    referenced = {os.path.basename(p) for p in after.values()}
+    assert on_disk == referenced
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fully_deleted_conversation_leaves_the_view(tmp_path):
+    clog, eng = _setup(tmp_path, num_events=3000, num_conversations=30, seed=5)
+    eng.replay(clog, segments_per_epoch=2)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    victim = view.read_arrow().column("conv_id")[0].as_py()
+    snap = eng.snapshot_arrow()
+    turns = snap.filter(pc.equal(snap.column("conv_id"), victim)).column("turn_idx").to_pylist()
+    _manual_rows(
+        eng, clog, [{"op": "D", "conv_id": victim, "turn_idx": t} for t in turns]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    got = view.read_arrow()
+    assert victim not in got.column("conv_id").to_pylist()
+    _assert_view_equals(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_past_compaction_horizon_raises_then_rebuild(tmp_path):
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=40, seed=3))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=2)
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    for ep in epochs[1:]:  # enough epochs that compaction folds the deltas
+        eng.apply_epoch(ep)
+    with pytest.raises(RuntimeError, match="compacted|retention"):
+        view.advance()
+    view.rebuild()
+    _assert_view_equals(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_hot_conversation(tmp_path):
+    log = generate_changelog(
+        GenConfig(num_events=6000, num_conversations=40, seed=7, hot_key_frac=0.5, hot_max_turns=4000)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=750)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=100)
+    eng.replay(clog, segments_per_epoch=2, auto_mitigate_skew=True)
+    assert eng.salt_map  # the hot conv fans out across partitions
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    _assert_view_equals(view, eng)
+
+    # incremental touch of the SALTED conv: its view task must pull the
+    # fanout partitions' files to see every turn
+    _manual_rows(
+        eng, clog, [{"op": "U", "conv_id": "conv-000000", "turn_idx": 1, "role": "user", "text": "hot-edit"}]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    s = view.advance()
+    assert s["touched_convs"] == 1
+    _assert_view_equals(view, eng)
