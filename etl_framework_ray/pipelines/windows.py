@@ -160,6 +160,15 @@ def session_windows(sf_dir: str, gap_s: int = 1800, shuffle_buckets: int = 64) -
         return batch.append_column("_cb", pa.array(cb))
 
     def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # Ray may dispatch an empty probe group
+            return pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "session_start": df["ts"],
+                    "session_end": df["ts"],
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
         g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy()
         uid = g["user_id"].to_numpy()
