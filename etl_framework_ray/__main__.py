@@ -8,6 +8,8 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray metrics  --table DIR
     python -m etl_framework_ray compact  --table DIR
     python -m etl_framework_ray vacuum   --table DIR
+    python -m etl_framework_ray lookup   --table DIR --key K1[,K2...]
+    python -m etl_framework_ray ivm      --table DIR --view DIR [--rebuild]
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -77,6 +79,17 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--table", required=True)
     pg.add_argument("--factor", type=float, default=4.0)
     pg.add_argument("--fanout", type=int, default=None)
+
+    pl = sub.add_parser("lookup", help="point read by leading primary-key value(s)")
+    pl.add_argument("--table", required=True)
+    pl.add_argument("--key", required=True, help="comma-separated leading-PK values")
+
+    pi = sub.add_parser(
+        "ivm", help="advance (or rebuild) the incremental conversation-rollup view"
+    )
+    pi.add_argument("--table", required=True)
+    pi.add_argument("--view", required=True)
+    pi.add_argument("--rebuild", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -153,6 +166,18 @@ def main(argv: list[str] | None = None) -> int:
         eng = _existing_engine(args.table)
         salted = eng.mitigate_skew(factor=args.factor, fanout=args.fanout)
         print(json.dumps({"salted_keys": salted, "salt_map": eng.salt_map}))
+    elif args.cmd == "lookup":
+        eng = _existing_engine(args.table)
+        t = eng.lookup(args.key.split(","))
+        print(json.dumps({"rows": t.num_rows, "result": t.to_pylist()}, default=str))
+    elif args.cmd == "ivm":
+        started_ray = _init_ray(args.num_cpus)
+        from .pipelines.incremental import IncrementalRollup
+
+        eng = _existing_engine(args.table)
+        view = IncrementalRollup(eng, args.view)
+        stats = view.rebuild() if args.rebuild else view.advance()
+        print(json.dumps(stats))
     if started_ray:  # only shut down a session this CLI run created
         import ray as _ray
 

@@ -55,7 +55,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..context import DEFAULT_NUM_PARTITIONS, RunContext
-from ..functions.hashing import partition_ids, salted_partition_ids
+from ..functions.hashing import partition_ids, salted_partition_ids, stable_hash_array
 from ..sources.changelog import ChangeLog, Epoch
 from ..stages.lww import lww_reduce, lww_survivor_indices
 from ..state.manifest import Manifest, ManifestStore, PartitionState
@@ -1036,20 +1036,27 @@ class CDCEngine:
         return stats
 
     # ------------------------------------------------------------------
-    def snapshot(self) -> "ray.data.Dataset":
+    def snapshot(self, pids: list[int] | None = None) -> "ray.data.Dataset":
         """Committed live rows as a streaming Dataset.
 
         Merge-on-read: each task resolves ONE hash partition — reads its
         manifest-listed base+delta files, LWW-reduces, drops tombstones,
         projects public columns. Rows are key-sorted WITHIN a partition
         (stable turn ordering is partition-local; ``publish_snapshot``
-        preserves it per partition directory)."""
+        preserves it per partition directory).
+
+        ``pids`` prunes the read to the given hash partitions — the
+        partition-pushdown path for consumers that know the routing
+        (incremental view maintenance, key-range scans): at 100 TB a
+        reader interested in one entity class touches its partitions'
+        files only, never the table."""
         public = self._public_schema()
         man = self.manifest
+        want = None if pids is None else set(pids)
         parts = [
             {"pid": pid, "files": man.partitions[pid].files}
             for pid in sorted(man.partitions)
-            if man.partitions[pid].files
+            if man.partitions[pid].files and (want is None or pid in want)
         ]
         if not parts:
             return ray.data.from_arrow(public.empty_table())
@@ -1369,6 +1376,53 @@ class CDCEngine:
             return lake.empty_table()
         t = pa.concat_tables([normalize_table(pq.read_table(f), lake) for f in delta_files])
         return lww_reduce(t, self.key_cols, _lww_order(lake, LSN_COL))
+
+    def lookup(self, keys: list) -> pa.Table:
+        """Point read by LEADING primary-key value(s) — the CDC lake's
+        key-value GET. Touches ONLY the partitions the keys hash to (salt
+        fanout included) and reads their files with a parquet predicate on
+        the key column: engine files are PK-sorted, so row-group
+        statistics prune everything outside each key's range — a point
+        lookup on a 100-TB table reads O(row groups containing the key),
+        not O(partition). The merged result is LWW-reduced, tombstones
+        dropped, public columns, PK-sorted.
+
+        Driver-side by contract: point results are small (a handful of
+        entities); for bulk key-range scans use
+        ``snapshot(pids=...)`` + a filter stage instead."""
+        import numpy as np
+
+        man = self.manifest
+        lake = man.schema
+        public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
+        if not self.key_cols:
+            raise ValueError("lookup requires a primary-keyed table")
+        key0 = self.key_cols[0]
+        if not keys:
+            return public.empty_table()
+        arr = pa.array(list(keys), lake.field(key0).type)
+        h = stable_hash_array(arr)
+        salt_map = self.salt_map
+        per_pid: dict[int, set] = {}
+        for i, v in enumerate(arr.to_pylist()):
+            fan = int(salt_map.get(v) or salt_map.get(str(v)) or 1)
+            for s in range(fan):
+                pid = int((h[i] + np.uint64(s)) % np.uint64(man.num_partitions))
+                per_pid.setdefault(pid, set()).add(v)
+        parts = []
+        for pid in sorted(per_pid):
+            if pid not in man.partitions:
+                continue
+            flt = [(key0, "in", sorted(per_pid[pid]))]
+            for f in man.partitions[pid].files:
+                t = normalize_table(pq.read_table(f, filters=flt), lake)
+                if t.num_rows:
+                    parts.append(t)
+        if not parts:
+            return public.empty_table()
+        t = lww_reduce(pa.concat_tables(parts), self.key_cols, _lww_order(lake, LSN_COL))
+        t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
+        return t.sort_by([(k, "ascending") for k in self.key_cols])
 
     def snapshot_arrow(self, version: int | None = None) -> pa.Table:
         """Driver-side committed state (no Ray) — for tests/oracles on small
