@@ -10,6 +10,7 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray vacuum   --table DIR
     python -m etl_framework_ray lookup   --table DIR --key K1[,K2...]
     python -m etl_framework_ray ivm      --table DIR --view DIR [--rebuild]
+    python -m etl_framework_ray export-changes --table DIR --out DIR [--seed-snapshot]
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -90,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--table", required=True)
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
+
+    pe = sub.add_parser(
+        "export-changes", help="poll one exactly-once changefeed window into a sink dir"
+    )
+    pe.add_argument("--table", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument(
+        "--seed-snapshot", action="store_true",
+        help="bootstrap/recover: export the full committed state as the seed window",
+    )
 
     args = p.parse_args(argv)
 
@@ -178,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
         view = IncrementalRollup(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))
+    elif args.cmd == "export-changes":
+        started_ray = _init_ray(args.num_cpus)
+        from .pipelines.consumer import ChangefeedConsumer
+
+        eng = _existing_engine(args.table)
+        con = ChangefeedConsumer(eng, args.out)
+        print(json.dumps(con.seed_from_snapshot() if args.seed_snapshot else con.poll()))
     if started_ray:  # only shut down a session this CLI run created
         import ray as _ray
 

@@ -1,0 +1,125 @@
+"""Durable changefeed delivery — the downstream half of the CDC contract.
+
+``ChangefeedConsumer`` exports the net changes of a ``CDCEngine`` table to
+a sink directory in exactly-once WINDOWS: each ``poll()`` streams
+``engine.changefeed(since_lsn=watermark)`` (one merge task per partition,
+nothing on the driver) into a window directory named by its LSN range,
+then atomically commits the directory AND the advanced watermark. A crash
+anywhere before the commit leaves the previous watermark in place, and the
+re-poll regenerates the SAME window (the changefeed is deterministic for a
+given manifest version) into the same name — downstream readers that
+process window directories in LSN order therefore see each change exactly
+once.
+
+This is the generic form of the engine's own ``IncrementalRollup``
+(pipelines/incremental.py): where the view folds the feed into an
+aggregate, the consumer hands the raw net-change stream to external
+systems (search indexers, caches, feature stores — the reference's
+analogue is the gold-layer publish job,
+/root/reference/src/gold/product_dimension.py:62-93, made continuous).
+
+Scale shape: the export is ``Dataset.write_parquet`` over the streaming
+feed — per-partition tasks write their own files under the window
+directory; the driver sees only the commit. Window size is bounded by the
+poll cadence, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+
+def _dir_rows(d: str) -> int:
+    """Row count of a window directory from parquet FOOTERS only."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+class ChangefeedConsumer:
+    """One instance per (table, sink) pair; all durable state lives in the
+    sink directory (``_consumer_state.json`` + window dirs), so it is safe
+    to re-create after a crash. Single consumer per sink directory."""
+
+    _STATE = "_consumer_state.json"
+
+    def __init__(self, engine, out_dir: str):
+        self.engine = engine
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- durable state -------------------------------------------------
+    @property
+    def watermark(self) -> int:
+        path = os.path.join(self.out_dir, self._STATE)
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(json.load(f)["watermark_lsn"])
+
+    def _commit(self, watermark: int, window: str | None, rows: int) -> None:
+        path = os.path.join(self.out_dir, self._STATE)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"watermark_lsn": watermark, "last_window": window, "last_rows": rows}, f)
+        os.replace(tmp, path)
+
+    # -- public API ----------------------------------------------------
+    def poll(self) -> dict:
+        """Export one window of net changes ``(watermark, applied_lsn]``.
+        Returns ``{"window": dir_or_None, "rows": n, "watermark_lsn": w}``;
+        a no-op poll (nothing committed since the last one) writes
+        nothing. Raises the engine's changefeed horizon errors when the
+        consumer lagged past retention — re-seed from a snapshot export
+        and resume from its LSN (``seed_from_snapshot``)."""
+        wm = self.watermark
+        cur = int(self.engine.manifest.applied_lsn)
+        if cur <= wm:
+            return {"window": None, "rows": 0, "watermark_lsn": wm}
+        feed = self.engine.changefeed(since_lsn=wm)  # validates the horizon
+        name = f"window-{wm + 1:012d}-{cur:012d}"
+        final = os.path.join(self.out_dir, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)  # half-written crash leftover
+        feed.write_parquet(tmp)
+        rows = _dir_rows(tmp)
+        shutil.rmtree(final, ignore_errors=True)  # crashed-after-rename rerun
+        os.replace(tmp, final)
+        self._commit(cur, name, rows)
+        return {"window": name, "rows": rows, "watermark_lsn": cur}
+
+    def seed_from_snapshot(self) -> dict:
+        """Bootstrap (or retention-recovery) path: export the CURRENT
+        committed state as window 0..applied_lsn and set the watermark —
+        the documented re-seed when ``poll()`` raises past the retention
+        floor. Downstream treats a seed window as 'replace everything'."""
+        cur = int(self.engine.manifest.applied_lsn)
+        name = f"window-{0:012d}-{cur:012d}-seed"
+        final = os.path.join(self.out_dir, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.engine.snapshot().write_parquet(tmp)
+        rows = _dir_rows(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        self._commit(cur, name, rows)
+        return {"window": name, "rows": rows, "watermark_lsn": cur}
+
+    def read_window(self, window: str) -> pa.Table:
+        """Driver-side convenience read of one exported window (tests /
+        small windows)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.out_dir, window)
+        parts = [
+            pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        return pa.concat_tables(parts) if parts else pa.table({})
