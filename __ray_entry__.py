@@ -335,6 +335,58 @@ def _q_top_tokens(sf_dir: str):
     return token_counts(ds, k=100)
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrubbing with a byte-parity oracle. The synthetic corpus holds
+    no PII, so BOTH sides append the same deterministic PII suffix (built
+    from doc_id) before redacting — the regexp chain is exercised for
+    real, byte-for-byte (both engines run RE2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.functions.text import redact_pii
+
+    def add_pii_then_redact(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        octet = pc.cast(pc.bit_wise_and(batch.column("doc_id"), 255), pa.string())
+        text = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact user", ids, "@mail.example.com or +1 555-123-4567 ip 10.0.",
+            octet, ".7 ssn 123-45-6789",
+            "",
+        )
+        i = batch.schema.get_field_index("text")
+        return redact_pii(batch.set_column(i, "text", text))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(add_pii_then_redact, batch_format="pyarrow")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: docs with doc_id % 20 == 0 stand
+    in as the eval suite; every other doc sharing an 8-token shingle with
+    them is dropped. Benchmark texts are DRIVER-COLLECTED by design — the
+    eval side is a suite, not a corpus — then broadcast as one sorted
+    uint64 hash array (stages/contamination.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from etl_framework_ray.stages.contamination import decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    bt = pq.read_table(path, columns=["doc_id", "text"])
+    bench = bt.filter(pa.array(bt.column("doc_id").to_numpy() % 20 == 0)).column("text")
+
+    def non_bench(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch.column("doc_id").to_numpy() % 20 != 0))
+
+    corpus = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        non_bench, batch_format="pyarrow"
+    )
+    return decontaminate(corpus, bench, n=8).select_columns(["doc_id"])
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -624,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
         "normalize_text": _q_normalize_text,
+        "redact_pii": _q_redact_pii,
+        "decontaminate_docs": _q_decontaminate,
         "approx_distinct_users": _q_approx_distinct_users,
         "top_events_per_user": _q_top_events_per_user,
         "price_quantiles": _q_price_quantiles,
@@ -666,7 +720,18 @@ def oracle_sql() -> dict[str, str]:
     sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
     if sf not in _CDC_SIZES:
         sf = "sf0.01"
-    from etl_framework_ray.functions.text import TOKEN_PATTERN
+    from etl_framework_ray.functions.text import PII_PATTERNS, TOKEN_PATTERN
+
+    # redact_pii oracle: nest regexp_replace in PII_PATTERNS order over the
+    # SAME deterministic PII-suffixed text the Ray query builds — both
+    # engines run RE2, so this is byte-parity, not merely equivalent.
+    redacted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or +1 555-123-4567 ip 10.0.'"
+        " || CAST(doc_id & 255 AS VARCHAR) || '.7 ssn 123-45-6789'"
+    )
+    for _pat, _rep in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{_pat}', '{_rep}', 'g')"
 
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
@@ -816,6 +881,23 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
                                        '\s+', ' ', 'g')) AS text
             FROM documents""",
+        "redact_pii": f"""
+            SELECT doc_id, {redacted} AS text FROM documents""",
+        "decontaminate_docs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS shingle
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+            ), hit AS (
+                SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+                WHERE s.doc_id % 20 <> 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
         "sample_docs_10pct": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 < 10""",
         "price_quantiles": """

@@ -167,6 +167,34 @@ def token_counts(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement), applied IN ORDER — email first so the phone/IP
+# rules never eat digits inside an address; SSN before phone (3-2-4 vs
+# 3-3-4 groups). Both pyarrow and DuckDB run RE2, so the SQL oracle
+# (nested regexp_replace built from THIS list in __ray_entry__.py) is
+# byte-for-byte parity, not merely equivalent.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(\+\d{1,2}[ ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholders — the scrubbing pass a training-data pipeline runs before
+    anything leaves the raw zone. Pure Arrow RE2 kernels, zero-copy in."""
+    t = batch.column(text_col)
+    for pattern, replacement in PII_PATTERNS:
+        t = pc.replace_substring_regex(t, pattern, replacement)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, t)
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting (rolling hash / winnowing-lite)
 # ---------------------------------------------------------------------------
 

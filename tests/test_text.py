@@ -118,6 +118,55 @@ def test_token_counts_vocabulary(tmp_path):
     assert set(full.token) == {"a", "b", "c", "!", "-"}
 
 
+def test_redact_pii_typed_placeholders():
+    from etl_framework_ray.functions.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at jane.doe+x@sub.example.org today",
+                    "ssn 123-45-6789 on file",
+                    "call +1 555-123-4567 or (212) 555-0100",
+                    "host 192.168.1.250 is up",
+                    "clean text, no pii at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = redact_pii(t).column("text").to_pylist()
+    assert out == [
+        "mail me at <EMAIL> today",
+        "ssn <SSN> on file",
+        "call <PHONE> or <PHONE>",
+        "host <IP> is up",
+        "clean text, no pii at all",
+    ]
+
+
+def test_redact_pii_duckdb_byte_parity():
+    # both engines run RE2 — nesting regexp_replace in PII_PATTERNS order
+    # must be byte-identical (this is what the driver oracle relies on)
+    from etl_framework_ray.functions.text import PII_PATTERNS, redact_pii
+
+    texts = [
+        "a@b.io then 123-45-6789 then +12 555-123-4567 then 10.0.0.7 done",
+        "overlap 999-99-9999x (not ssn: no right boundary? yes it is)x",
+        "edge .5.6.7.8. and user@@double.at and 555 123 4567 spaced",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    got = redact_pii(t).column("text").to_pylist()
+    expr = "text"
+    for pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    con = duckdb.connect()
+    con.register("docs", t)
+    exp = [r[0] for r in con.sql(f"SELECT {expr} FROM docs ORDER BY doc_id").fetchall()]
+    assert got == exp
+
+
 def test_normalize_text_strips_tags_and_whitespace():
     from etl_framework_ray.functions.text import normalize_text
 
