@@ -51,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--partitions", type=int, default=32)
     pr.add_argument("--epoch-segments", type=int, default=4)
     pr.add_argument("--pipelined", action="store_true")
+    pr.add_argument(
+        "--changefeed-retention-lsn", type=int, default=None,
+        help="set + persist the changefeed retention horizon (omit to inherit "
+        "the table's persisted setting)",
+    )
+    pr.add_argument(
+        "--no-changefeed-retention", action="store_true",
+        help="EXPLICITLY disable retention (drops the retained-deltas registry "
+        "at the next fold; lagging consumers get the loud coverage error)",
+    )
 
     ps = sub.add_parser("snapshot", help="row count / export of the committed state")
     ps.add_argument("--table", required=True)
@@ -120,7 +130,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "replay":
         started_ray = _init_ray(args.num_cpus)
-        eng = CDCEngine(args.table, num_partitions=args.partitions)
+        from .pipelines.cdc import INHERIT
+
+        retention = INHERIT  # default: the manifest-persisted horizon
+        if args.no_changefeed_retention:
+            retention = None
+        elif args.changefeed_retention_lsn is not None:
+            retention = args.changefeed_retention_lsn
+        eng = CDCEngine(
+            args.table, num_partitions=args.partitions,
+            changefeed_retention_lsn=retention,
+        )
         stats = eng.replay(
             ChangeLog(args.log),
             segments_per_epoch=args.epoch_segments,

@@ -342,6 +342,14 @@ class DQGate:
 
         return fn, (counter, checks, time.perf_counter())
 
+    def abort(self, handle) -> None:
+        """Failure-path hygiene: drop the count sink when the staged write
+        raised before :meth:`finalize` could run — otherwise every failed
+        write leaks a ``_dq_counts/<uuid>`` dir inside the table's metrics
+        tree."""
+        if handle is not None:
+            handle[0].cleanup()
+
     def finalize(self, handle) -> dict[str, dict]:
         """Audit the fused counts; raise ``DQError`` on ERROR failures.
         MUST run before the manifest commit (and after the staged write's

@@ -111,6 +111,13 @@ _META_SCHEMA = pa.schema(
 #: changelog envelope columns that are not row payload
 _ENVELOPE = ("lsn", "op")
 
+#: CDCEngine(changefeed_retention_lsn=INHERIT) — use the horizon persisted
+#: in the table manifest (the default). The horizon is TABLE config, not
+#: per-process config: a maintenance engine (CLI replay/compact/vacuum)
+#: that omits the argument must not silently disable retention and destroy
+#: the retained-deltas registry. Pass an explicit ``None`` to disable.
+INHERIT = "__inherit__"
+
 
 @dataclass
 class ReplayStats:
@@ -622,7 +629,7 @@ class CDCEngine:
         exchange: str = "ray",  # "ray" (direct hash exchange) | "sort" (Dataset groupby)
         tombstone_ttl_lsn: int | None = None,
         create_if_missing: bool = True,
-        changefeed_retention_lsn: int | None = None,
+        changefeed_retention_lsn: int | None | str = INHERIT,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -639,13 +646,6 @@ class CDCEngine:
         #: tombstones forever (always safe, grows with total deletes — at
         #: 10^10 events set this to the source's re-delivery horizon).
         self.tombstone_ttl_lsn = tombstone_ttl_lsn
-        #: changefeed retention horizon: when set, delta files folded by a
-        #: compaction (or salt migration) are RETAINED in the manifest for
-        #: this many LSNs past their retirement instead of being vacuumed,
-        #: so ``read_changes`` keeps serving consumers that lag past a
-        #: compaction cycle. None = old behavior (retention horizon IS the
-        #: compaction cadence).
-        self.changefeed_retention_lsn = changefeed_retention_lsn
         self.store = ManifestStore(table_dir)
         self.run_context = run_context or RunContext()
         #: per-path schema cache — segment files are immutable, so the
@@ -662,16 +662,43 @@ class CDCEngine:
                 )
             # create-if-missing (reference CreateExecutor semantics,
             # /root/reference/src/delta_engine/execute/create_executor.py:26-57)
+            props = dict(spec.properties)
+            if changefeed_retention_lsn not in (INHERIT, None):
+                props["changefeed_retention_lsn"] = int(changefeed_retention_lsn)
             man = Manifest(
                 table=spec.name,
                 version=1,
                 num_partitions=num_partitions,
                 schema_b64=schema_to_b64(lake_schema(spec)),
                 primary_key=list(spec.primary_key),
-                properties=dict(spec.properties),
+                properties=props,
             )
             self.store.commit(man)
         self.manifest = man
+        # changefeed retention horizon: when set, delta files folded by a
+        # compaction (or salt migration) are RETAINED in the manifest for
+        # this many LSNs past their retirement instead of being vacuumed,
+        # so ``read_changes`` keeps serving consumers that lag past a
+        # compaction cycle. The horizon is persisted in the manifest and
+        # inherited by default, so a maintenance engine that omits the
+        # argument cannot destroy the registry; pass None to DISABLE
+        # (drops the registry at the next fold — coverage break is loud).
+        stored = man.properties.get("changefeed_retention_lsn")
+        if changefeed_retention_lsn is INHERIT:
+            self.changefeed_retention_lsn = stored
+        else:
+            self.changefeed_retention_lsn = changefeed_retention_lsn
+            if stored != changefeed_retention_lsn:
+                new_man = Manifest.from_json(man.to_json())
+                new_man.version = man.version + 1
+                if changefeed_retention_lsn is None:
+                    new_man.properties.pop("changefeed_retention_lsn", None)
+                else:
+                    new_man.properties["changefeed_retention_lsn"] = int(
+                        changefeed_retention_lsn
+                    )
+                self.store.commit(new_man)
+                self.manifest = new_man
 
     # ------------------------------------------------------------------
     @property
@@ -1400,7 +1427,19 @@ class CDCEngine:
         key0 = self.key_cols[0]
         if not keys:
             return public.empty_table()
-        arr = pa.array(list(keys), lake.field(key0).type)
+        ktype = lake.field(key0).type
+        vals = list(keys)
+        try:
+            arr = pa.array(vals, ktype)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # CLI / JSON callers pass strings; coerce to the key column's
+            # dtype (the same manifest-JSON round-trip salted_partition_ids
+            # handles, functions/hashing.py:66-73)
+            if pa.types.is_integer(ktype):
+                vals = [int(v) for v in vals]
+            elif pa.types.is_floating(ktype):
+                vals = [float(v) for v in vals]
+            arr = pa.array(vals, ktype)
         h = stable_hash_array(arr)
         salt_map = self.salt_map
         per_pid: dict[int, set] = {}

@@ -5,11 +5,14 @@ a sink directory in exactly-once WINDOWS: each ``poll()`` streams
 ``engine.changefeed(since_lsn=watermark)`` (one merge task per partition,
 nothing on the driver) into a window directory named by its LSN range,
 then atomically commits the directory AND the advanced watermark. A crash
-anywhere before the commit leaves the previous watermark in place, and the
-re-poll regenerates the SAME window (the changefeed is deterministic for a
-given manifest version) into the same name — downstream readers that
-process window directories in LSN order therefore see each change exactly
-once.
+anywhere before the commit leaves the previous watermark in place; the
+re-poll first SWEEPS any window directory whose end LSN exceeds the
+committed watermark (a committed window's end is always ≤ it), so a window
+renamed into place just before a crash can never be delivered alongside
+the regenerated one — even when the table advanced in between and the
+regenerated window covers a wider range under a different name. Downstream
+readers that process window directories in LSN order therefore see each
+change exactly once.
 
 This is the generic form of the engine's own ``IncrementalRollup``
 (pipelines/incremental.py): where the view folds the feed into an
@@ -28,9 +31,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 import pyarrow as pa
+
+_WINDOW_RE = re.compile(r"^window-(\d{12})-(\d{12})(-seed)?(\.tmp)?$")
 
 
 def _dir_rows(d: str) -> int:
@@ -72,6 +78,18 @@ class ChangefeedConsumer:
             json.dump({"watermark_lsn": watermark, "last_window": window, "last_rows": rows}, f)
         os.replace(tmp, path)
 
+    def _sweep_uncommitted(self, wm: int) -> None:
+        """Remove window dirs the watermark never recorded. A crash between
+        ``os.replace(tmp, final)`` and ``_commit`` leaves a final-named dir;
+        if the table advances before the re-poll, the regenerated window
+        gets a DIFFERENT name and the stale one would hand downstream its
+        LSN range twice. Invariant: every committed window's end LSN is ≤
+        the watermark, so end > watermark (and any ``.tmp``) is residue."""
+        for d in os.listdir(self.out_dir):
+            m = _WINDOW_RE.match(d)
+            if m and (int(m.group(2)) > wm or m.group(4)):
+                shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+
     # -- public API ----------------------------------------------------
     def poll(self) -> dict:
         """Export one window of net changes ``(watermark, applied_lsn]``.
@@ -81,6 +99,7 @@ class ChangefeedConsumer:
         consumer lagged past retention — re-seed from a snapshot export
         and resume from its LSN (``seed_from_snapshot``)."""
         wm = self.watermark
+        self._sweep_uncommitted(wm)  # crash-leftover finals and tmps
         cur = int(self.engine.manifest.applied_lsn)
         if cur <= wm:
             return {"window": None, "rows": 0, "watermark_lsn": wm}
@@ -88,10 +107,8 @@ class ChangefeedConsumer:
         name = f"window-{wm + 1:012d}-{cur:012d}"
         final = os.path.join(self.out_dir, name)
         tmp = final + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)  # half-written crash leftover
         feed.write_parquet(tmp)
         rows = _dir_rows(tmp)
-        shutil.rmtree(final, ignore_errors=True)  # crashed-after-rename rerun
         os.replace(tmp, final)
         self._commit(cur, name, rows)
         return {"window": name, "rows": rows, "watermark_lsn": cur}
@@ -101,14 +118,13 @@ class ChangefeedConsumer:
         committed state as window 0..applied_lsn and set the watermark —
         the documented re-seed when ``poll()`` raises past the retention
         floor. Downstream treats a seed window as 'replace everything'."""
+        self._sweep_uncommitted(self.watermark)
         cur = int(self.engine.manifest.applied_lsn)
         name = f"window-{0:012d}-{cur:012d}-seed"
         final = os.path.join(self.out_dir, name)
         tmp = final + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
         self.engine.snapshot().write_parquet(tmp)
         rows = _dir_rows(tmp)
-        shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
         self._commit(cur, name, rows)
         return {"window": name, "rows": rows, "watermark_lsn": cur}

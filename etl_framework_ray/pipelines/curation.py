@@ -80,74 +80,81 @@ def curate_documents(
         counter = BatchCounts(tempfile.mkdtemp(prefix="curation_funnel_"))
     else:
         counter = None
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    ds = _counted(ds, counter, "input")
+    try:
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ds = _counted(ds, counter, "input")
 
-    ds = ds.map_batches(text_stats, batch_format="pyarrow")
-    # cheap-state text stages run as cached tasks, not actor pools — see
-    # stages/util.cached_stage for the measured decision rule
-    ds = ds.map_batches(cached_stage(LangId), batch_format="pyarrow")
-    ds = ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow")
+        ds = ds.map_batches(text_stats, batch_format="pyarrow")
+        # cheap-state text stages run as cached tasks, not actor pools — see
+        # stages/util.cached_stage for the measured decision rule
+        ds = ds.map_batches(cached_stage(LangId), batch_format="pyarrow")
+        ds = ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow")
 
-    lang_set = list(languages)
+        lang_set = list(languages)
 
-    def keep_lang_quality(batch: pa.Table) -> pa.Table:
+        def keep_lang_quality(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.and_(
+                pc.is_in(batch.column("lang_pred"), value_set=pa.array(lang_set)),
+                pc.greater_equal(batch.column("quality_score"), min_quality),
+            )
+            return batch.filter(mask)
+
+        ds = ds.map_batches(keep_lang_quality, batch_format="pyarrow")
+        ds = _counted(ds, counter, "after_lang_quality")
+
+        # exact-deduped working set: materialized ONCE — near-dup clustering
+        # and the final cluster filter both read it without re-running the
+        # upstream stat/filter stages
+        ds = exact_dedup(ds, text_col="text", id_col="doc_id").materialize()
+
+        # near-dup clusters over the surviving corpus; keep cluster minima.
+        # Broadcast the DROPPED-id set — the complement of the survivors.
+        # Survivors are the overwhelming majority of any real corpus, so the
+        # kept set is O(corpus); the dropped set is O(duplicates) — the same
+        # broadcast economics as ``embedding_dedup_lsh``. ONE sorted int64
+        # array via ``ray.put``, probed with searchsorted per batch.
+        if near_dup == "simhash":
+            clusters = simhash_dedup(ds, text_col="text", id_col="doc_id")
+        elif near_dup == "ngram":
+            clusters = ngram_jaccard_dedup(ds, minhash, text_col="text", id_col="doc_id")
+        else:
+            clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
         import pyarrow.compute as pc
 
-        mask = pc.and_(
-            pc.is_in(batch.column("lang_pred"), value_set=pa.array(lang_set)),
-            pc.greater_equal(batch.column("quality_score"), min_quality),
+        dropped_pdf = clusters.map_batches(
+            lambda b: b.filter(pc.invert(b.column("is_kept"))).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()  # O(duplicates) — the broadcast payload
+        # a dup-free corpus yields only empty frames (no schema) — same guard
+        # as embedding_dedup_lsh
+        dropped = (
+            dropped_pdf["doc_id"].to_numpy() if "doc_id" in dropped_pdf.columns else np.array([])
         )
-        return batch.filter(mask)
+        dropped_arr = np.sort(dropped.astype(np.int64))
+        dropped_ref = ray.put(dropped_arr)
 
-    ds = ds.map_batches(keep_lang_quality, batch_format="pyarrow")
-    ds = _counted(ds, counter, "after_lang_quality")
+        def keep_cluster_min(batch: pa.Table) -> pa.Table:
+            dropped = ray.get(dropped_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~in_sorted(ids, dropped)))
 
-    # exact-deduped working set: materialized ONCE — near-dup clustering
-    # and the final cluster filter both read it without re-running the
-    # upstream stat/filter stages
-    ds = exact_dedup(ds, text_col="text", id_col="doc_id").materialize()
-
-    # near-dup clusters over the surviving corpus; keep cluster minima.
-    # Broadcast the DROPPED-id set — the complement of the survivors.
-    # Survivors are the overwhelming majority of any real corpus, so the
-    # kept set is O(corpus); the dropped set is O(duplicates) — the same
-    # broadcast economics as ``embedding_dedup_lsh``. ONE sorted int64
-    # array via ``ray.put``, probed with searchsorted per batch.
-    if near_dup == "simhash":
-        clusters = simhash_dedup(ds, text_col="text", id_col="doc_id")
-    elif near_dup == "ngram":
-        clusters = ngram_jaccard_dedup(ds, minhash, text_col="text", id_col="doc_id")
-    else:
-        clusters = minhash_dedup(ds, minhash, text_col="text", id_col="doc_id")
-    import pyarrow.compute as pc
-
-    dropped_pdf = clusters.map_batches(
-        lambda b: b.filter(pc.invert(b.column("is_kept"))).select(["doc_id"]),
-        batch_format="pyarrow",
-    ).to_pandas()  # O(duplicates) — the broadcast payload
-    # a dup-free corpus yields only empty frames (no schema) — same guard
-    # as embedding_dedup_lsh
-    dropped = (
-        dropped_pdf["doc_id"].to_numpy() if "doc_id" in dropped_pdf.columns else np.array([])
-    )
-    dropped_arr = np.sort(dropped.astype(np.int64))
-    dropped_ref = ray.put(dropped_arr)
-
-    def keep_cluster_min(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(dropped_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(~in_sorted(ids, dropped)))
-
-    out = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
-    funnel: dict[str, int] = {}
-    if report:
-        out = out.materialize()
-        funnel = counter.collect()
-        counter.cleanup()
-        funnel["near_dup_dropped_broadcast"] = int(len(dropped_arr))
-        funnel["after_exact_dedup"] = ds.count()  # materialized → metadata
-        funnel["after_near_dedup"] = out.count()
-    return out, funnel
+        out = ds.map_batches(keep_cluster_min, batch_format="pyarrow")
+        funnel: dict[str, int] = {}
+        if report:
+            out = out.materialize()
+            funnel = counter.collect()
+            counter.cleanup()
+            funnel["near_dup_dropped_broadcast"] = int(len(dropped_arr))
+            funnel["after_exact_dedup"] = ds.count()  # materialized → metadata
+            funnel["after_near_dedup"] = out.count()
+        return out, funnel
+    except BaseException:
+        # a pipeline failure before collect() must not leak the
+        # funnel-count sink dir
+        if counter is not None:
+            counter.cleanup()
+        raise

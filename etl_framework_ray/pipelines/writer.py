@@ -23,6 +23,10 @@ from __future__ import annotations
 
 import glob
 import os
+import re
+
+#: staged segment file (group 1 = lo LSN) or its in-flight ``.tmp-<pid>``
+_SEG_FILE_RE = re.compile(r"^segment-(\d{12})-\d{12}\.parquet(\..+)?$")
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -164,9 +168,13 @@ class LakeWriter:
             import shutil
 
             shutil.rmtree(out_dir)
-        ds.map_batches(fused, batch_format="pyarrow").write_parquet(
-            out_dir, partition_cols=["pid"]
-        )
+        try:
+            ds.map_batches(fused, batch_format="pyarrow").write_parquet(
+                out_dir, partition_cols=["pid"]
+            )
+        except BaseException:
+            gate.abort(handle)  # failed write must not leak the count sink
+            raise
         gate.finalize(handle)  # DQError propagates pre-commit; staged files stay invisible
 
         new_man = Manifest.from_json(man.to_json())
@@ -212,6 +220,17 @@ class LakeWriter:
         names = self.spec.column_names
         seg_dir = os.path.join(self.engine.table_dir, "_writer_log")
         os.makedirs(seg_dir, exist_ok=True)
+        # failed-attempt hygiene: a staging task that died at ray.get (or a
+        # driver crash before the gate) leaves siblings' FINAL-named
+        # segments and .tmp files behind. Applied segments always satisfy
+        # hi ≤ applied_lsn, so any lo above the watermark (and any .tmp)
+        # is residue from an attempt that never became an epoch — and a
+        # rerun's blocks may split differently, so overlapping-range
+        # garbage must go before new files land
+        for f in glob.glob(os.path.join(seg_dir, "segment-*")):
+            m = _SEG_FILE_RE.match(os.path.basename(f))
+            if m and (m.group(2) or int(m.group(1)) > man.applied_lsn):
+                os.remove(f)
 
         schema = ds.schema()
         schema_names = set(schema.names) if schema is not None else set()
@@ -261,7 +280,7 @@ class LakeWriter:
                     nr = ray.get(_block_len_task.remote(ref))
                 blocks.append((ref, int(nr)))
         dtypes = {n: self.spec.column(n).dtype for n in names}
-        refs, offset = [], 0
+        refs, ranges, offset = [], [], 0
         for ref, nr in blocks:
             if nr == 0:
                 continue
@@ -272,10 +291,22 @@ class LakeWriter:
                     self.run_context.run_id, seg_dir,
                 )
             )
+            ranges.append((start + offset, start + offset + nr - 1))
             offset += nr
         if offset == 0:
             return None  # empty source → nothing to merge
-        metas = ray.get(refs)
+        try:
+            metas = ray.get(refs)
+        except BaseException:
+            # one task died (worker OOM, disk error) after siblings already
+            # staged final-named files; names are deterministic from the
+            # block offsets — remove them before propagating so nothing
+            # orphaned outlives the failed attempt
+            for lo_, hi_ in ranges:
+                p = os.path.join(seg_dir, f"segment-{lo_:012d}-{hi_:012d}.parquet")
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
         agg: dict[str, int] = {}
         for m in metas:
             for k, v in m["counts"].items():
@@ -363,9 +394,13 @@ class LakeWriter:
             import shutil
 
             shutil.rmtree(out_dir)
-        ds.map_batches(fused, batch_format="pyarrow").write_parquet(
-            out_dir, partition_cols=["pid"]
-        )
+        try:
+            ds.map_batches(fused, batch_format="pyarrow").write_parquet(
+                out_dir, partition_cols=["pid"]
+            )
+        except BaseException:
+            gate.abort(handle)
+            raise
         gate.finalize(handle)  # DQError propagates pre-commit
         new_man = Manifest.from_json(man.to_json())
         new_man.version = version

@@ -552,10 +552,14 @@ def minhash_dedup(
     shingle sets instead of the signatures. ``stats_out`` (optional dict)
     receives truncation counts — oversize-bucket caps are never silent."""
     counter = _trunc_counter()
-    sigs, edges = minhash_edges(
-        ds, cfg, text_col, id_col, exact_verify, shuffle_buckets, max_bucket, counter=counter
-    )
-    labels = components_labels(edges, shuffle_buckets)
+    try:
+        sigs, edges = minhash_edges(
+            ds, cfg, text_col, id_col, exact_verify, shuffle_buckets, max_bucket, counter=counter
+        )
+        labels = components_labels(edges, shuffle_buckets)
+    except BaseException:
+        counter.cleanup()  # failed pipeline must not leak the sink dir
+        raise
     _report_truncation(counter, stats_out, "minhash_dedup")
     return _assign_clusters(sigs.select_columns([id_col]), labels, id_col)
 
@@ -638,17 +642,21 @@ def simhash_dedup(
         return pa.concat_tables(parts)
 
     counter = _trunc_counter()
-    edges = (
-        sh.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(
-            _make_bucket_verifier(
-                id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket, counter
-            ),
-            batch_format="pandas",
+    try:
+        edges = (
+            sh.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(
+                _make_bucket_verifier(
+                    id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket, counter
+                ),
+                batch_format="pandas",
+            )
         )
-    )
-    labels = components_labels(edges, shuffle_buckets)
+        labels = components_labels(edges, shuffle_buckets)
+    except BaseException:
+        counter.cleanup()
+        raise
     _report_truncation(counter, stats_out, "simhash_dedup")
     return _assign_clusters(sh.select_columns([id_col]), labels, id_col)
 
@@ -841,12 +849,16 @@ def embedding_dedup_lsh(
             return pd.DataFrame({"dup_id": np.array([], np.int64)})
         return pd.DataFrame({"dup_id": np.unique(np.concatenate(out))})
 
-    dup_rows = (
-        ds.map_batches(emit_probe_rows, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(coarse_bucket_dups, batch_format="pandas")
-        .to_pandas()  # O(duplicates) — the broadcast payload
-    )
+    try:
+        dup_rows = (
+            ds.map_batches(emit_probe_rows, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(coarse_bucket_dups, batch_format="pandas")
+            .to_pandas()  # O(duplicates) — the broadcast payload
+        )
+    except BaseException:
+        counter.cleanup()
+        raise
     _report_truncation(counter, stats_out, "embedding_dedup_lsh")
     # a fully-duplicate-free corpus yields only empty frames (no schema)
     dups = dup_rows["dup_id"].to_numpy() if "dup_id" in dup_rows.columns else np.array([])

@@ -84,6 +84,11 @@ def _resolve_side_types(
         if r in l_names:
             raise ValueError(f"left dataset may not contain a column named {r!r}")
     r_cols = [c for c in dict.fromkeys(right_cols) if c != right_by]
+    for r in _RESERVED:
+        # same rule on the right: _split_side_task would silently overwrite
+        # a payload column of this name with the join key/time
+        if r in r_cols:
+            raise ValueError(f"right_cols may not contain a column named {r!r}")
     r_schema = right.schema()
     if r_schema is None:
         r_types = {c: pa.null() for c in r_cols}

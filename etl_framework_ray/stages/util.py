@@ -41,23 +41,19 @@ class CounterActor:
         return dict(self.counts)
 
 
-#: per-process append handles for BatchCounts sinks (one file per
-#: (sink dir, worker process); module-level so every task the worker runs
-#: reuses the handle instead of reopening per batch)
-_COUNT_HANDLES: dict = {}
-
-
 class BatchCounts:
     """Streaming per-batch metric counts WITHOUT a per-batch actor RPC.
 
     The previous design (``ray.get(counter.add.remote(...))`` per batch)
     blocked every staging batch on a synchronous round-trip and serialized
     all writers through one actor. This sink instead appends one JSON line
-    per batch to a per-worker-process file under ``dir_path`` (handle
-    cached per process, ``flush()`` after each line) — tens of
-    microseconds, no cross-task serialization — and the driver sums the
-    files after the pipeline's execution completes (task completion
-    implies its lines are durably in the page cache).
+    per batch to a per-worker-process file under ``dir_path`` — an
+    open-append-close per BATCH (not per row), ~10 µs against millisecond
+    batches, no cross-task serialization — and the driver sums the files
+    after the pipeline's execution completes. (An earlier draft cached the
+    handle per (dir, pid) in module state; every job creates a fresh sink
+    dir, so reused Ray workers accumulated one leaked fd per job — the
+    cache was an unbounded fd leak, not a win.)
 
     Same delivery contract as the old actor: at-least-once under task
     retry (a retried task re-appends its batches) — audit/monitoring
@@ -71,13 +67,9 @@ class BatchCounts:
         os.makedirs(dir_path, exist_ok=True)
 
     def add(self, counts: dict) -> None:
-        key = (self.dir, os.getpid())
-        fh = _COUNT_HANDLES.get(key)
-        if fh is None or fh.closed:
-            fh = open(os.path.join(self.dir, f"counts-{os.getpid()}.jsonl"), "a")
-            _COUNT_HANDLES[key] = fh
-        fh.write(json.dumps(counts, separators=(",", ":")) + "\n")
-        fh.flush()
+        path = os.path.join(self.dir, f"counts-{os.getpid()}.jsonl")
+        with open(path, "a") as fh:
+            fh.write(json.dumps(counts, separators=(",", ":")) + "\n")
 
     def collect(self) -> dict:
         out: dict = {}

@@ -104,3 +104,29 @@ def test_seed_from_snapshot_bootstraps_past_lost_horizon(tmp_path):
     seed = con.read_window(r["window"])
     assert seed.num_rows == r["rows"]
     assert con.poll()["window"] is None  # caught up
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_before_commit_with_table_advance_leaves_no_overlap(tmp_path):
+    """Crash between the window rename and the watermark commit, THEN the
+    table advances before the re-poll: the regenerated window has a new
+    name, so the stale one must be swept — otherwise downstream applies
+    the old range twice."""
+    clog, eng = _setup(tmp_path)
+    epochs = clog.epochs(1)
+    sink = str(tmp_path / "sink")
+    con = ChangefeedConsumer(eng, sink)
+
+    eng.apply_epoch(epochs[0])
+    r1 = con.poll()
+    # crash after rename, before commit
+    os.remove(os.path.join(sink, ChangefeedConsumer._STATE))
+    # the table advances before the consumer restarts
+    eng.apply_epoch(epochs[1])
+    con2 = ChangefeedConsumer(eng, sink)
+    r2 = con2.poll()
+    assert r2["window"] != r1["window"] and r2["watermark_lsn"] == eng.manifest.applied_lsn
+    wins = sorted(d for d in os.listdir(sink) if d.startswith("window-"))
+    assert wins == [r2["window"]]  # the stale pre-crash window is gone
+    # the single surviving window covers the whole range from LSN 0
+    net = _lww_net(con2.read_window(r2["window"]))
+    assert net.num_rows == eng.read_changes(since_lsn=0).num_rows

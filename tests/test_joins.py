@@ -381,3 +381,25 @@ def test_asof_tie_break_in_kernel():
             .set_index("eid")
         )
         assert out.loc[1].r_v == want, tb
+
+@pytest.mark.usefixtures("ray_session")
+def test_reserved_columns_rejected_on_both_sides(tmp_path):
+    """_key/_t are exchange-internal names; both sides must reject them
+    (the right side used to silently overwrite such a payload column)."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1], "ts": [1.0], "_t": [9.9]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": [1], "ts": [0.5], "_t": [7.7], "v": [2.0]})
+    )
+    ok_left = ray.data.from_arrow(pa.table({"k": [1], "ts": [1.0]}))
+    with pytest.raises(ValueError, match="_t"):
+        asof_join(left, right, left_by="k", left_on="ts", right_by="k", right_on="ts",
+                  right_cols=["v"])
+    with pytest.raises(ValueError, match="_t"):
+        asof_join(ok_left, right, left_by="k", left_on="ts", right_by="k", right_on="ts",
+                  right_cols=["_t", "v"])

@@ -86,3 +86,30 @@ def test_snapshot_partition_pruning(tmp_path):
     assert got_convs == exp_convs
     assert len(pruned) == int((pids == target).sum())
     assert eng.snapshot(pids=[]).count() == 0
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookup_coerces_string_keys_to_int_pk(tmp_path):
+    """CLI callers pass --key values as strings; lookup must coerce them
+    to the key column's dtype on integer-keyed tables instead of raising
+    ArrowInvalid."""
+    import ray.data
+
+    from etl_framework_ray.pipelines.writer import LakeWriter
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="orders",
+        columns=(
+            ColumnSpec("order_id", pa.int64(), nullable=False),
+            ColumnSpec("amount", pa.float64()),
+        ),
+        primary_key=("order_id",),
+    )
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=4)
+    w.merge(ray.data.from_arrow(
+        pa.table({"order_id": pa.array([1, 5, 9], pa.int64()),
+                  "amount": pa.array([1.0, 5.0, 9.0])})
+    ))
+    got = w.engine.lookup(["5", "9"])  # strings, as the CLI delivers them
+    assert got.column("order_id").to_pylist() == [5, 9]
+    assert got.equals(w.engine.lookup([5, 9]))  # typed keys agree

@@ -172,7 +172,8 @@ def test_retention_off_window_invalidates_coverage(tmp_path):
         on1.apply_epoch(ep)
     early_watermark = on1.manifest.applied_lsn
 
-    off = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    off = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+                    changefeed_retention_lsn=None)  # EXPLICIT disable
     for ep in epochs[3:6]:  # folds WITHOUT retention
         off.apply_epoch(ep)
     off_watermark = off.manifest.applied_lsn
@@ -299,11 +300,47 @@ def test_retention_off_drops_retained_registry(tmp_path):
     retained = [e["path"] for e in eng.manifest.properties.get("retained_deltas", [])]
     assert retained and all(os.path.exists(p) for p in retained)
 
-    # reopen with retention OFF; the next commit clears the registry
-    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    # reopen with retention EXPLICITLY off; the next commit clears the
+    # registry (omitting the arg inherits the persisted horizon instead)
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+                     changefeed_retention_lsn=None)
     eng2.apply_epoch(epochs[4])
     assert not eng2.manifest.properties.get("retained_deltas")
     assert int(eng2.manifest.properties.get("changefeed_floor", 0)) > 0
     removed = eng2.vacuum()
     assert removed >= len(retained)
     assert not any(os.path.exists(p) for p in retained)
+
+@pytest.mark.usefixtures("ray_session")
+def test_maintenance_engine_inherits_retention(tmp_path):
+    """A retention-less engine (the CLI replay/compact/vacuum shape) on a
+    retention-enabled table must INHERIT the persisted horizon — its folds
+    retain deltas and never destroy the registry or advance the floor."""
+    import os
+
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    epochs = clog.epochs(1)
+
+    ingest = CDCEngine(
+        str(tmp_path / "tbl"), num_partitions=4, compact_every=1,
+        changefeed_retention_lsn=50_000,
+    )
+    for ep in epochs[:4]:
+        ingest.apply_epoch(ep)
+    watermark = ingest.manifest.applied_lsn
+    retained = [e["path"] for e in ingest.manifest.properties.get("retained_deltas", [])]
+    assert retained
+
+    # the maintenance shape: no retention arg, folds more epochs + vacuums
+    maint = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1)
+    assert maint.changefeed_retention_lsn == 50_000
+    for ep in epochs[4:6]:
+        maint.apply_epoch(ep)
+    maint.vacuum()
+    still = [e["path"] for e in maint.manifest.properties.get("retained_deltas", [])]
+    assert set(retained) <= set(still)
+    assert all(os.path.exists(p) for p in retained)
+    # a consumer lagging from before the maintenance window is still served
+    assert maint.read_changes(since_lsn=watermark).num_rows > 0

@@ -259,3 +259,38 @@ def test_delete_without_ts_on_ts_table_warns(tmp_path):
             "ts": pa.array([datetime.datetime(2026, 1, 1)], pa.timestamp("us")),
         })))
     assert w.engine.snapshot_arrow().num_rows == 0
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_sweeps_stale_segments_from_failed_attempt(tmp_path):
+    """Final-named segment files left by a staging attempt that died at
+    ray.get (lo above the committed watermark) — and .tmp leftovers — are
+    swept before the next merge stages, so overlapping-range garbage from
+    a differently-split rerun can never accumulate in _writer_log."""
+    import glob
+    import os
+
+    import ray.data
+
+    t = pa.table(
+        {
+            "date": pa.array([f"2026-02-{d:02d}" for d in range(1, 11)]),
+            "job_name": pa.array([f"job{d}" for d in range(10)]),
+            "ready_by_09": pa.array([True] * 10),
+        }
+    )
+    w = LakeWriter(str(tmp_path / "t"), SLO_SPEC, num_partitions=2)
+    seg_dir = os.path.join(str(tmp_path / "t"), "_writer_log")
+    os.makedirs(seg_dir)
+    # plant residue: a final-named orphan above the watermark and a .tmp
+    stale = os.path.join(seg_dir, f"segment-{1:012d}-{7:012d}.parquet")
+    pa.parquet.write_table(t, stale)
+    tmp_leftover = os.path.join(seg_dir, f"segment-{1:012d}-{3:012d}.parquet.tmp-999")
+    open(tmp_leftover, "w").close()
+
+    w.merge(ray.data.from_arrow(t))
+    files = sorted(os.path.basename(f) for f in glob.glob(os.path.join(seg_dir, "segment-*")))
+    # only the real attempt's single-block segment survives
+    assert files == [f"segment-{1:012d}-{10:012d}.parquet"]
+    # the real merge staged exactly the 10 rows once: state matches source
+    snap = w.engine.snapshot_arrow()
+    assert snap.num_rows == 10
