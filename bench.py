@@ -169,8 +169,18 @@ def _bench_session():
     return ray
 
 
+def _ambient_gbps() -> float:
+    """Single-process memcpy bandwidth right now (GB/s), ~0.6 s. Embedded
+    in every bench artifact so a degraded-tenancy window is visible IN the
+    numbers: 2026-08-17 the identical binary read 19.2 s headline (vs the
+    4.7–6.2 s band) while this probe read 1.7 GB/s — the host, not the
+    code (BASELINE.md 'ambient interference')."""
+    return round(5 * 0.2 / _membench_worker(0), 2)
+
+
 def run_bench() -> dict:
     load_at_start = _settle()
+    ambient_gbps = _ambient_gbps()
     ray = _bench_session()
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
@@ -251,6 +261,7 @@ def run_bench() -> dict:
         "snapshot_read_sec": round(snapshot_sec, 3),
         "replay_attempts": attempts,
         "load1_at_start": round(load_at_start, 2),
+        "ambient_membench_gbps": ambient_gbps,
     }
     ray.shutdown()
     return result
