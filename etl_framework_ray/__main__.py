@@ -132,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.cdc import INHERIT
 
+        if args.no_changefeed_retention and args.changefeed_retention_lsn is not None:
+            p.error(
+                "--changefeed-retention-lsn and --no-changefeed-retention "
+                "are contradictory; pass one"
+            )
         retention = INHERIT  # default: the manifest-persisted horizon
         if args.no_changefeed_retention:
             retention = None

@@ -684,7 +684,10 @@ class CDCEngine:
         # argument cannot destroy the registry; pass None to DISABLE
         # (drops the registry at the next fold — coverage break is loud).
         stored = man.properties.get("changefeed_retention_lsn")
-        if changefeed_retention_lsn is INHERIT:
+        # equality, not identity: config plumbed through JSON delivers an
+        # equal-but-not-interned "__inherit__" string (the create path
+        # above already compares by equality)
+        if changefeed_retention_lsn == INHERIT:
             self.changefeed_retention_lsn = stored
         else:
             self.changefeed_retention_lsn = changefeed_retention_lsn
@@ -1435,11 +1438,17 @@ class CDCEngine:
             # CLI / JSON callers pass strings; coerce to the key column's
             # dtype (the same manifest-JSON round-trip salted_partition_ids
             # handles, functions/hashing.py:66-73)
-            if pa.types.is_integer(ktype):
-                vals = [int(v) for v in vals]
-            elif pa.types.is_floating(ktype):
-                vals = [float(v) for v in vals]
-            arr = pa.array(vals, ktype)
+            try:
+                if pa.types.is_integer(ktype):
+                    vals = [int(v) for v in vals]
+                elif pa.types.is_floating(ktype):
+                    vals = [float(v) for v in vals]
+                arr = pa.array(vals, ktype)
+            except ValueError as e:
+                raise ValueError(
+                    f"lookup key(s) {vals!r} not coercible to key column "
+                    f"{key0!r} of type {ktype}"
+                ) from e
         h = stable_hash_array(arr)
         salt_map = self.salt_map
         per_pid: dict[int, set] = {}

@@ -36,7 +36,9 @@ import shutil
 
 import pyarrow as pa
 
-_WINDOW_RE = re.compile(r"^window-(\d{12})-(\d{12})(-seed)?(\.tmp)?$")
+#: {12,} not {12}: '{:012d}' is a MINIMUM width — names past 10^12 LSNs
+#: grow a 13th digit and must still match the sweep
+_WINDOW_RE = re.compile(r"^window-(\d{12,})-(\d{12,})(-seed)?(\.tmp)?$")
 
 
 def _dir_rows(d: str) -> int:
@@ -125,6 +127,10 @@ class ChangefeedConsumer:
         tmp = final + ".tmp"
         self.engine.snapshot().write_parquet(tmp)
         rows = _dir_rows(tmp)
+        # a COMMITTED seed has end == watermark, so the sweep keeps it; a
+        # re-seed without a table advance regenerates the same name and
+        # must replace it (idempotent recovery), not crash on ENOTEMPTY
+        shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
         self._commit(cur, name, rows)
         return {"window": name, "rows": rows, "watermark_lsn": cur}

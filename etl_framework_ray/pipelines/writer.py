@@ -25,8 +25,9 @@ import glob
 import os
 import re
 
-#: staged segment file (group 1 = lo LSN) or its in-flight ``.tmp-<pid>``
-_SEG_FILE_RE = re.compile(r"^segment-(\d{12})-\d{12}\.parquet(\..+)?$")
+#: staged segment file (group 1 = lo LSN) or its in-flight ``.tmp-<pid>``;
+#: {12,} because '{:012d}' is a minimum width — LSNs past 10^12 grow digits
+_SEG_FILE_RE = re.compile(r"^segment-(\d{12,})-\d{12,}\.parquet(\..+)?$")
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -299,9 +300,14 @@ class LakeWriter:
             metas = ray.get(refs)
         except BaseException:
             # one task died (worker OOM, disk error) after siblings already
-            # staged final-named files; names are deterministic from the
-            # block offsets — remove them before propagating so nothing
-            # orphaned outlives the failed attempt
+            # staged final-named files. Cancel stragglers FIRST and wait for
+            # them to settle — a zombie task finishing after the cleanup
+            # loop would re-create an orphan (or clobber a retry's
+            # same-named segment with stale data) — then remove the
+            # deterministic names so nothing outlives the failed attempt.
+            for r in refs:
+                ray.cancel(r, force=True)  # no-op for already-finished tasks
+            ray.wait(refs, num_returns=len(refs), timeout=30)
             for lo_, hi_ in ranges:
                 p = os.path.join(seg_dir, f"segment-{lo_:012d}-{hi_:012d}.parquet")
                 if os.path.exists(p):

@@ -130,3 +130,18 @@ def test_crash_before_commit_with_table_advance_leaves_no_overlap(tmp_path):
     # the single surviving window covers the whole range from LSN 0
     net = _lww_net(con2.read_window(r2["window"]))
     assert net.num_rows == eng.read_changes(since_lsn=0).num_rows
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_from_snapshot_is_idempotent_without_advance(tmp_path):
+    """Re-running the bootstrap seed with no table advance must replace
+    the committed seed window (recovery is retry-safe), not crash on a
+    non-empty target directory."""
+    clog, eng = _setup(tmp_path)
+    eng.replay(clog, segments_per_epoch=2)
+    sink = str(tmp_path / "sink")
+    con = ChangefeedConsumer(eng, sink)
+    r1 = con.seed_from_snapshot()
+    r2 = con.seed_from_snapshot()  # same watermark, same name
+    assert r2["window"] == r1["window"] and r2["rows"] == r1["rows"]
+    wins = [d for d in os.listdir(sink) if d.startswith("window-")]
+    assert wins == [r1["window"]]

@@ -344,3 +344,17 @@ def test_maintenance_engine_inherits_retention(tmp_path):
     assert all(os.path.exists(p) for p in retained)
     # a consumer lagging from before the maintenance window is still served
     assert maint.read_changes(since_lsn=watermark).num_rows > 0
+
+def test_inherit_sentinel_compares_by_equality(tmp_path):
+    """Config plumbed through JSON hands the constructor an equal but
+    NON-INTERNED '__inherit__' string; it must behave exactly like the
+    module constant (inherit, never int('__inherit__'))."""
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2,
+                    changefeed_retention_lsn=7_000)
+    clone = "__inherit".__add__("__")  # equal, different object
+    from etl_framework_ray.pipelines.cdc import INHERIT
+    assert clone == INHERIT and clone is not INHERIT
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=2,
+                     changefeed_retention_lsn=clone)
+    assert eng2.changefeed_retention_lsn == 7_000
+    assert eng2.manifest.version == eng.manifest.version  # no config commit
