@@ -227,6 +227,26 @@ def _cdc_rollup_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _assemble_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                          chr(10) ORDER BY turn_idx) AS dialogue
+        FROM snap GROUP BY conv_id
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -644,6 +664,60 @@ def _q_sessions(sf_dir: str):
     return session_windows(sf_dir, gap_s=1800)
 
 
+def _q_repetition_stats(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.functions.text import repetition_stats
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(repetition_stats, batch_format="pyarrow")
+
+
+#: per-language sampling rates for the stratified mixture query (percent
+#: kept; the oracle states the identical CASE predicate)
+_MIXTURE_RATES = {"en": 25, "zh": 80, "es": 60}
+
+
+def _q_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.packing import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return stratified_sample(ds, _MIXTURE_RATES, group_col="lang", default_pct=50)
+
+
+def _q_assemble_conversations(sf_dir: str):
+    """Transcripts → SFT corpus: replay the changelog, then render each
+    conversation as one role-tagged training document (publish.py)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.publish import assemble_conversations
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_sft_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    return assemble_conversations(eng.snapshot())
+
+
+def _q_cluster_embeddings(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.similarity import cluster_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return cluster_embeddings(ds, k=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_framework_ray.pipelines import medallion as m
 
@@ -693,6 +767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "stratified_sample_docs": _q_stratified_sample,
+        "assemble_conversations": _q_assemble_conversations,
+        "cluster_embeddings": _q_cluster_embeddings,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
@@ -738,6 +816,33 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
         "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
+        "assemble_conversations": _assemble_oracle_sql(sf),
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, ws,
+                       CASE WHEN len(ws) >= 3 THEN
+                           list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       ELSE [] END AS gs
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(ROUND(1000000.0 * (len(ws) - len(list_distinct(ws)))
+                        / len(ws)) AS BIGINT) / 1000000.0 AS dup_word_frac,
+                   CASE WHEN len(gs) = 0 THEN 0.0 ELSE
+                       CAST(ROUND(1000000.0 * (len(gs) - len(list_distinct(gs)))
+                            / len(gs)) AS BIGINT) / 1000000.0
+                   END AS dup_3gram_frac
+            FROM g""",
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 100 < CASE lang
+                WHEN 'en' THEN 25 WHEN 'zh' THEN 80 WHEN 'es' THEN 60
+                ELSE 50 END""",
         "clean_orders": """
             SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
                    o_orderstatus AS order_status, o_totalprice,

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "langid",
     "multimodal_frames",
+    "repetition_stats",
+    "cluster_embeddings",
 ]
 
 

@@ -232,3 +232,80 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         if words:
             fps[i] = _doc_fingerprint(stable_hash_array(np.asarray(words, dtype=object)))
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64), pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snap: int = 1_000_000,
+) -> pa.Table:
+    """Per-document repetition metrics for quality filtering (the
+    duplicate-n-gram family popularized by the Gopher data work,
+    Rae et al. 2021 — public method):
+
+    - ``n_words``: space-delimited word count (``str_split`` parity with
+      the SQL oracle — consecutive spaces yield empty tokens BOTH sides).
+    - ``dup_word_frac``: fraction of words that are repeats of an earlier
+      word in the same document.
+    - ``dup_3gram_frac``: fraction of word 3-grams that are repeats.
+
+    Highly repetitive machine-generated or boilerplate text scores near 1;
+    normal prose sits low. Fractions are snapped to ``1/snap`` on both the
+    Ray and SQL sides (CLAUDE.md float-aggregate rule). Fully vectorized:
+    one Arrow split per batch, duplicate detection via a single hash-based
+    ``pandas.duplicated`` over the exploded (doc, token) frame, per-doc
+    counts via ``np.bincount`` — no per-row Python."""
+    text = pc.coalesce(batch.column(text_col), pa.scalar("", pa.large_string()))
+    lst = pc.split_pattern(text, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.values.to_pandas()
+    lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    n = len(lens)
+    idx = np.repeat(np.arange(n), lens)
+
+    dup_w = np.bincount(
+        idx[pd.DataFrame({"i": idx, "w": flat}).duplicated(["i", "w"]).to_numpy()],
+        minlength=n,
+    )
+
+    w = flat.to_numpy()
+    if len(w) >= 3:
+        # 3-gram j is valid iff tokens j..j+2 fall in the same document
+        valid = idx[:-2] == idx[2:]
+        grams = (
+            pd.Series(w[:-2], dtype=object)
+            + " "
+            + pd.Series(w[1:-1], dtype=object)
+            + " "
+            + pd.Series(w[2:], dtype=object)
+        ).to_numpy()[valid]
+        gi = idx[:-2][valid]
+        dup_3 = np.bincount(
+            gi[pd.DataFrame({"i": gi, "g": grams}).duplicated(["i", "g"]).to_numpy()],
+            minlength=n,
+        )
+        n3 = np.bincount(gi, minlength=n)
+    else:
+        dup_3 = np.zeros(n, dtype=np.int64)
+        n3 = np.zeros(n, dtype=np.int64)
+
+    # lens >= 1 always: splitting "" yields [""]
+    dup_word_frac = np.round(snap * dup_w / lens).astype(np.int64) / snap
+    dup_3gram_frac = np.where(
+        n3 == 0, 0.0, np.round(snap * dup_3 / np.maximum(n3, 1)).astype(np.int64) / snap
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(lens, pa.int64()),
+            "dup_word_frac": pa.array(dup_word_frac, pa.float64()),
+            "dup_3gram_frac": pa.array(dup_3gram_frac, pa.float64()),
+        }
+    )

@@ -159,3 +159,56 @@ def pk_violations(ds: "ray.data.Dataset", key_cols: tuple[str, ...]) -> int:
     counts = ds.groupby(list(key_cols)).aggregate(Count(alias_name="n"))
     dup = counts.filter(expr="n > 1")
     return dup.count()
+
+
+def assemble_conversations(
+    ds: "ray.data.Dataset", shuffle_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Render each conversation as ONE training document: turns ordered by
+    ``turn_idx``, formatted ``role: text`` and joined with newlines — the
+    transcripts→SFT-corpus step of an LLM-data pipeline, run over the CDC
+    lake's committed snapshot.
+
+    Conversations co-locate via ``hash(conv_id) % shuffle_buckets`` and one
+    kernel dispatch handles ALL of a bucket's conversations (the
+    coarse-bucket pattern of ``latest_event_per_user`` /
+    ``group_topk`` — one UDF dispatch per bucket, not per conversation,
+    at millions of conversations). Inside the kernel everything is one
+    pandas sort + groupby-agg; per-turn work is vectorized string concat.
+    Output: ``conv_id, n_turns, dialogue`` — SQL-oracle-expressible as
+    ``string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)``."""
+    from ..functions.hashing import stable_hash_array
+
+    def route(batch: pa.Table) -> pa.Table:
+        cb = (
+            stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "conv_id": batch.column("conv_id").cast(pa.string()),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role").cast(pa.string()),
+                "text": batch.column("text").cast(pa.string()),
+            }
+        )
+        return out.append_column("_cb", pa.array(cb))
+
+    def assemble(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+        lines = g["role"].fillna("") + ": " + g["text"].fillna("")
+        keys = g["conv_id"]
+        dialogue = lines.groupby(keys, sort=True).agg("\n".join)
+        n_turns = keys.groupby(keys, sort=True).size()
+        return pa.table(
+            {
+                "conv_id": pa.array(dialogue.index.to_numpy(dtype=object), pa.string()),
+                "n_turns": pa.array(n_turns.to_numpy(dtype=np.int64), pa.int64()),
+                "dialogue": pa.array(dialogue.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(assemble, batch_format="pandas")
+    )

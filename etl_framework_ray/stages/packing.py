@@ -146,3 +146,34 @@ def sample_mod(
         return batch.filter(pa.array((k % modulus) < rate_pct))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "object",
+    rates: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+    modulus: int = 100,
+):
+    """Deterministic per-stratum sampling — the mixture-weighting step of
+    a training-data pipeline (down-weight over-represented languages /
+    sources, up-weight rare ones). Keeps a row iff
+    ``key % modulus < rates.get(group, default_pct)``.
+
+    Same engine-vs-SQL parity contract as :func:`sample_mod` (the oracle
+    states the identical CASE predicate; non-negative keys required). The
+    per-row rate lookup is one vectorized ``pandas.Series.map`` per batch
+    — rates ship inside the serialized closure (a dict of strata, tiny),
+    no shuffle, no driver pass."""
+    items = dict(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and k.min() < 0:
+            raise ValueError("stratified_sample requires non-negative keys (SQL % parity)")
+        g = batch.column(group_col).to_pandas()
+        r = g.map(items).fillna(default_pct).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array((k % modulus) < r))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

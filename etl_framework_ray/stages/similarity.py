@@ -340,3 +340,49 @@ def ann_ivf_topk(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+def cluster_embeddings(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    sample_size: int = 4096,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Assign every embedding to its nearest spherical-k-means centroid —
+    the topic/domain-discovery step of a training-data pipeline (cluster
+    then inspect / re-weight / prune clusters).
+
+    TRAIN on a bounded driver-side sample (same seeded Lloyd loop as the
+    IVF index — O(sample × k × iters) regardless of corpus size), then
+    broadcast the k×d centroid matrix once via ``ray.put`` and ASSIGN with
+    one matmul per batch — embarrassingly parallel, no shuffle, nothing
+    O(corpus) on the driver. Output: ``id_col, cluster, sim`` (cosine to
+    the assigned centroid, snapped to ``1/10**round_to`` for run-to-run
+    determinism of the artifact)."""
+    sample_tbl = pa.concat_tables(
+        ds.limit(sample_size).select_columns([vec_col]).iter_batches(batch_format="pyarrow")
+    )
+    centroids = _spherical_kmeans(_stack(sample_tbl.column(vec_col)), k, seed)
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        m = _normalize(_stack(batch.column(vec_col)))
+        sims = m @ cent.T
+        cluster = np.argmax(sims, axis=1).astype(np.int64)
+        best = sims[np.arange(len(m)), cluster]
+        if round_to is not None:
+            scale = float(10**round_to)
+            best = np.round(best * scale).astype(np.int64) / scale
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(cluster, pa.int64()),
+                "sim": pa.array(best, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

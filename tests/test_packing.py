@@ -151,3 +151,35 @@ def test_chunking_invariants_property(n_docs, max_tokens, overlap_frac, seed):
         assert set(w for c in chunks for w in c) == set(words), i
         for a, b in zip(chunks, chunks[1:]):
             assert a[len(a) - overlap :] == b[: overlap] or len(a) < max_tokens, i
+
+
+def test_stratified_sample_per_group_rates(ray_session):
+    """Per-stratum keep rates follow the declared mixture; unknown groups
+    fall to default; result is deterministic (same predicate twice)."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.packing import stratified_sample
+
+    n = 1000
+    langs = ["en", "zh", "xx"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([langs[i % 3] for i in range(n)]),
+        }
+    )
+    rates = {"en": 10, "zh": 90}
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, rates, group_col="lang", default_pct=50).to_pandas()
+    again = stratified_sample(ds, rates, group_col="lang", default_pct=50).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    by = out.groupby("lang").size()
+    # exact counts: doc_id % 100 < rate, ids stride by 3 per lang
+    for lang, rate in (("en", 10), ("zh", 90), ("xx", 50)):
+        ids = [i for i in range(n) if langs[i % 3] == lang and i % 100 < rate]
+        assert by.get(lang, 0) == len(ids), lang
+    # every kept row satisfies its stratum's predicate
+    for _, r in out.iterrows():
+        rate = rates.get(r["lang"], 50)
+        assert r["doc_id"] % 100 < rate

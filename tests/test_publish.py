@@ -82,3 +82,31 @@ def test_pk_uniqueness_invariant(engine):
     # and a deliberately duplicated dataset is caught
     dup = eng.snapshot().union(eng.snapshot().limit(10))
     assert pk_violations(dup, ("conv_id", "turn_idx")) == 10
+
+
+def test_assemble_conversations_round_trip(engine):
+    """Each conversation renders as one 'role: text' document in turn
+    order, matching a pandas reconstruction from the generator oracle."""
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.publish import assemble_conversations
+
+    eng, log, tmp = engine
+    out = pa.concat_tables(
+        assemble_conversations(eng.snapshot(), shuffle_buckets=8).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).to_pandas()
+
+    state = oracle_replay(log)
+    expected = {}
+    for (conv, turn) in sorted(state):
+        row = state[(conv, turn)]
+        line = f"{row['role'] or ''}: {row['text'] or ''}"
+        expected.setdefault(conv, []).append(line)
+    assert len(out) == len(expected)
+    got = dict(zip(out["conv_id"], out["dialogue"]))
+    turns = dict(zip(out["conv_id"], out["n_turns"]))
+    for conv, lines in expected.items():
+        assert got[conv] == "\n".join(lines), conv
+        assert turns[conv] == len(lines)

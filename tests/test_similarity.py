@@ -81,3 +81,36 @@ def test_ivf_partial_probe_recall(emb):
     recalls = [len(set(got[got.query_id == q].vec_id) & exact[q]) / K for q in QUERIES]
     assert got.groupby("query_id").size().min() >= 1
     assert np.mean(recalls) >= 0.5  # half the cells scanned
+
+
+def test_cluster_embeddings_nearest_centroid(emb):
+    """Every vector's assigned cluster IS its argmax-cosine centroid
+    (recomputed with the same seeded trainer), sims are consistent, and
+    no cluster is empty at this corpus/k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.stages.similarity import (
+        _normalize,
+        _spherical_kmeans,
+        _stack,
+        cluster_embeddings,
+    )
+
+    ds, ids, mat = emb
+    k = 8
+    out = pa.concat_tables(
+        cluster_embeddings(ds, k=k, sample_size=4096, seed=29).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    sample = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    cent = _spherical_kmeans(_stack(sample.column("embedding")), k, 29)
+    sims = _normalize(mat) @ cent.T
+    expect = np.argmax(sims, axis=1)
+    order = np.argsort(ids)
+    assert (out["cluster"].to_numpy() == expect[order]).all()
+    best = sims[order, expect[order]]
+    assert np.allclose(out["sim"].to_numpy(), np.round(best * 1e6) / 1e6)
+    assert out["cluster"].nunique() == k

@@ -183,3 +183,51 @@ def test_normalize_text_strips_tags_and_whitespace():
     assert out == ["Hello World", "spaced out", "plain"]
     low = normalize_text(t, lowercase=True).column("text").to_pylist()
     assert low[0] == "hello world"
+
+
+def test_repetition_stats_matches_duckdb_and_flags_repeats():
+    """Gopher-style dup-word / dup-3gram fractions: byte parity with the
+    DuckDB list-kernel oracle, and a hand-built repetitive doc scores
+    high while a distinct doc scores 0."""
+    import duckdb
+
+    from etl_framework_ray.functions.text import repetition_stats
+
+    texts = [
+        "a b c d e f g h",                 # all distinct → 0, 0
+        "spam spam spam spam spam spam",   # one word repeated
+        "x y z x y z x y z x y z",         # repeated 3-grams
+        "",                                # empty → 1 token ([''])
+        "one two  three",                  # double space → empty token
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = repetition_stats(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute("""
+        WITH w AS (
+            SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws FROM documents
+        ), g AS (
+            SELECT doc_id, ws,
+                   CASE WHEN len(ws) >= 3 THEN
+                       list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   ELSE [] END AS gs
+            FROM w
+        )
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(ROUND(1000000.0 * (len(ws) - len(list_distinct(ws))) / len(ws))
+                    AS BIGINT) / 1000000.0 AS dup_word_frac,
+               CASE WHEN len(gs) = 0 THEN 0.0 ELSE
+                   CAST(ROUND(1000000.0 * (len(gs) - len(list_distinct(gs))) / len(gs))
+                        AS BIGINT) / 1000000.0 END AS dup_3gram_frac
+        FROM g ORDER BY doc_id
+    """).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert out.loc[0, "dup_word_frac"] == 0.0 and out.loc[0, "dup_3gram_frac"] == 0.0
+    assert out.loc[1, "dup_word_frac"] > 0.8
+    assert out.loc[2, "dup_3gram_frac"] > 0.5
+    assert out.loc[3, "n_words"] == 1
