@@ -707,6 +707,70 @@ def _q_assemble_conversations(sf_dir: str):
     return assemble_conversations(eng.snapshot())
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import grouped_rank_select_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_rank_select_quantiles(ds, "event_type", "value")
+
+
+def _q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact semi-join: lineitems of high-value orders,
+    rolled up per returnflag (stages/sketches.bloom_semijoin — the probe
+    drops ~80% of the big side before the exact verify)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from etl_framework_ray.stages.sketches import bloom_semijoin
+
+    hi = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    j = bloom_semijoin(li, "l_orderkey", hi, "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_pandas(),
+                "qty": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_items=("qty", "size"), sum_qty=("qty", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        q = batch.column("sum_qty").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n_items": batch.column("n_items").cast(pa.int64()),
+                "sum_qty": pa.array(np.round(q).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(snap, batch_format="pyarrow")
+
+
 def _q_cluster_embeddings(sf_dir: str):
     import ray.data
 
@@ -771,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "assemble_conversations": _q_assemble_conversations,
         "cluster_embeddings": _q_cluster_embeddings,
+        "events_value_quantiles": _q_grouped_quantiles,
+        "bloom_semijoin_lineitem": _q_bloom_semijoin,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,
@@ -843,6 +909,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 100 < CASE lang
                 WHEN 'en' THEN 25 WHEN 'zh' THEN 80 WHEN 'es' THEN 60
                 ELSE 50 END""",
+        "events_value_quantiles": """
+            WITH s AS (
+                SELECT event_type, value AS v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY value
+                       ) - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS c
+                FROM events
+            )
+            SELECT s.event_type, CAST(t.q AS DOUBLE) AS q, s.v
+            FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+            JOIN s ON s.rn = CAST(FLOOR(t.q * (s.c - 1)) AS BIGINT)""",
+        "bloom_semijoin_lineitem": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+            GROUP BY l_returnflag""",
         "clean_orders": """
             SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
                    o_orderstatus AS order_status, o_totalprice,

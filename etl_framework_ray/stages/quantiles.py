@@ -46,9 +46,22 @@ def _chain_mask(v: np.ndarray, chain) -> np.ndarray:
     return m
 
 
-def _histogram(ds, col: str, chain, lo: float, width: float, bins: int) -> np.ndarray:
+def _group_values(batch: pa.Table, col: str, group) -> np.ndarray:
+    """The column as float64, restricted to ``group=(group_col, value)``
+    when set — the per-group variant reuses every numeric pass unchanged."""
+    v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if group is not None:
+        gcol, gval = group
+        gm = batch.column(gcol).to_numpy(zero_copy_only=False) == gval
+        v = v[gm]
+    return v
+
+
+def _histogram(
+    ds, col: str, chain, lo: float, width: float, bins: int, group=None
+) -> np.ndarray:
     def part(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = _group_values(batch, col, group)
         v = v[_chain_mask(v, chain)]
         if len(v):
             idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
@@ -63,9 +76,9 @@ def _histogram(ds, col: str, chain, lo: float, width: float, bins: int) -> np.nd
     return out
 
 
-def _collect_chain(ds, col: str, chain) -> np.ndarray:
+def _collect_chain(ds, col: str, chain, group=None) -> np.ndarray:
     def part(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = _group_values(batch, col, group)
         return pa.table({"v": pa.array(v[_chain_mask(v, chain)], pa.float64())})
 
     parts = [
@@ -90,12 +103,13 @@ def _resolve_rank(
     collect_limit: int,
     max_refine: int,
     hist: np.ndarray | None = None,  # precomputed level histogram (shared across qs)
+    group=None,
 ) -> float:
     if hi <= lo:
         return lo
     width = (hi - lo) / bins
     if hist is None:
-        hist = _histogram(ds, col, chain, lo, width, bins)
+        hist = _histogram(ds, col, chain, lo, width, bins, group=group)
     cum = np.cumsum(hist)
     b = int(np.searchsorted(below + cum, rank + 1))
     b_below = below + (int(cum[b - 1]) if b else 0)
@@ -112,8 +126,9 @@ def _resolve_rank(
             bins,
             collect_limit,
             max_refine - 1,
+            group=group,
         )
-    vals = _collect_chain(ds, col, sub_chain)
+    vals = _collect_chain(ds, col, sub_chain, group=group)
     return float(vals[rank - b_below])
 
 
@@ -164,3 +179,117 @@ def rank_select_quantiles(
             )
         )
     return pa.table({"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())})
+
+
+def grouped_rank_select_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 4096,
+    collect_limit: int = 100_000,
+    max_refine: int = 4,
+) -> pa.Table:
+    """Exact per-group discrete quantiles: for every group and q, the
+    element at sorted rank ``floor(q × (n_g − 1))`` within the group
+    (the same zero-interpolation definition as the global
+    :func:`rank_select_quantiles`, so the SQL oracle is the identical
+    ``ROW_NUMBER() OVER (PARTITION BY g)`` rank select).
+
+    Scale shape: group stats are one small ``groupby().aggregate`` (G
+    rows); the level-0 histograms for ALL groups come from ONE extra
+    pass (each block bincounts each of its groups against that group's
+    broadcast (lo, width) — driver memory O(G × bins), the column never
+    moves); only groups whose winning bucket exceeds ``collect_limit``
+    pay further group-filtered refinement passes. Designed for
+    low-cardinality group columns (segments, event types, languages) —
+    for millions of groups use an aggregate sketch instead."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Max, Min
+
+    pruned = (
+        ds.select_columns([group_col, col])
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.is_valid(b.column(col)), pc.is_valid(b.column(group_col)))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # re-scanned per pass
+    )
+    g_type = pruned.schema().base_schema.field(group_col).type
+    stats = pruned.groupby(group_col).aggregate(
+        Count(alias_name="n"), Min(col, alias_name="mn"), Max(col, alias_name="mx")
+    ).take_all()
+    if not stats:
+        return pa.table(
+            {
+                group_col: pa.array([], g_type),
+                "q": pa.array([], pa.float64()),
+                "v": pa.array([], pa.float64()),
+            }
+        )
+    ranges = {
+        s[group_col]: (float(s["mn"]), float(s["mx"]), int(s["n"])) for s in stats
+    }
+    spread = {g: (mn, (mx - mn) / bins) for g, (mn, mx, _n) in ranges.items() if mx > mn}
+    ref = ray.put(spread)
+
+    def part(batch: pa.Table) -> pa.Table:
+        sp = ray.get(ref)
+        gv = batch.column(group_col).to_pandas()
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out_g, out_h = [], []
+        for g, pos in gv.groupby(gv, sort=False).indices.items():
+            if g not in sp:
+                continue
+            lo, width = sp[g]
+            idx = np.clip(((v[pos] - lo) / width).astype(np.int64), 0, bins - 1)
+            out_g.append(g)
+            out_h.append(np.bincount(idx, minlength=bins).astype(np.int64))
+        return pa.table(
+            {
+                "g": pa.array(out_g, g_type),
+                "h": pa.array([h for h in out_h], pa.list_(pa.int64())),
+            }
+        )
+
+    hists: dict = {}
+    for r in pruned.map_batches(part, batch_format="pyarrow").take_all():
+        h = np.asarray(r["h"], dtype=np.int64)
+        hists[r["g"]] = hists.get(r["g"], 0) + h
+
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(ranges):
+        mn, mx, n = ranges[g]
+        for q in qs:
+            out_g.append(g)
+            out_q.append(float(q))
+            if mx <= mn:
+                out_v.append(mn)
+                continue
+            rank = int(math.floor(q * (n - 1)))
+            out_v.append(
+                _resolve_rank(
+                    pruned,
+                    col,
+                    rank,
+                    [],
+                    mn,
+                    mx,
+                    0,
+                    bins,
+                    collect_limit,
+                    max_refine,
+                    hist=hists[g],
+                    group=(group_col, g),
+                )
+            )
+    return pa.table(
+        {
+            group_col: pa.array(out_g, g_type),
+            "q": pa.array(out_q, pa.float64()),
+            "v": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -171,3 +171,49 @@ def bloom_probe(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def bloom_semijoin(
+    left: "object",
+    left_col: str,
+    right: "object",
+    right_col: str,
+    num_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """EXACT semi-join (keep left rows whose key appears on the right)
+    with a Bloom pre-filter doing the heavy lifting: build over the
+    right side's keys, probe the big left side — the probe drops the
+    overwhelming majority of non-matching rows with zero shuffle — then
+    remove the ~1% false positives with one sorted-membership pass
+    against the right side's exact key set.
+
+    The exact set is collected and broadcast once (``ray.put`` of a
+    sorted int64 array), so the right side must be the SMALL side —
+    the same contract as every broadcast join in the engine; the bloom
+    is what keeps the big side's shuffle at zero. Null left keys never
+    match (SQL ``IN`` semantics for non-null right keys)."""
+    import ray as _ray
+
+    from .util import in_sorted
+
+    bits = bloom_build(right, right_col, num_bits=num_bits, k=k)
+    cand = bloom_probe(left, left_col, bits, num_bits=num_bits, k=k)
+
+    keys_parts = [
+        _valid_values(t.column(right_col))
+        for t in right.select_columns([right_col]).iter_batches(batch_format="pyarrow")
+    ]
+    keys = np.sort(np.concatenate(keys_parts)) if keys_parts else np.array([], np.int64)
+    ref = _ray.put(keys)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        s = _ray.get(ref)
+        arr = batch.column(left_col)
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        v = _valid_values(arr)
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[np.flatnonzero(valid)] = in_sorted(v, s)
+        return batch.filter(pa.array(mask))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -54,3 +54,52 @@ def test_quantiles_exclude_nulls():
     assert list(out.v) == [1.0, 3.0, 5.0]  # ranks over the 5 non-null values
     allnull = ray.data.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
     assert rank_select_quantiles(allnull, "x").num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_match_duckdb_with_refinement():
+    """Per-group rank-select equals the SQL PARTITION BY oracle, including
+    a group forced through the refinement path (tiny collect_limit) and a
+    constant-valued group."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import grouped_rank_select_quantiles
+
+    rng = np.random.default_rng(11)
+    frames = []
+    # skewed big group (forces refinement at collect_limit=50), a small
+    # uniform group, and a constant group
+    frames.append(pd.DataFrame({"g": "big", "x": rng.lognormal(0, 2, size=5000)}))
+    frames.append(pd.DataFrame({"g": "small", "x": rng.uniform(0, 1, size=40)}))
+    frames.append(pd.DataFrame({"g": "const", "x": np.full(25, 3.5)}))
+    df = pd.concat(frames, ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    out = (
+        grouped_rank_select_quantiles(
+            ds, "g", "x", (0.1, 0.5, 0.99), bins=64, collect_limit=50, max_refine=4
+        )
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH s AS (
+            SELECT g, x AS v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS c
+            FROM t
+        )
+        SELECT s.g, CAST(t.q AS DOUBLE) AS q, s.v
+        FROM (VALUES (0.1), (0.5), (0.99)) t(q)
+        JOIN s ON s.rn = CAST(FLOOR(t.q * (s.c - 1)) AS BIGINT)
+        ORDER BY g, q
+    """).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert (out[out.g == "const"].v == 3.5).all()

@@ -138,3 +138,40 @@ def test_bloom_probe_validates_sizing():
     bits = bloom_build(small, "k", num_bits=1 << 14)
     with pytest.raises(ValueError, match="num_bits"):
         bloom_probe(small, "k", bits, num_bits=1 << 20)
+
+
+def test_bloom_semijoin_exact_with_nulls(ray_session):
+    """bloom_semijoin == SQL IN semantics: exactly the left rows whose
+    non-null key exists on the right (false positives verified away,
+    null keys dropped)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import bloom_semijoin
+
+    rng = np.random.default_rng(3)
+    left_keys = rng.integers(0, 5000, size=20_000).tolist()
+    left_keys[7] = None
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(left_keys, pa.int64()),
+                "payload": pa.array(range(20_000), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    right_keys = rng.choice(5000, size=400, replace=False)
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(right_keys, pa.int64())})
+    ).repartition(3)
+
+    # small filter (high FPR) to make the exact verify do real work
+    out = bloom_semijoin(left, "k", right, "rk", num_bits=1 << 12, k=2).to_pandas()
+    rset = set(int(x) for x in right_keys)
+    expected = [
+        (k, p) for p, k in zip(range(20_000), left_keys) if k is not None and k in rset
+    ]
+    assert len(out) == len(expected)
+    got = set(zip(out["k"].astype(int), out["payload"].astype(int)))
+    assert got == set(expected)
