@@ -10,6 +10,7 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray vacuum   --table DIR
     python -m etl_framework_ray lookup   --table DIR --key K1[,K2...]
     python -m etl_framework_ray ivm      --table DIR --view DIR [--rebuild]
+    python -m etl_framework_ray assemble --table DIR --out DIR [--format parquet|jsonl]
     python -m etl_framework_ray export-changes --table DIR --out DIR [--seed-snapshot]
 
 The CLI owns the Ray session (library code never calls ray.init).
@@ -101,6 +102,15 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--table", required=True)
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
+
+    pa_ = sub.add_parser(
+        "assemble",
+        help="export the lake as an SFT corpus: one role-tagged document per "
+        "conversation (parquet or jsonl, one file per block)",
+    )
+    pa_.add_argument("--table", required=True)
+    pa_.add_argument("--out", required=True)
+    pa_.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
 
     pe = sub.add_parser(
         "export-changes", help="poll one exactly-once changefeed window into a sink dir"
@@ -214,6 +224,24 @@ def main(argv: list[str] | None = None) -> int:
         view = IncrementalRollup(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))
+    elif args.cmd == "assemble":
+        started_ray = _init_ray(args.num_cpus)
+        from .pipelines.publish import assemble_conversations
+
+        eng = _existing_engine(args.table)
+        corpus = assemble_conversations(eng.snapshot())
+        if args.format == "jsonl":
+            from .sources.jsonl import write_jsonl
+
+            n = write_jsonl(corpus, args.out)
+        else:
+            import os as _os
+
+            _os.makedirs(args.out, exist_ok=True)
+            corpus = corpus.materialize()
+            corpus.write_parquet(args.out)
+            n = corpus.count()
+        print(json.dumps({"conversations": n, "out": args.out, "format": args.format}))
     elif args.cmd == "export-changes":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.consumer import ChangefeedConsumer

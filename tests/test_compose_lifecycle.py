@@ -111,3 +111,48 @@ def test_full_lifecycle_composition(tmp_path):
     after = {(r["conv_id"], r["turn_idx"]) for r in eng2.snapshot_arrow().to_pylist()}
     assert victim not in after
     assert len(after) == len(oracle) - (1 if victim in {(k[0], k[1]) for k in oracle} else 0)
+
+
+def test_cli_assemble_exports_sft_corpus(tmp_path, ray_session):
+    """`assemble` CLI: replayed lake → one role-tagged document per
+    conversation, parquet and jsonl forms both readable and equal."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.__main__ import main as cli_main
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    log = generate_changelog(GenConfig(num_events=2000, num_conversations=40, seed=9))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    eng.replay(clog)
+
+    out_pq = str(tmp_path / "corpus_pq")
+    assert cli_main(["assemble", "--table", str(tmp_path / "tbl"), "--out", out_pq]) == 0
+    import glob as _glob
+
+    files = _glob.glob(out_pq + "/*.parquet")
+    assert files
+    t = pq.read_table(out_pq)
+    assert set(t.column_names) == {"conv_id", "n_turns", "dialogue"}
+    assert t.num_rows == 40
+
+    out_jl = str(tmp_path / "corpus_jl")
+    assert (
+        cli_main(
+            ["assemble", "--table", str(tmp_path / "tbl"), "--out", out_jl, "--format", "jsonl"]
+        )
+        == 0
+    )
+    rows = []
+    for f in sorted(_glob.glob(out_jl + "/*.json")):
+        with open(f) as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == 40
+    jd = {r["conv_id"]: r["dialogue"] for r in rows}
+    pd_ = {c: d for c, d in zip(t.column("conv_id").to_pylist(), t.column("dialogue").to_pylist())}
+    assert jd == pd_
