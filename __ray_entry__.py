@@ -707,6 +707,30 @@ def _q_assemble_conversations(sf_dir: str):
     return assemble_conversations(eng.snapshot())
 
 
+def _q_pretraining_corpus(sf_dir: str):
+    """The composed pretraining-prep flagship: curate → repetition gate →
+    decontaminate (docs with doc_id % 20 == 0 stand in as the eval suite)
+    → mixture re-weight → chunk + pack (pipelines/curation.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.pipelines.curation import prepare_pretraining_corpus
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    bt = pq.read_table(path, columns=["doc_id", "text"])
+    bench = bt.filter(pa.array(bt.column("doc_id").to_numpy() % 20 == 0)).column("text")
+    packed, _funnel = prepare_pretraining_corpus(
+        sf_dir,
+        mixture={"en": 70},
+        bench_texts=bench.to_pylist(),
+        max_tokens=64,
+        overlap=8,
+        pack_budget=256,
+        report=False,
+    )
+    return packed
+
+
 def _q_grouped_quantiles(sf_dir: str):
     import ray.data
 
@@ -837,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_embeddings": _q_cluster_embeddings,
         "events_value_quantiles": _q_grouped_quantiles,
         "bloom_semijoin_lineitem": _q_bloom_semijoin,
+        "pretraining_corpus": _q_pretraining_corpus,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal_decode,

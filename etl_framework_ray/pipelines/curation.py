@@ -158,3 +158,67 @@ def curate_documents(
         if counter is not None:
             counter.cleanup()
         raise
+
+
+def prepare_pretraining_corpus(
+    sf_dir: str,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    max_dup_3gram: float = 0.2,
+    mixture: dict | None = None,
+    bench_texts=None,
+    max_tokens: int = 256,
+    overlap: int = 32,
+    pack_budget: int = 512,
+    near_dup: str = "minhash",
+    report: bool = True,
+) -> tuple["ray.data.Dataset", dict]:
+    """The full pretraining-prep pipeline, end to end: curate
+    (langid → quality floor → exact + near dedup, :func:`curate_documents`)
+    → repetition gate (drop docs whose duplicate-3-gram fraction exceeds
+    ``max_dup_3gram`` — the Gopher-style boilerplate filter) → benchmark
+    decontamination (``bench_texts``; skipped when None) → stratified
+    mixture re-weighting (per-``lang_pred`` keep rates; skipped when None)
+    → token-window chunking → sequence packing.
+
+    Everything downstream of curation is shuffle-free batch maps over the
+    curated working set, so the composed pipeline adds no exchanges to
+    what curation already pays. Returns ``(packed chunks Dataset, funnel)``
+    — the funnel extends curation's with one row count per added stage."""
+    from ..functions.text import repetition_stats
+    from ..stages.contamination import decontaminate
+    from ..stages.packing import chunk_documents, pack_chunks, stratified_sample
+
+    ds, funnel = curate_documents(
+        sf_dir,
+        languages=languages,
+        min_quality=min_quality,
+        near_dup=near_dup,
+        report=report,
+    )
+
+    def rep_gate(batch: pa.Table) -> pa.Table:
+        stats = repetition_stats(batch, text_col="text", id_col="doc_id")
+        keep = stats.column("dup_3gram_frac").to_numpy() <= max_dup_3gram
+        return batch.filter(pa.array(keep))
+
+    ds = ds.map_batches(rep_gate, batch_format="pyarrow")
+    if report:
+        funnel["after_repetition_gate"] = (ds := ds.materialize()).count()
+
+    if bench_texts is not None:
+        ds = decontaminate(ds, bench_texts)
+        if report:
+            funnel["after_decontaminate"] = (ds := ds.materialize()).count()
+
+    if mixture is not None:
+        ds = stratified_sample(ds, mixture, group_col="lang_pred", key_col="doc_id")
+        if report:
+            funnel["after_mixture"] = (ds := ds.materialize()).count()
+
+    chunks = chunk_documents(ds, max_tokens=max_tokens, overlap=overlap)
+    packed = pack_chunks(chunks, budget=pack_budget)
+    if report:
+        packed = packed.materialize()
+        funnel["chunks_packed"] = packed.count()
+    return packed, funnel

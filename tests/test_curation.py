@@ -86,3 +86,60 @@ def test_curate_near_dup_variants(tmp_path):
 
     with pytest.raises(ValueError, match="near_dup"):
         curate_documents(str(d), near_dup="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prepare_pretraining_corpus_end_to_end(tmp_path):
+    """The composed prep pipeline: every stage visibly acts (planted
+    repetitive doc gated, contaminated doc dropped, mixture rate applied),
+    funnel monotonic, packed output respects the token budget."""
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.pipelines.curation import prepare_pretraining_corpus
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    stops = ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"]
+
+    def doc(words: int = 90) -> str:
+        # interleave stopwords INTO the random body so no 8-token shingle
+        # is shared across documents (a common suffix would legitimately
+        # contaminate the whole corpus)
+        body = list(rng.choice(vocab, words))
+        for s in rng.permutation(stops):
+            body.insert(int(rng.integers(0, len(body))), s)
+        return " ".join(body)
+
+    texts = [doc() for _ in range(30)]
+    texts.append(" ".join(["spam ham eggs"] * 40) + " " + " ".join(stops))  # 30: repetitive
+    contaminated = doc()
+    texts.append(contaminated)                                   # 31: bench hit
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    packed, funnel = prepare_pretraining_corpus(
+        str(d),
+        min_quality=0.0,
+        max_dup_3gram=0.2,
+        mixture={"en": 100},  # explicit stage, no-op rate
+        bench_texts=[contaminated],
+        max_tokens=40,
+        overlap=8,
+        pack_budget=80,
+    )
+    rows = packed.take_all()
+    kept_docs = {r["doc_id"] for r in rows}
+    assert 30 not in kept_docs  # repetition gate
+    assert 31 not in kept_docs  # decontamination
+    assert funnel["after_near_dedup"] >= funnel["after_repetition_gate"]
+    assert funnel["after_repetition_gate"] >= funnel["after_decontaminate"]
+    assert funnel["after_decontaminate"] >= funnel["after_mixture"]
+    assert funnel["chunks_packed"] == len(rows) > 0
+    # pack budget respected (every chunk is <= max_tokens=40 < budget,
+    # so no singleton-oversize exception can apply)
+    sums: dict = {}
+    for r in rows:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 80 for v in sums.values())
