@@ -227,6 +227,40 @@ def _cdc_rollup_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _cdc_corpus_incremental(sf_dir: str):
+    """Incrementally-maintained SFT corpus (IVM over the changefeed):
+    replay HALF the log, bootstrap the corpus view, replay the rest,
+    advance — only touched conversations re-assemble. Must equal the
+    full-assembly oracle byte-for-byte (same string_agg SQL as
+    assemble_conversations)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalCorpus
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    src = _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivmc_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    for f in segs[:half]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalCorpus(eng, os.path.join(work, "corpus"))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()  # bootstrap at the half-log state
+    for f in segs[half:]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
+    view.advance()  # incremental window: touched conversations only
+    return view.read()
+
+
 def _assemble_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     return f"""
@@ -815,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollup": _cdc_rollup,
         "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
+        "cdc_corpus_incremental": _cdc_corpus_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
         "clean_parts": m.clean_parts,
@@ -908,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "assemble_conversations": _assemble_oracle_sql(sf),
+        "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "repetition_stats": """
             WITH w AS (
                 SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws

@@ -97,11 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--key", required=True, help="comma-separated leading-PK values")
 
     pi = sub.add_parser(
-        "ivm", help="advance (or rebuild) the incremental conversation-rollup view"
+        "ivm", help="advance (or rebuild) an incremental view: rollup aggregate or SFT corpus"
     )
     pi.add_argument("--table", required=True)
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
+    pi.add_argument("--kind", choices=("rollup", "corpus"), default="rollup")
 
     pa_ = sub.add_parser(
         "assemble",
@@ -218,10 +219,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": t.num_rows, "result": t.to_pylist()}, default=str))
     elif args.cmd == "ivm":
         started_ray = _init_ray(args.num_cpus)
-        from .pipelines.incremental import IncrementalRollup
+        from .pipelines.incremental import IncrementalCorpus, IncrementalRollup
 
         eng = _existing_engine(args.table)
-        view = IncrementalRollup(eng, args.view)
+        cls = IncrementalCorpus if args.kind == "corpus" else IncrementalRollup
+        view = cls(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))
     elif args.cmd == "assemble":

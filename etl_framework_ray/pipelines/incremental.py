@@ -137,17 +137,86 @@ def _combine_partials(partials: list[pd.DataFrame]) -> pa.Table:
     )
 
 
+class RollupKernel:
+    """View kernel for the per-conversation rollup aggregate (the default;
+    column-for-column the cdc_rollup oracle SQL). Kernels are stateless,
+    picklable strategy objects: ``partial`` runs per merged chunk inside
+    the partition task, ``combine`` folds a partition's partials into the
+    view rows."""
+
+    schema = VIEW_SCHEMA
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        return _rollup_partial(live)
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        return _combine_partials(partials)
+
+
+class CorpusKernel:
+    """View kernel that maintains the assembled SFT corpus: one
+    role-tagged dialogue document per conversation, identical to
+    ``publish.assemble_conversations`` (``role: text`` lines joined by
+    newlines in ``turn_idx`` order — the same ``string_agg ORDER BY
+    turn_idx`` oracle).
+
+    Unlike the rollup (whose partials are O(conversations)), assembly
+    partials carry every TURN's rendered line until the final join, so a
+    partition task holds O(partition turns) — the same order as the view
+    file it is about to write, which is the floor for any materialized
+    dialogue view. Turn order is restored explicitly in ``combine`` (one
+    sort over the partition's rows), so chunk arrival order never
+    matters."""
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("dialogue", pa.string()),
+        ]
+    )
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        role = live.column("role").to_pandas().fillna("")
+        text = live.column("text").to_pandas().fillna("")
+        return pd.DataFrame(
+            {
+                "conv_id": live.column("conv_id").to_pandas(),
+                "turn_idx": live.column("turn_idx").to_pandas(),
+                "line": role + ": " + text,
+            }
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        df = pd.concat(partials).sort_values(["conv_id", "turn_idx"], kind="stable")
+        keys = df["conv_id"]
+        dialogue = df["line"].groupby(keys, sort=True).agg("\n".join)
+        n_turns = keys.groupby(keys, sort=True).size()
+        return pa.table(
+            {
+                "conv_id": pa.array(dialogue.index.to_numpy(dtype=object), pa.string()),
+                "n_turns": pa.array(n_turns.to_numpy(dtype=np.int64), pa.int64()),
+                "dialogue": pa.array(dialogue.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+
 class IncrementalRollup:
-    """Incrementally-maintained ``conversation_rollup`` view of a
-    ``CDCEngine`` table. One instance per view directory; all durable
-    state lives in the directory (versioned manifest + partition files),
-    so it is safe to re-create after a crash. Single-writer: concurrent
+    """Incrementally-maintained view of a ``CDCEngine`` table — by default
+    the ``conversation_rollup`` aggregate; pass ``kernel=CorpusKernel()``
+    (or use :class:`IncrementalCorpus`) to maintain the assembled SFT
+    corpus instead. One instance per view directory; all durable state
+    lives in the directory (versioned manifest + partition files), so it
+    is safe to re-create after a crash. Single-writer: concurrent
     ``advance()`` calls on the same view directory are not supported
     (matching the engine's own single-committer contract)."""
 
-    def __init__(self, engine, view_dir: str):
+    def __init__(self, engine, view_dir: str, kernel=None):
         self.engine = engine
         self.view_dir = view_dir
+        self.kernel = kernel if kernel is not None else RollupKernel()
         os.makedirs(view_dir, exist_ok=True)
 
     # -- durable state -------------------------------------------------
@@ -182,7 +251,7 @@ class IncrementalRollup:
         state = self._load_state()
         files = sorted(state["files"].values()) if state else []
         if not files:
-            return ray.data.from_arrow(VIEW_SCHEMA.empty_table())
+            return ray.data.from_arrow(self.kernel.schema.empty_table())
         return ray.data.read_parquet(files)
 
     def read_arrow(self) -> pa.Table:
@@ -190,7 +259,7 @@ class IncrementalRollup:
         state = self._load_state()
         files = sorted(state["files"].values()) if state else []
         if not files:
-            return VIEW_SCHEMA.empty_table()
+            return self.kernel.schema.empty_table()
         t = pa.concat_tables([pq.read_table(f) for f in files])
         return t.sort_by("conv_id")
 
@@ -292,6 +361,7 @@ class IncrementalRollup:
         lake_sch = man.schema
         key_cols = eng.key_cols
         view_dir = self.view_dir
+        kernel = self.kernel  # stateless; pickled into the partition tasks
         items = []
         for pid in touched_pids:
             files = list(man.partitions[pid].files) if pid in man.partitions else []
@@ -339,12 +409,12 @@ class IncrementalRollup:
                         for chunk in iter_merged_partition(files, lake_sch, key_cols):
                             sel = select(chunk)
                             if sel.num_rows:
-                                partials.append(_rollup_partial(sel))
+                                partials.append(kernel.partial(sel))
                     else:
                         sel = select(merge_partition_files(files, lake_sch, key_cols))
                         if sel.num_rows:
-                            partials.append(_rollup_partial(sel))
-                fresh = _combine_partials(partials)
+                            partials.append(kernel.partial(sel))
+                fresh = kernel.combine(partials)
 
                 pieces = [fresh]
                 if touched_local is not None and row["old_file"]:
@@ -383,3 +453,15 @@ class IncrementalRollup:
             "touched_partitions": len(touched_pids),
             "rows_written": rows_written,
         }
+
+
+class IncrementalCorpus(IncrementalRollup):
+    """Incrementally-maintained assembled SFT corpus (one role-tagged
+    dialogue document per conversation) over the CDC changefeed — the
+    ``assemble_conversations`` output kept continuously fresh at
+    O(changed conversations) per ``advance()`` instead of a full
+    re-assembly. Same durable-state, rebuild, and retention-floor
+    contracts as :class:`IncrementalRollup`."""
+
+    def __init__(self, engine, view_dir: str):
+        super().__init__(engine, view_dir, kernel=CorpusKernel())

@@ -192,3 +192,53 @@ def test_salted_hot_conversation(tmp_path):
     s = view.advance()
     assert s["touched_convs"] == 1
     _assert_view_equals(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_corpus_equals_full_assembly(tmp_path):
+    """The corpus view (IncrementalCorpus) after bootstrap + one
+    incremental advance equals a from-scratch assemble_conversations of
+    the committed state — updates, deletes and turn ordering included."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from etl_framework_ray.pipelines.incremental import IncrementalCorpus
+
+    log = generate_changelog(
+        GenConfig(num_events=6000, num_conversations=80, seed=17, out_of_order=True)
+    )
+    t = log
+    half = t.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(t.slice(0, half), segment_rows=1500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog)
+
+    view = IncrementalCorpus(eng, str(tmp_path / "corpus"))
+    s1 = view.advance()  # bootstrap (full)
+    assert s1["touched_convs"] == -1
+
+    clog.write_segments(t.slice(half), segment_rows=1500)
+    eng.replay(clog)
+    s2 = view.advance()  # incremental window
+    assert 0 < s2["touched_convs"]
+
+    def expected(eng) -> pd.DataFrame:
+        snap = eng.snapshot_arrow().to_pandas()
+        snap = snap.sort_values(["conv_id", "turn_idx"], kind="stable")
+        line = snap["role"].fillna("") + ": " + snap["text"].fillna("")
+        dialogue = line.groupby(snap["conv_id"], sort=True).agg("\n".join)
+        n_turns = snap.groupby("conv_id", sort=True).size()
+        return pd.DataFrame(
+            {
+                "conv_id": dialogue.index,
+                "n_turns": n_turns.to_numpy().astype("int64"),
+                "dialogue": dialogue.to_numpy(),
+            }
+        ).reset_index(drop=True)
+
+    got = view.read_arrow().to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected(eng))
+
+    # idempotent: advancing with no new commits touches nothing
+    s3 = view.advance()
+    assert s3["touched_convs"] == 0 and s3["rows_written"] == 0
