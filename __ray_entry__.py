@@ -281,6 +281,27 @@ def _assemble_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _windows_oracle_sql(sf_name: str, k: int = 4) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id, turn_idx,
+               string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                          chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS context
+        FROM snap
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -829,6 +850,23 @@ def _q_bloom_semijoin(sf_dir: str):
     return agg.map_batches(snap, batch_format="pyarrow")
 
 
+def _q_conversation_windows(sf_dir: str):
+    """Rolling 4-turn dialogue contexts over the replayed transcript lake
+    (publish.conversation_windows; oracle is the windowed string_agg)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.publish import conversation_windows
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_ctx_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    return conversation_windows(eng.snapshot(), k=4)
+
+
 def _q_cluster_embeddings(sf_dir: str):
     import ray.data
 
@@ -893,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "stratified_sample_docs": _q_stratified_sample,
         "assemble_conversations": _q_assemble_conversations,
+        "conversation_windows": _q_conversation_windows,
         "cluster_embeddings": _q_cluster_embeddings,
         "events_value_quantiles": _q_grouped_quantiles,
         "bloom_semijoin_lineitem": _q_bloom_semijoin,
@@ -944,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
+        "conversation_windows": _windows_oracle_sql(sf),
         "repetition_stats": """
             WITH w AS (
                 SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws

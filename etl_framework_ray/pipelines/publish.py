@@ -212,3 +212,61 @@ def assemble_conversations(
         .groupby("_cb")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def conversation_windows(
+    ds: "ray.data.Dataset", k: int = 4, shuffle_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Rolling dialogue-context construction: for EVERY turn, the
+    ``role: text`` lines of the last ``k`` turns (older first, newline
+    joined) — the chat-training-example shape "response with its recent
+    history". One row per turn: ``conv_id, turn_idx, context``.
+
+    Same coarse-bucket exchange as :func:`assemble_conversations`; inside
+    the bucket kernel the rolling join is ``k-1`` vectorized
+    ``GroupBy.shift`` passes (prepend the i-turns-back line where it
+    exists), never a per-row loop. SQL-oracle-expressible as
+    ``string_agg(...) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW)``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..functions.hashing import stable_hash_array
+
+    def route(batch: pa.Table) -> pa.Table:
+        cb = (
+            stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "conv_id": batch.column("conv_id").cast(pa.string()),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role").cast(pa.string()),
+                "text": batch.column("text").cast(pa.string()),
+            }
+        )
+        return out.append_column("_cb", pa.array(cb))
+
+    def window(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        line = g["role"].fillna("") + ": " + g["text"].fillna("")
+        ctx = line.copy()
+        grouped = line.groupby(g["conv_id"], sort=False)
+        for i in range(1, k):
+            back = grouped.shift(i)
+            has = back.notna()
+            ctx = ctx.where(~has, back.fillna("") + "\n" + ctx)
+        return pa.table(
+            {
+                "conv_id": pa.Array.from_pandas(g["conv_id"], type=pa.string()),
+                "turn_idx": pa.Array.from_pandas(
+                    g["turn_idx"], type=pa.int32() if g["turn_idx"].dtype == "int32" else pa.int64()
+                ),
+                "context": pa.Array.from_pandas(ctx, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(window, batch_format="pandas")
+    )

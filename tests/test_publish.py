@@ -110,3 +110,34 @@ def test_assemble_conversations_round_trip(engine):
     for conv, lines in expected.items():
         assert got[conv] == "\n".join(lines), conv
         assert turns[conv] == len(lines)
+
+
+def test_conversation_windows_rolling_context(engine):
+    """Each turn's context is exactly the last-k 'role: text' lines of
+    its conversation in turn order (k-row window, not k turn-index
+    values — gaps from deletes still count rows)."""
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.publish import conversation_windows
+
+    eng, log, tmp = engine
+    k = 3
+    out = pa.concat_tables(
+        conversation_windows(eng.snapshot(), k=k, shuffle_buckets=8).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).to_pandas()
+
+    state = oracle_replay(log)
+    lines: dict = {}
+    for (conv, turn) in sorted(state):
+        row = state[(conv, turn)]
+        lines.setdefault(conv, []).append((turn, f"{row['role'] or ''}: {row['text'] or ''}"))
+    expected = {}
+    for conv, ls in lines.items():
+        for i, (turn, _line) in enumerate(ls):
+            ctx = "\n".join(l for _t, l in ls[max(0, i - k + 1) : i + 1])
+            expected[(conv, turn)] = ctx
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        assert expected[(r["conv_id"], r["turn_idx"])] == r["context"]
