@@ -281,6 +281,25 @@ def _assemble_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _tool_usage_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, tool
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT tool,
+               CAST(COUNT(*) AS BIGINT) AS n_calls,
+               CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM snap WHERE tool IS NOT NULL GROUP BY tool
+    """
+
+
 def _windows_oracle_sql(sf_name: str, k: int = 4) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     return f"""
@@ -850,6 +869,23 @@ def _q_bloom_semijoin(sf_dir: str):
     return agg.map_batches(snap, batch_format="pyarrow")
 
 
+def _q_tool_usage(sf_dir: str):
+    """Agent-telemetry rollup of the transcript lake's tool column
+    (publish.tool_usage; pre-aggregated (tool, conv) grain)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.publish import tool_usage
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_tool_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    return tool_usage(eng.snapshot())
+
+
 def _q_conversation_windows(sf_dir: str):
     """Rolling 4-turn dialogue contexts over the replayed transcript lake
     (publish.conversation_windows; oracle is the windowed string_agg)."""
@@ -932,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "assemble_conversations": _q_assemble_conversations,
         "conversation_windows": _q_conversation_windows,
+        "tool_usage": _q_tool_usage,
         "cluster_embeddings": _q_cluster_embeddings,
         "events_value_quantiles": _q_grouped_quantiles,
         "bloom_semijoin_lineitem": _q_bloom_semijoin,
@@ -984,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
+        "tool_usage": _tool_usage_oracle_sql(sf),
         "repetition_stats": """
             WITH w AS (
                 SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws

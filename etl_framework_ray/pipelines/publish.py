@@ -270,3 +270,56 @@ def conversation_windows(
         .groupby("_cb")
         .map_groups(window, batch_format="pandas")
     )
+
+
+def tool_usage(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-tool usage analytics over the transcript lake: total tool
+    calls and distinct conversations using each tool (agent-telemetry
+    rollup of the ``tool`` column; null = no tool call on that turn).
+
+    Two pre-aggregated exchanges of tiny data: per-batch (tool, conv)
+    call counts shuffle O(tools × convs-per-block) partials, the
+    (tool, conv) grain collapses distinct-conversation counting into a
+    row count — no distinct-shuffle of raw turns anywhere."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "tool": batch.column("tool").to_pandas(),
+                "conv_id": batch.column("conv_id").to_pandas(),
+            }
+        )
+        df = df[df["tool"].notna()]
+        g = df.groupby(["tool", "conv_id"], sort=False).size().rename("calls").reset_index()
+        return pa.table(
+            {
+                "tool": pa.Array.from_pandas(g["tool"], type=pa.string()),
+                "conv_id": pa.Array.from_pandas(g["conv_id"], type=pa.string()),
+                "calls": pa.Array.from_pandas(g["calls"], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .aggregate(Sum("calls", alias_name="calls"))
+    )
+
+    def tool_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "tool": batch.column("tool").to_pandas(),
+                "calls": batch.column("calls").to_pandas(),
+            }
+        )
+        g = df.groupby("tool", sort=False).agg(
+            n_calls=("calls", "sum"), n_convs=("calls", "size")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    return (
+        pairs.map_batches(tool_partial, batch_format="pyarrow")
+        .groupby("tool")
+        .aggregate(Sum("n_calls", alias_name="n_calls"), Sum("n_convs", alias_name="n_convs"))
+    )

@@ -141,3 +141,30 @@ def test_conversation_windows_rolling_context(engine):
     assert len(out) == len(expected)
     for _, r in out.iterrows():
         assert expected[(r["conv_id"], r["turn_idx"])] == r["context"]
+
+
+def test_tool_usage_matches_oracle(engine):
+    """Per-tool calls and distinct conversations equal the generator
+    oracle's reconstruction (null tool = no call, excluded)."""
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.publish import tool_usage
+
+    eng, log, tmp = engine
+    out = (
+        pa.concat_tables(tool_usage(eng.snapshot()).iter_batches(batch_format="pyarrow"))
+        .to_pandas()
+        .set_index("tool")
+        .sort_index()
+    )
+    state = oracle_replay(log)
+    calls: dict = {}
+    convs: dict = {}
+    for (conv, _turn), row in state.items():
+        if row["tool"] is not None:
+            calls[row["tool"]] = calls.get(row["tool"], 0) + 1
+            convs.setdefault(row["tool"], set()).add(conv)
+    assert set(out.index) == set(calls)
+    for tool in calls:
+        assert out.loc[tool, "n_calls"] == calls[tool]
+        assert out.loc[tool, "n_convs"] == len(convs[tool])
