@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     pa_.add_argument("--table", required=True)
     pa_.add_argument("--out", required=True)
     pa_.add_argument("--format", choices=("parquet", "jsonl"), default="parquet")
+    pa_.add_argument(
+        "--overwrite", action="store_true",
+        help="clear an existing non-empty --out first (part filenames are "
+        "unique per run, so re-running WITHOUT this would accumulate stale "
+        "files from the previous export)",
+    )
 
     pe = sub.add_parser(
         "export-changes", help="poll one exactly-once changefeed window into a sink dir"
@@ -228,17 +234,31 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
     elif args.cmd == "assemble":
         started_ray = _init_ray(args.num_cpus)
+        import os as _os
+        import shutil as _shutil
+
         from .pipelines.publish import assemble_conversations
 
         eng = _existing_engine(args.table)
+        if _os.path.isdir(args.out) and _os.listdir(args.out):
+            if not args.overwrite:
+                # part filenames are unique per run — writing into a
+                # non-empty dir would accumulate the previous export's
+                # files and readers would see duplicated conversations
+                print(
+                    json.dumps(
+                        {"error": f"--out {args.out!r} is not empty; pass --overwrite"}
+                    ),
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            _shutil.rmtree(args.out)
         corpus = assemble_conversations(eng.snapshot())
         if args.format == "jsonl":
             from .sources.jsonl import write_jsonl
 
             n = write_jsonl(corpus, args.out)
         else:
-            import os as _os
-
             _os.makedirs(args.out, exist_ok=True)
             corpus = corpus.materialize()
             corpus.write_parquet(args.out)

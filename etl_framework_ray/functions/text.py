@@ -296,10 +296,17 @@ def repetition_stats(
         dup_3 = np.zeros(n, dtype=np.int64)
         n3 = np.zeros(n, dtype=np.int64)
 
-    # lens >= 1 always: splitting "" yields [""]
-    dup_word_frac = np.round(snap * dup_w / lens).astype(np.int64) / snap
+    # lens >= 1 always: splitting "" yields [""]. Snap with floor(x+0.5),
+    # NOT np.round: numpy rounds half-to-even while DuckDB ROUND rounds
+    # half away from zero, and exact .5 ties are reachable (1e6*dup/n hits
+    # .5 whenever n divides 2e6 with an odd quotient multiple, e.g. one
+    # dup in 640 words). Values are non-negative, so floor(x+0.5) IS
+    # half-away-from-zero here — byte parity with the SQL oracle.
+    dup_word_frac = np.floor(snap * dup_w / lens + 0.5).astype(np.int64) / snap
     dup_3gram_frac = np.where(
-        n3 == 0, 0.0, np.round(snap * dup_3 / np.maximum(n3, 1)).astype(np.int64) / snap
+        n3 == 0,
+        0.0,
+        np.floor(snap * dup_3 / np.maximum(n3, 1) + 0.5).astype(np.int64) / snap,
     )
     return pa.table(
         {

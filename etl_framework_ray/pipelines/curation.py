@@ -166,6 +166,7 @@ def prepare_pretraining_corpus(
     min_quality: float = 0.3,
     max_dup_3gram: float = 0.2,
     mixture: dict | None = None,
+    mixture_default_pct: int = 100,
     bench_texts=None,
     max_tokens: int = 256,
     overlap: int = 32,
@@ -178,7 +179,9 @@ def prepare_pretraining_corpus(
     → repetition gate (drop docs whose duplicate-3-gram fraction exceeds
     ``max_dup_3gram`` — the Gopher-style boilerplate filter) → benchmark
     decontamination (``bench_texts``; skipped when None) → stratified
-    mixture re-weighting (per-``lang_pred`` keep rates; skipped when None)
+    mixture re-weighting (per-``lang_pred`` keep rates; strata missing
+    from ``mixture`` keep ``mixture_default_pct`` — default 100 = keep
+    all; skipped when ``mixture`` is None)
     → token-window chunking → sequence packing.
 
     Everything downstream of curation is shuffle-free batch maps over the
@@ -212,7 +215,18 @@ def prepare_pretraining_corpus(
             funnel["after_decontaminate"] = (ds := ds.materialize()).count()
 
     if mixture is not None:
-        ds = stratified_sample(ds, mixture, group_col="lang_pred", key_col="doc_id")
+        # default 100 (keep), NOT stratified_sample's 0: a language that
+        # passed the `languages` filter but is missing from `mixture`
+        # should survive by default — silently deleting a whole curated
+        # stratum (after paying its full curation cost) is never the
+        # intent of an omitted rate
+        ds = stratified_sample(
+            ds,
+            mixture,
+            group_col="lang_pred",
+            key_col="doc_id",
+            default_pct=mixture_default_pct,
+        )
         if report:
             funnel["after_mixture"] = (ds := ds.materialize()).count()
 

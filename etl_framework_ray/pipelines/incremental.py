@@ -177,30 +177,24 @@ class CorpusKernel:
     )
 
     def partial(self, live: pa.Table) -> pd.DataFrame:
-        role = live.column("role").to_pandas().fillna("")
-        text = live.column("text").to_pandas().fillna("")
+        from .publish import render_turn_lines
+
         return pd.DataFrame(
             {
                 "conv_id": live.column("conv_id").to_pandas(),
                 "turn_idx": live.column("turn_idx").to_pandas(),
-                "line": role + ": " + text,
+                "line": render_turn_lines(
+                    live.column("role").to_pandas(), live.column("text").to_pandas()
+                ),
             }
         )
 
     def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        from .publish import join_dialogues
+
         if not partials:
             return self.schema.empty_table()
-        df = pd.concat(partials).sort_values(["conv_id", "turn_idx"], kind="stable")
-        keys = df["conv_id"]
-        dialogue = df["line"].groupby(keys, sort=True).agg("\n".join)
-        n_turns = keys.groupby(keys, sort=True).size()
-        return pa.table(
-            {
-                "conv_id": pa.array(dialogue.index.to_numpy(dtype=object), pa.string()),
-                "n_turns": pa.array(n_turns.to_numpy(dtype=np.int64), pa.int64()),
-                "dialogue": pa.array(dialogue.to_numpy(dtype=object), pa.string()),
-            }
-        )
+        return join_dialogues(pd.concat(partials))
 
 
 class IncrementalRollup:

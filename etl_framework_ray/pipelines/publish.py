@@ -161,6 +161,54 @@ def pk_violations(ds: "ray.data.Dataset", key_cols: tuple[str, ...]) -> int:
     return dup.count()
 
 
+def _route_turns(batch: pa.Table, shuffle_buckets: int) -> pa.Table:
+    """Shared coarse-bucket routing stage for the turn-level publish
+    operators: project to (conv_id, turn_idx, role, text) as plain utf8
+    and append ``_cb = hash(conv_id) % shuffle_buckets``. ONE copy of
+    this projection exists so assemble / windows / the IVM corpus kernel
+    can never drift apart formats the shared string_agg oracle checks."""
+    from ..functions.hashing import stable_hash_array
+
+    cb = (stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)).astype(
+        np.int64
+    )
+    out = pa.table(
+        {
+            "conv_id": batch.column("conv_id").cast(pa.string()),
+            "turn_idx": batch.column("turn_idx"),
+            "role": batch.column("role").cast(pa.string()),
+            "text": batch.column("text").cast(pa.string()),
+        }
+    )
+    return out.append_column("_cb", pa.array(cb))
+
+
+def render_turn_lines(role: pd.Series, text: pd.Series) -> pd.Series:
+    """THE ``role: text`` line format — the single definition the
+    string_agg oracles (assemble / windows / incremental corpus) assert
+    against; change it here and the SQL changes with it or three
+    surfaces fail together, loudly."""
+    return role.fillna("") + ": " + text.fillna("")
+
+
+def join_dialogues(turns: pd.DataFrame) -> pa.Table:
+    """Fold ordered turn rows (``conv_id, turn_idx, line``) into one
+    dialogue document per conversation (``conv_id, n_turns, dialogue``) —
+    the combine half of conversation assembly, shared with the IVM
+    corpus kernel."""
+    g = turns.sort_values(["conv_id", "turn_idx"], kind="stable")
+    keys = g["conv_id"]
+    dialogue = g["line"].groupby(keys, sort=True).agg("\n".join)
+    n_turns = keys.groupby(keys, sort=True).size()
+    return pa.table(
+        {
+            "conv_id": pa.array(dialogue.index.to_numpy(dtype=object), pa.string()),
+            "n_turns": pa.array(n_turns.to_numpy(dtype=np.int64), pa.int64()),
+            "dialogue": pa.array(dialogue.to_numpy(dtype=object), pa.string()),
+        }
+    )
+
+
 def assemble_conversations(
     ds: "ray.data.Dataset", shuffle_buckets: int = 64
 ) -> "ray.data.Dataset":
@@ -177,38 +225,19 @@ def assemble_conversations(
     pandas sort + groupby-agg; per-turn work is vectorized string concat.
     Output: ``conv_id, n_turns, dialogue`` — SQL-oracle-expressible as
     ``string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)``."""
-    from ..functions.hashing import stable_hash_array
-
-    def route(batch: pa.Table) -> pa.Table:
-        cb = (
-            stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)
-        ).astype(np.int64)
-        out = pa.table(
-            {
-                "conv_id": batch.column("conv_id").cast(pa.string()),
-                "turn_idx": batch.column("turn_idx"),
-                "role": batch.column("role").cast(pa.string()),
-                "text": batch.column("text").cast(pa.string()),
-            }
-        )
-        return out.append_column("_cb", pa.array(cb))
 
     def assemble(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
-        lines = g["role"].fillna("") + ": " + g["text"].fillna("")
-        keys = g["conv_id"]
-        dialogue = lines.groupby(keys, sort=True).agg("\n".join)
-        n_turns = keys.groupby(keys, sort=True).size()
-        return pa.table(
+        turns = pd.DataFrame(
             {
-                "conv_id": pa.array(dialogue.index.to_numpy(dtype=object), pa.string()),
-                "n_turns": pa.array(n_turns.to_numpy(dtype=np.int64), pa.int64()),
-                "dialogue": pa.array(dialogue.to_numpy(dtype=object), pa.string()),
+                "conv_id": group["conv_id"],
+                "turn_idx": group["turn_idx"],
+                "line": render_turn_lines(group["role"], group["text"]),
             }
         )
+        return join_dialogues(turns)
 
     return (
-        ds.map_batches(route, batch_format="pyarrow")
+        ds.map_batches(lambda b: _route_turns(b, shuffle_buckets), batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(assemble, batch_format="pandas")
     )
@@ -230,25 +259,13 @@ def conversation_windows(
     BETWEEN k-1 PRECEDING AND CURRENT ROW)``."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    from ..functions.hashing import stable_hash_array
-
-    def route(batch: pa.Table) -> pa.Table:
-        cb = (
-            stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)
-        ).astype(np.int64)
-        out = pa.table(
-            {
-                "conv_id": batch.column("conv_id").cast(pa.string()),
-                "turn_idx": batch.column("turn_idx"),
-                "role": batch.column("role").cast(pa.string()),
-                "text": batch.column("text").cast(pa.string()),
-            }
-        )
-        return out.append_column("_cb", pa.array(cb))
+    # preserve the lake's turn_idx type exactly (schema evolution can make
+    # it any integral type; a pandas dtype ladder would silently widen)
+    turn_t = ds.schema().base_schema.field("turn_idx").type
 
     def window(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
-        line = g["role"].fillna("") + ": " + g["text"].fillna("")
+        line = render_turn_lines(g["role"], g["text"])
         ctx = line.copy()
         grouped = line.groupby(g["conv_id"], sort=False)
         for i in range(1, k):
@@ -258,15 +275,13 @@ def conversation_windows(
         return pa.table(
             {
                 "conv_id": pa.Array.from_pandas(g["conv_id"], type=pa.string()),
-                "turn_idx": pa.Array.from_pandas(
-                    g["turn_idx"], type=pa.int32() if g["turn_idx"].dtype == "int32" else pa.int64()
-                ),
+                "turn_idx": pa.Array.from_pandas(g["turn_idx"], type=turn_t),
                 "context": pa.Array.from_pandas(ctx, type=pa.string()),
             }
         )
 
     return (
-        ds.map_batches(route, batch_format="pyarrow")
+        ds.map_batches(lambda b: _route_turns(b, shuffle_buckets), batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(window, batch_format="pandas")
     )

@@ -260,29 +260,97 @@ def grouped_rank_select_quantiles(
         h = np.asarray(r["h"], dtype=np.int64)
         hists[r["g"]] = hists.get(r["g"], 0) + h
 
-    out_g, out_q, out_v = [], [], []
+    # Locate every (group, q)'s level-0 winning bucket from the merged
+    # histograms, then fetch ALL terminal buckets in ONE batched collect
+    # pass — per-(g,q) collect passes would scan the dataset ~G×len(qs)
+    # times for values the histograms already pinpoint. Only buckets over
+    # collect_limit fall back to the per-pair refinement recursion.
+    tasks = []  # (g, q, rank, bucket, below, refine)
+    wanted: dict = {}  # g -> set of terminal level-0 buckets
     for g in sorted(ranges):
         mn, mx, n = ranges[g]
         for q in qs:
-            out_g.append(g)
-            out_q.append(float(q))
             if mx <= mn:
-                out_v.append(mn)
+                tasks.append((g, float(q), 0, -1, 0, False))
                 continue
             rank = int(math.floor(q * (n - 1)))
+            cum = np.cumsum(hists[g])
+            b = int(np.searchsorted(cum, rank + 1))
+            below = int(cum[b - 1]) if b else 0
+            refine = hists[g][b] > collect_limit and max_refine > 0
+            tasks.append((g, float(q), rank, b, below, refine))
+            if not refine:
+                wanted.setdefault(g, set()).add(b)
+
+    bucket_vals: dict = {}
+    if wanted:
+        want_ref = ray.put({g: np.array(sorted(bs), np.int64) for g, bs in wanted.items()})
+
+        def collect_part(batch: pa.Table) -> pa.Table:
+            want = ray.get(want_ref)
+            sp = ray.get(ref)
+            gv = batch.column(group_col).to_pandas()
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            out_g, out_b, out_v = [], [], []
+            for g, pos in gv.groupby(gv, sort=False).indices.items():
+                if g not in want:
+                    continue
+                lo, width = sp[g]
+                idx = np.clip(((v[pos] - lo) / width).astype(np.int64), 0, bins - 1)
+                m = np.isin(idx, want[g])
+                out_g.extend([g] * int(m.sum()))
+                out_b.append(idx[m])
+                out_v.append(v[pos][m])
+            return pa.table(
+                {
+                    "g": pa.array(out_g, g_type),
+                    "b": pa.array(
+                        np.concatenate(out_b) if out_b else np.array([], np.int64), pa.int64()
+                    ),
+                    "v": pa.array(
+                        np.concatenate(out_v) if out_v else np.array([], np.float64),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        import pandas as pd
+
+        frames = [
+            t.to_pandas()
+            for t in pruned.map_batches(collect_part, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        collected = pd.concat(frames) if frames else pd.DataFrame(columns=["g", "b", "v"])
+        bucket_vals = {
+            (g, int(b)): np.sort(grp.to_numpy(np.float64))
+            for (g, b), grp in collected.groupby(["g", "b"], sort=False)["v"]
+        }
+
+    out_g, out_q, out_v = [], [], []
+    for g, q, rank, b, below, refine in tasks:
+        out_g.append(g)
+        out_q.append(q)
+        mn, mx, _n = ranges[g]
+        if b < 0:
+            out_v.append(mn)
+        elif not refine:
+            out_v.append(float(bucket_vals[(g, b)][rank - below]))
+        else:
+            lo, width = spread[g]
             out_v.append(
                 _resolve_rank(
                     pruned,
                     col,
                     rank,
-                    [],
-                    mn,
-                    mx,
-                    0,
+                    [(lo, width, bins, b)],
+                    lo + b * width,
+                    lo + (b + 1) * width,
+                    below,
                     bins,
                     collect_limit,
-                    max_refine,
-                    hist=hists[g],
+                    max_refine - 1,
                     group=(group_col, g),
                 )
             )

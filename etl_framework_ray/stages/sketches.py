@@ -192,19 +192,27 @@ def bloom_semijoin(
     sorted int64 array), so the right side must be the SMALL side —
     the same contract as every broadcast join in the engine; the bloom
     is what keeps the big side's shuffle at zero. Null left keys never
-    match (SQL ``IN`` semantics for non-null right keys)."""
+    match (SQL ``IN`` semantics for non-null right keys).
+
+    The right side executes EXACTLY ONCE (one streamed key collect);
+    the Bloom bits are then derived on the driver from the collected
+    keys — a distributed ``bloom_build`` pass here would re-run the
+    right-side scan/filter for information the driver already holds."""
     import ray as _ray
 
     from .util import in_sorted
-
-    bits = bloom_build(right, right_col, num_bits=num_bits, k=k)
-    cand = bloom_probe(left, left_col, bits, num_bits=num_bits, k=k)
 
     keys_parts = [
         _valid_values(t.column(right_col))
         for t in right.select_columns([right_col]).iter_batches(batch_format="pyarrow")
     ]
     keys = np.sort(np.concatenate(keys_parts)) if keys_parts else np.array([], np.int64)
+
+    bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+    if len(keys):
+        for pos in _bloom_positions(keys, num_bits, k):
+            np.bitwise_or.at(bits, pos >> 3, (np.int64(1) << (pos & 7)).astype(np.uint8))
+    cand = bloom_probe(left, left_col, bits, num_bits=num_bits, k=k)
     ref = _ray.put(keys)
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -156,3 +156,18 @@ def test_cli_assemble_exports_sft_corpus(tmp_path, ray_session):
     jd = {r["conv_id"]: r["dialogue"] for r in rows}
     pd_ = {c: d for c, d in zip(t.column("conv_id").to_pylist(), t.column("dialogue").to_pylist())}
     assert jd == pd_
+
+    # re-running into the non-empty dir must refuse (part filenames are
+    # unique per run — stale files would duplicate conversations) ...
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_main(["assemble", "--table", str(tmp_path / "tbl"), "--out", out_pq])
+    # ... and --overwrite replaces, never accumulates
+    assert (
+        cli_main(
+            ["assemble", "--table", str(tmp_path / "tbl"), "--out", out_pq, "--overwrite"]
+        )
+        == 0
+    )
+    assert pq.read_table(out_pq).num_rows == 40

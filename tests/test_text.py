@@ -199,6 +199,10 @@ def test_repetition_stats_matches_duckdb_and_flags_repeats():
         "x y z x y z x y z x y z",         # repeated 3-grams
         "",                                # empty → 1 token ([''])
         "one two  three",                  # double space → empty token
+        # exact snapping tie: 1 dup in 640 words → 1e6/640 = 1562.5;
+        # numpy half-to-even says 1562, DuckDB ROUND says 1563 — the
+        # engine must match DuckDB (floor(x+0.5))
+        " ".join([f"w{i}" for i in range(639)] + ["w0"]),
     ]
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
     out = repetition_stats(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -231,3 +235,4 @@ def test_repetition_stats_matches_duckdb_and_flags_repeats():
     assert out.loc[1, "dup_word_frac"] > 0.8
     assert out.loc[2, "dup_3gram_frac"] > 0.5
     assert out.loc[3, "n_words"] == 1
+    assert out.loc[5, "dup_word_frac"] == 0.001563  # half-away-from-zero tie
