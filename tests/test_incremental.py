@@ -242,3 +242,50 @@ def test_incremental_corpus_equals_full_assembly(tmp_path):
     # idempotent: advancing with no new commits touches nothing
     s3 = view.advance()
     assert s3["touched_convs"] == 0 and s3["rows_written"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_kernel_combine_is_order_invariant():
+    """CorpusKernel.combine restores turn order explicitly, so any
+    partial/chunk arrival order yields the identical dialogue table."""
+    import itertools
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.incremental import CorpusKernel
+
+    k = CorpusKernel()
+    turns = [
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "system", "rules"),
+        ("c2", 1, "user", "q"),
+    ]
+
+    def live(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.large_string()),
+            }
+        )
+
+    # split the turns into two chunks every possible way, both chunk orders
+    baselines = None
+    for split in range(1, len(turns)):
+        for chunks in ([turns[:split], turns[split:]], [turns[split:], turns[:split]]):
+            out = k.combine([k.partial(live(c)) for c in chunks if c]).to_pydict()
+            if baselines is None:
+                baselines = out
+            assert out == baselines
+    assert baselines["dialogue"][0] == "user: hello\nassistant: hi\nuser: bye"
+    # single-pass shuffled-row chunk too
+    import random
+
+    rng = random.Random(5)
+    shuffled = turns[:]
+    rng.shuffle(shuffled)
+    assert k.combine([k.partial(live(shuffled))]).to_pydict() == baselines

@@ -236,3 +236,25 @@ def test_repetition_stats_matches_duckdb_and_flags_repeats():
     assert out.loc[2, "dup_3gram_frac"] > 0.5
     assert out.loc[3, "n_words"] == 1
     assert out.loc[5, "dup_word_frac"] == 0.001563  # half-away-from-zero tie
+
+
+def test_repetition_stats_chunked_input():
+    """A multi-chunk Arrow column (as Ray blocks concatenated from several
+    files produce) computes identically to the single-chunk form."""
+    from etl_framework_ray.functions.text import repetition_stats
+
+    texts1 = ["a b a", "x y z"]
+    texts2 = ["q q q q", "m n"]
+    chunked = pa.table(
+        {
+            "doc_id": pa.chunked_array([pa.array([0, 1], pa.int64()), pa.array([2, 3], pa.int64())]),
+            "text": pa.chunked_array([pa.array(texts1), pa.array(texts2)]),
+        }
+    )
+    flat = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts1 + texts2),
+        }
+    )
+    assert repetition_stats(chunked).to_pydict() == repetition_stats(flat).to_pydict()
