@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "repetition_stats",
     "cluster_embeddings",
+    "events_value_quantiles",
+    "bloom_semijoin_lineitem",
 ]
 
 

@@ -289,3 +289,28 @@ def test_corpus_kernel_combine_is_order_invariant():
     shuffled = turns[:]
     rng.shuffle(shuffled)
     assert k.combine([k.partial(live(shuffled))]).to_pydict() == baselines
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_advance_crash_orphans_are_pruned_next_commit(tmp_path):
+    """A part file left behind by a crash mid-advance (written but never
+    referenced by a committed view manifest) is deleted by the next
+    successful commit's prune — readers only ever see referenced files."""
+    clog, eng = _setup(tmp_path, num_events=2000, num_conversations=20, seed=13)
+    eng.replay(clog, segments_per_epoch=2)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+
+    orphan = os.path.join(view.view_dir, "part-00099-v000099-deadbeef.parquet")
+    pa_table = view.read_arrow()
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_table.slice(0, 1), orphan)  # crash residue
+
+    _manual_rows(
+        eng, clog, [{"op": "U", "conv_id": "conv-000001", "turn_idx": 0, "role": "user", "text": "x"}]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    assert not os.path.exists(orphan)
+    _assert_view_equals(view, eng)
