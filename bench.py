@@ -86,21 +86,42 @@ def _load1() -> float:
         return 0.0
 
 
-def _settle(target: float = 6.0, max_wait_s: float = 90.0) -> float:
-    """Wait (bounded) for ambient host load to drain before timing.
+def _settle(
+    target: float = 6.0,
+    max_wait_s: float = 90.0,
+    bw_floor_gbps: float = 2.0,
+    bw_max_wait_s: float | None = None,
+) -> tuple[float, float, float]:
+    """Wait (bounded) for the host to be measurable before timing.
 
-    The driver may invoke bench right after a pytest run / another Ray
-    session whose raylet is still tearing down; BENCH_r02 measured the
-    identical binary 2× slower than the builder's own runs purely from
-    such ambient tenancy (BASELINE.md documents a 3.9-11.2 s spread).
-    Returns the load average observed when proceeding."""
+    Two independent gates, because they see different interference:
+    loadavg catches THIS VM's leftover work (a pytest run / raylet still
+    tearing down), but co-tenant memory-bus saturation is INVISIBLE in
+    loadavg — both 2026-08-17 degraded windows read load1 ≈ 0.3 while the
+    memcpy probe read 0.47–3 GB/s (vs ≈24 normal) and the identical
+    binary measured 2–4× slow. So after load drains, poll the bandwidth
+    probe (bounded) until it clears ``bw_floor_gbps``; if the window
+    never clears, proceed anyway — the embedded probe value marks the
+    artifact as a floor, not a measurement.
+
+    Returns (load1, ambient_gbps, seconds_waited)."""
+    if bw_max_wait_s is None:
+        # scaling legs override to a short wait: their EFFICIENCY ratio is
+        # ambient-insensitive (both legs run back to back under the same
+        # window), so burning minutes per child process buys nothing
+        bw_max_wait_s = float(os.environ.get("BENCH_BW_MAX_WAIT_S", 300.0))
     waited = 0.0
     load = _load1()
     while load > target and waited < max_wait_s:
         time.sleep(5.0)
         waited += 5.0
         load = _load1()
-    return load
+    gbps = _ambient_gbps()
+    while gbps < bw_floor_gbps and waited < bw_max_wait_s:
+        time.sleep(15.0)
+        waited += 15.0
+        gbps = _ambient_gbps()
+    return load, gbps, waited
 
 
 def _sf_name() -> str:
@@ -183,8 +204,7 @@ def _ambient_gbps() -> float:
 
 
 def run_bench() -> dict:
-    load_at_start = _settle()
-    ambient_gbps = _ambient_gbps()
+    load_at_start, ambient_gbps, settle_waited = _settle()
     ray = _bench_session()
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
@@ -266,6 +286,8 @@ def run_bench() -> dict:
         "replay_attempts": attempts,
         "load1_at_start": round(load_at_start, 2),
         "ambient_membench_gbps": ambient_gbps,
+        "ambient_membench_gbps_end": _ambient_gbps(),
+        "settle_waited_s": round(settle_waited, 1),
     }
     ray.shutdown()
     return result
@@ -283,6 +305,7 @@ def run_scaling() -> dict:
             sf_events, _ = BENCH_SIZES[_sf_name()]
             env["BENCH_EVENTS"] = str(4 * sf_events)
         env["BENCH_SKIP_QUERIES"] = "1"  # scaling times the replay only
+        env["BENCH_BW_MAX_WAIT_S"] = "45"  # efficiency ratio is ambient-insensitive
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
