@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
 
+    prs = sub.add_parser(
+        "reshard", help="change the table's hash-partition count (atomic migration commit)"
+    )
+    prs.add_argument("--table", required=True)
+    prs.add_argument("--partitions", type=int, required=True)
+
     pg = sub.add_parser(
         "mitigate-skew", help="detect hot keys from lineage metrics, salt + migrate them"
     )
@@ -214,6 +220,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum()}))
+    elif args.cmd == "reshard":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        print(json.dumps(eng.reshard(args.partitions)))
     elif args.cmd == "mitigate-skew":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

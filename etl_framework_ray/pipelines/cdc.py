@@ -1283,6 +1283,104 @@ class CDCEngine:
         self.manifest = new_man
         return new_keys
 
+    def reshard(self, new_num_partitions: int) -> dict:
+        """Change the table's hash-partition count in ONE atomic commit —
+        the explicit repartitioning operation for a cluster-size change
+        (grow the cluster 4× → widen the merge/commit unit to match; the
+        north rule's "partitioning handled explicitly" at the lifecycle
+        level, not just per-epoch).
+
+        One migration task per non-empty OLD partition (the same staged
+        two-phase machinery as salt migration, ``_resalt_partition_task``):
+        merge the partition's file stack, route every row by
+        ``hash(key) % NEW_P`` (salt fanout preserved — a salted key's
+        sub-partitions re-home under the new modulus), write one staged
+        ``base-…-fromNNN`` file per target. Visibility is the single
+        manifest swap; a crash before commit leaves only unreferenced
+        staged files (vacuumed later). Subsequent epochs route with the
+        committed manifest's partition count automatically.
+
+        Consumer contract: migrated rows read as ``base`` — changefeed
+        consumers behind this point must re-sync (the compaction-horizon
+        rule), and IVM views detect the partition-count change and demand
+        a ``rebuild()``. Task memory is O(old partition), same as
+        compaction. Returns a summary dict."""
+        man = self.manifest
+        old_p = int(man.num_partitions)
+        new_p = int(new_num_partitions)
+        if new_p < 1:
+            raise ValueError(f"new_num_partitions must be >= 1, got {new_p}")
+        if new_p == old_p:
+            return {"num_partitions": old_p, "partitions_migrated": 0}
+        salt_map = self.salt_map
+        if salt_map and max(int(v) for v in salt_map.values()) > new_p:
+            raise ValueError(
+                "salt fanout exceeds the new partition count; unsalt or pick "
+                f"new_num_partitions >= {max(int(v) for v in salt_map.values())}"
+            )
+        lake = man.schema
+        version = man.version + 1
+        affected = [pid for pid in sorted(man.partitions) if man.partitions[pid].files]
+        metas = ray.get(
+            [
+                _resalt_partition_task.remote(
+                    self.table_dir,
+                    pid,
+                    man.partitions[pid].files,
+                    lake,
+                    self.key_cols,
+                    salt_map,
+                    new_p,
+                    version,
+                    man.applied_lsn,
+                )
+                for pid in affected
+            ]
+        )
+        new_man = Manifest.from_json(man.to_json())
+        new_man.version = version
+        new_man.num_partitions = new_p
+        # every old file retires (retention registry) and the partition map
+        # is rebuilt from scratch at the new modulus
+        for pid in affected:
+            self._retire_deltas(new_man, man.partitions[pid].files)
+        new_man.partitions = {}
+        rows_moved = 0
+        for m in metas:
+            src = int(m["pid"])
+            if m["kept_path"]:
+                # 'kept' = new pid happens to equal the old number (only
+                # possible when src < new_p)
+                st = new_man.partitions.setdefault(src, PartitionState())
+                st.files.append(m["kept_path"])
+                st.rows += int(m["kept_live"])
+                st.applied_lsn = man.applied_lsn
+            for tpid, (path, live) in m["moved"].items():
+                st = new_man.partitions.setdefault(int(tpid), PartitionState())
+                st.files.append(path)
+                st.rows += int(live)
+                st.applied_lsn = man.applied_lsn
+                rows_moved += int(live)
+        new_man.history.append(
+            {
+                "op": "reshard",
+                "version": version,
+                "from_partitions": old_p,
+                "to_partitions": new_p,
+                "partitions_migrated": len(metas),
+                **self.run_context.as_dict(),
+            }
+        )
+        self._prune_retained(new_man)
+        self._invalidate_retention_coverage(new_man, folded=bool(metas))
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return {
+            "num_partitions": new_p,
+            "partitions_migrated": len(metas),
+            "rows_moved": rows_moved,
+        }
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the CURRENT manifest (ends
         time travel to superseded versions)."""

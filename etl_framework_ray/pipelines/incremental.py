@@ -271,6 +271,18 @@ class IncrementalRollup:
         state = self._load_state()
         if state is None:
             return self._run(full=True)
+        view_p = state.get("num_partitions")
+        if view_p is not None and int(view_p) != int(self.engine.manifest.num_partitions):
+            # a reshard re-homed every conversation: the view's per-pid
+            # carry-forward files no longer mean what their numbers say —
+            # carrying them forward would resurrect stale rows. Fail loud
+            # with the documented recovery, same contract as lagging past
+            # the changefeed retention floor.
+            raise RuntimeError(
+                f"table was resharded ({view_p} -> "
+                f"{self.engine.manifest.num_partitions} partitions) since this "
+                "view's last advance; call rebuild()"
+            )
         wm = int(state["watermark_lsn"])
         if self.engine.manifest.applied_lsn <= wm:
             return {
@@ -318,7 +330,12 @@ class IncrementalRollup:
                     int(p) for p in np.unique(touched % np.uint64(num_partitions))
                 )
         if not touched_pids:
-            new_state = {"version": version, "watermark_lsn": cur_lsn, "files": old_files}
+            new_state = {
+                "version": version,
+                "watermark_lsn": cur_lsn,
+                "files": old_files,
+                "num_partitions": num_partitions,
+            }
             self._commit_state(new_state)
             return {
                 "watermark_lsn": cur_lsn,
@@ -439,7 +456,12 @@ class IncrementalRollup:
             else:
                 files.pop(str(r["pid"]), None)
                 os.remove(r["path"])
-        new_state = {"version": version, "watermark_lsn": cur_lsn, "files": files}
+        new_state = {
+            "version": version,
+            "watermark_lsn": cur_lsn,
+            "files": files,
+            "num_partitions": num_partitions,
+        }
         self._commit_state(new_state)
         return {
             "watermark_lsn": cur_lsn,

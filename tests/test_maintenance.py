@@ -69,3 +69,126 @@ def test_cli_readonly_rejects_missing_table(tmp_path, capsys):
     assert "no table manifest" in capsys.readouterr().err
     assert not os.path.exists(os.path.join(bogus, "_manifest"))
     assert not os.path.exists(bogus) or not os.listdir(bogus)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reshard_up_and_down_preserves_state(tmp_path):
+    """Changing the partition count (8→16, then 16→3) is invisible to
+    readers: snapshot equals the oracle byte-for-byte, PKs stay unique,
+    lookup still routes, and SUBSEQUENT epochs apply at the new modulus."""
+    import pandas as pd
+    import pyarrow as pa  # noqa: F401
+
+    log = generate_changelog(
+        GenConfig(num_events=5000, num_conversations=60, seed=23, out_of_order=True)
+    )
+    half = log.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, half), segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog)
+
+    def check(eng):
+        snap = eng.snapshot_arrow().to_pandas()
+        state = oracle_replay(
+            pa.concat_tables([log]).filter(
+                pa.compute.less_equal(log.column("lsn"), eng.manifest.applied_lsn)
+            )
+        )
+        assert len(snap) == len(state)
+        for r in snap.itertuples():
+            o = state[(r.conv_id, r.turn_idx)]
+            assert o["text"] == r.text and o["role"] == r.role
+        assert not snap.duplicated(["conv_id", "turn_idx"]).any()
+
+    s = eng.reshard(16)
+    assert eng.manifest.num_partitions == 16 and s["partitions_migrated"] > 0
+    check(eng)
+    got = eng.lookup(["conv-000003"])
+    assert got.num_rows > 0 and set(got.column("conv_id").to_pylist()) == {"conv-000003"}
+
+    # replay the second half AT THE NEW MODULUS, then shrink
+    clog.write_segments(log.slice(half), segment_rows=1000)
+    eng.replay(clog)
+    check(eng)
+    eng.reshard(3)
+    assert eng.manifest.num_partitions == 3
+    assert set(eng.manifest.partitions) <= {0, 1, 2}
+    check(eng)
+
+    # no-op and validation paths
+    assert eng.reshard(3)["partitions_migrated"] == 0
+    with pytest.raises(ValueError):
+        eng.reshard(0)
+
+    # a fresh engine on the same dir picks up the new modulus from the
+    # manifest (ctor num_partitions only applies to CREATION)
+    eng2 = CDCEngine(str(tmp_path / "tbl"), create_if_missing=False)
+    assert eng2.manifest.num_partitions == 3
+    check(eng2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reshard_invalidates_changefeed_and_ivm(tmp_path):
+    """Consumers behind a reshard hit the compaction-horizon error (the
+    migration writes base files), and an IVM view demands rebuild()."""
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    log = generate_changelog(GenConfig(num_events=3000, num_conversations=30, seed=31))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=750)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    epochs = clog.epochs(1)
+    for ep in epochs[:2]:
+        eng.apply_epoch(ep)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    watermark = eng.manifest.applied_lsn
+
+    eng.reshard(9)
+    for ep in epochs[2:]:
+        eng.apply_epoch(ep)
+
+    with pytest.raises(RuntimeError, match="compacted|retention"):
+        eng.read_changes(since_lsn=watermark)
+    with pytest.raises(RuntimeError, match="reshard"):
+        view.advance()
+    view.rebuild()
+    import pandas as pd
+
+    got = view.read_arrow().to_pandas()
+    snap = eng.snapshot_arrow().to_pandas()
+    exp = (
+        snap.assign(chars=snap["text"].fillna("").str.len())
+        .groupby("conv_id", sort=True)
+        .agg(n_turns=("conv_id", "size"), total_chars=("chars", "sum"))
+    )
+    assert len(got) == len(exp)
+    m = got.set_index("conv_id")
+    assert (m["n_turns"] == exp["n_turns"]).all()
+    assert (m["total_chars"] == exp["total_chars"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reshard_salted_table(tmp_path):
+    """A salted hot key survives a reshard: fanout re-homes under the new
+    modulus, state stays oracle-equal, and fanout > new_P is rejected."""
+    log = generate_changelog(
+        GenConfig(num_events=4000, num_conversations=30, seed=37, hot_key_frac=0.5, hot_max_turns=3000)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=800)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog, auto_mitigate_skew=True)
+    assert eng.salt_map
+    before = eng.snapshot_arrow()
+
+    fanout = max(int(v) for v in eng.salt_map.values())
+    with pytest.raises(ValueError, match="fanout"):
+        eng.reshard(fanout - 1)
+
+    eng.reshard(16)
+    after = eng.snapshot_arrow()
+    assert before.equals(after)
+    got = eng.lookup(["conv-000000"])  # the hot, salted conversation
+    assert got.num_rows > 0
