@@ -147,24 +147,28 @@ def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
 
 
 def revenue_by_mktsegment(sf_dir: str) -> "ray.data.Dataset":
-    """Large-large hash join: orders ⋈ customer on custkey via
-    ``Dataset.join`` (Ray's hash-partitioned join), then revenue per market
-    segment. The broadcast pattern (J1) doesn't apply when neither side
-    fits a worker — this is the shuffle-join path for that case."""
+    """Large-large hash join: orders ⋈ customer on custkey via the
+    engine's own direct-exchange :func:`~..stages.joins.equi_join`, then
+    revenue per market segment. The broadcast pattern (J1) doesn't apply
+    when neither side fits a worker — this is the shuffle-join path for
+    that case (``Dataset.join`` here measured 4.1 s of sort-exchange
+    fixed cost at sf0.1 against <0.5 s of merge compute)."""
+    from ..stages.joins import equi_join
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(
-        customer,
-        join_type="inner",
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        num_partitions=8,
+    joined = equi_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_mktsegment"],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"].sum().reset_index()
-        return pa.Table.from_pandas(g.rename(columns={"o_totalprice": "revenue"}), preserve_index=False)
+        g = df.groupby("r_c_mktsegment", sort=False)["o_totalprice"].sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"o_totalprice": "revenue", "r_c_mktsegment": "c_mktsegment"}),
+            preserve_index=False,
+        )
 
     from ray.data.aggregate import Sum
 
@@ -213,14 +217,22 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
         lambda t: t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut))),
         batch_format="pyarrow",
     )
-    joined = items.join(
-        orders, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8
+    from ..stages.joins import equi_join
+
+    joined = equi_join(
+        items, orders, left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=["o_orderdate"],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"].sum().reset_index()
+        g = (
+            df.rename(columns={"r_o_orderdate": "o_orderdate"})
+            .groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum

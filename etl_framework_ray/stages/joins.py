@@ -63,6 +63,16 @@ def _block_refs(ds: "ray.data.Dataset") -> list:
     return refs
 
 
+def _ensure_arrow(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Pandas-backed datasets (``from_pandas``) report numpy dtypes from
+    ``schema()``; the exchange needs Arrow types for its casts and empty
+    slim schemas. One pass-through ``map_batches`` converts the blocks."""
+    schema = ds.schema()
+    if schema is not None and any(not isinstance(t, pa.DataType) for t in schema.types):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+    return ds
+
+
 def _resolve_side_types(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -71,10 +81,11 @@ def _resolve_side_types(
     right_by: str,
     right_cols: list[str],
 ):
-    """Schema resolution shared by the temporal joins: left payload keeps
+    """Schema resolution shared by the keyed joins: left payload keeps
     its own types; the shared ``_key``/``_t`` columns get one common
     comparable type; an EMPTY right side types its payload columns null
-    (uniform across blocks, so unification still works)."""
+    (uniform across blocks, so unification still works). ``left_on`` is
+    None for the pure equality join — no ``_t`` column ships then."""
     l_schema = left.schema()  # ray.data Schema wrapper: .names / .types
     if l_schema is None:
         raise ValueError("left dataset has no schema (empty input?)")
@@ -97,7 +108,10 @@ def _resolve_side_types(
         r_types = dict(zip(r_schema.names, r_schema.types))
         right_empty = False
     key_t = l_types[left_by]
-    t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
+    if left_on is None:
+        t_t = None
+    else:
+        t_t = pa.timestamp("us") if pa.types.is_temporal(l_types[left_on]) else pa.float64()
     return l_names, l_types, r_cols, r_types, key_t, t_t, right_empty
 
 
@@ -125,7 +139,7 @@ def _split_side_task(
             {
                 **{c: pa.nulls(0, keep_types[c]) for c in keep_cols},
                 "_key": pa.nulls(0, key_t),
-                "_t": pa.nulls(0, t_t),
+                **({"_t": pa.nulls(0, t_t)} if t_t is not None else {}),
             }
         )
         return tuple(empty for _ in range(num_buckets)) if num_buckets > 1 else empty
@@ -137,9 +151,26 @@ def _split_side_task(
             else pa.nulls(t.num_rows, keep_types[c])
         )
     cols["_key"] = t.column(by).cast(key_t)
-    cols["_t"] = t.column(on).cast(t_t)
+    if t_t is not None:
+        cols["_t"] = t.column(on).cast(t_t)
     slim = pa.table(cols)
-    pid = (stable_hash_array(slim.column("_key")) % np.uint64(num_buckets)).astype(np.int64)
+    # bucket routing must be DTYPE-STABLE under nulls (the group_topk
+    # finding): hash only the VALID keys at their true Arrow dtype — an
+    # int64 column converts to float64 only in blocks that happen to hold
+    # a null, splitting one key across buckets. Null keys (which never
+    # match in any join) all route to bucket 0.
+    import pyarrow.compute as pc
+
+    karr = slim.column("_key")
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    valid = pc.is_valid(karr).to_numpy(zero_copy_only=False)
+    pid = np.zeros(slim.num_rows, dtype=np.int64)
+    vv = karr.drop_null().to_numpy(zero_copy_only=False)
+    if len(vv):
+        pid[np.flatnonzero(valid)] = (
+            stable_hash_array(vv) % np.uint64(num_buckets)
+        ).astype(np.int64)
     order = np.argsort(pid, kind="stable")
     slim = slim.take(pa.array(order))
     bounds = np.searchsorted(pid[order], np.arange(num_buckets + 1))
@@ -250,6 +281,7 @@ def asof_join(
     sort-shuffle fixed cost at sf0.1 against 1.0 s for the whole
     exchange). Default ``None`` = caller guarantees unique (key, time)
     and tie choice is engine-defined (DuckDB ASOF parity)."""
+    left, right = _ensure_arrow(left), _ensure_arrow(right)
     l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
         left, right, left_by, left_on, right_by, right_cols
     )
@@ -284,6 +316,69 @@ def asof_join(
 
     return _direct_keyed_join(
         left, right, left_by, right_by, left_on, right_on,
+        l_names, l_types, r_cols, r_types, key_t, t_t, right_empty, kernel,
+        shuffle_buckets,
+    )
+
+
+def equi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    how: str = "inner",
+    shuffle_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Hash equi-join on the direct two-round exchange — the large–large
+    shuffle-join path (the broadcast pattern covers small sides;
+    reference join semantics /root/reference/src/gold/product_dimension.py:62-74).
+
+    Output = all left columns + one ``r_<col>`` per entry of
+    ``right_cols``. ``how`` is ``"inner"`` or ``"left"``. Duplicate right
+    keys multiply rows (standard join semantics); NULL keys never match
+    (SQL parity — pandas ``merge`` would otherwise pair NaN with NaN).
+
+    Why not ``Dataset.join``: Ray Data's hash join is a 4-round
+    sort/exchange with a barrier whose fixed costs measured ~4.1 s at
+    sf0.1 for revenue_by_mktsegment against <0.5 s of actual merge
+    compute (BASELINE.md round 2 sweep); this exchange ships each side's
+    slim schema once and runs one vectorized pandas merge per bucket.
+
+    Partitioning assumption (as the temporal joins): all rows of one join
+    key fit a worker; blocks × buckets refs stay ≲1e5."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    left, right = _ensure_arrow(left), _ensure_arrow(right)
+    l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
+        left, right, left_on, None, right_on, right_cols
+    )
+
+    def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pa.Table:
+        ren = {c: f"r_{c}" for c in r_cols}
+        if len(rdf):
+            # drop NULL right keys pre-merge: SQL joins never match NULLs,
+            # pandas merge would pair NaN with NaN
+            rdf = rdf[rdf["_key"].notna()].rename(columns=ren)
+            out = ldf.merge(rdf, on="_key", how=how)
+        elif how == "left":
+            out = ldf.copy()
+            for c in r_cols:
+                out[f"r_{c}"] = None
+        else:
+            out = ldf.iloc[0:0].copy()
+            for c in r_cols:
+                out[f"r_{c}"] = None
+        out = out.reset_index(drop=True)
+        # pass Series (not ndarray): unmatched LEFT rows surface as NaN in
+        # a float-widened column; from_pandas maps them to nulls at the
+        # right side's true Arrow type instead of failing the int cast
+        return _typed_out(
+            out, l_names, l_types, {f"r_{c}": (out[f"r_{c}"], r_types[c]) for c in r_cols}
+        )
+
+    return _direct_keyed_join(
+        left, right, left_on, right_on, None, None,
         l_names, l_types, r_cols, r_types, key_t, t_t, right_empty, kernel,
         shuffle_buckets,
     )
@@ -386,6 +481,7 @@ def trailing_window_join(
     R) per key, no row pairing ever materialized (a naive inequality join
     would be O(L×R) rows before aggregation, which is how the SQL oracle
     states it)."""
+    left, right = _ensure_arrow(left), _ensure_arrow(right)
     l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
         left, right, left_by, left_on, right_by, [value_col]
     )

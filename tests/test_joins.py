@@ -2,6 +2,7 @@
 partition invariance."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -403,3 +404,144 @@ def test_reserved_columns_rejected_on_both_sides(tmp_path):
     with pytest.raises(ValueError, match="_t"):
         asof_join(ok_left, right, left_by="k", left_on="ts", right_by="k", right_on="ts",
                   right_cols=["_t", "v"])
+
+
+# ---------------------------------------------------------------------------
+# equi_join — the large-large hash join on the same direct exchange
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_inner_matches_pandas():
+    import pandas as pd
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    rng = np.random.default_rng(7)
+    ldf = pd.DataFrame(
+        {"k": rng.integers(0, 50, 500), "x": rng.normal(size=500)}
+    )
+    rdf = pd.DataFrame(
+        {"rk": rng.integers(0, 60, 80), "seg": [f"s{i % 5}" for i in range(80)]}
+    )
+    out = (
+        equi_join(
+            ray.data.from_pandas(ldf).repartition(5),
+            ray.data.from_pandas(rdf).repartition(3),
+            left_on="k",
+            right_on="rk",
+            right_cols=["seg"],
+            shuffle_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "r_seg"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ldf.merge(rdf, left_on="k", right_on="rk", how="inner")[["k", "x", "seg"]]
+        .rename(columns={"seg": "r_seg"})
+        .sort_values(["k", "x", "r_seg"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "x", "r_seg"]], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_left_nulls_and_types():
+    """LEFT semantics: unmatched rows carry typed nulls (int64 right
+    payload must not widen to float64); NULL keys never match."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4], pa.int64()),
+            "x": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k2": pa.array([1, None], pa.int64()),
+            "v": pa.array([100, 999], pa.int64()),
+        }
+    )
+    out = equi_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right),
+        left_on="k",
+        right_on="k2",
+        right_cols=["v"],
+        how="left",
+        shuffle_buckets=3,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    assert t.schema.field("r_v").type == pa.int64()
+    df = t.to_pandas().sort_values("x").reset_index(drop=True)
+    assert len(df) == 4
+    assert df.loc[0, "r_v"] == 100  # k=1 matched
+    assert pd.isna(df.loc[1, "r_v"])  # k=2 unmatched
+    assert pd.isna(df.loc[2, "r_v"])  # NULL key never matches (not 999)
+    assert pd.isna(df.loc[3, "r_v"])  # k=4 unmatched
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_empty_right_and_duplicate_keys():
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 1], "x": [1.0, 2.0]}))
+    empty = ray.data.from_arrow(
+        pa.table({"k2": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    ).filter(lambda r: False)
+    assert (
+        equi_join(left, empty, left_on="k", right_on="k2", right_cols=["v"]).count()
+        == 0
+    )
+    # duplicate right keys multiply rows (2 left × 2 right = 4)
+    dup = ray.data.from_arrow(pa.table({"k2": [1, 1], "v": ["a", "b"]}))
+    assert (
+        equi_join(left, dup, left_on="k", right_on="k2", right_cols=["v"]).count() == 4
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_nullable_int_key_routing():
+    """Regression: an int64 key column flips to float64 hashing only in
+    blocks holding a null — one key must not split across buckets when
+    another block of the same side (or the other side) is null-free."""
+    import ray.data
+
+    left = pa.table(
+        {
+            "k": pa.array([7, 7, None], pa.int64()),  # block WITH a null
+            "t": pa.array([10.0, 20.0, 5.0], pa.float64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([7], pa.int64()),  # null-free block
+            "rt": pa.array([9.0], pa.float64()),
+            "v": pa.array(["hit"], pa.string()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            left_by="k",
+            right_by="k",
+            left_on="t",
+            right_on="rt",
+            right_cols=["v"],
+            shuffle_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert list(out["r_v"]) == [None, "hit", "hit"]
