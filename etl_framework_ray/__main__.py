@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
+    pv.add_argument(
+        "--grace-s",
+        type=float,
+        default=0.0,
+        help="spare unreferenced files younger than this (concurrent-writer staging)",
+    )
 
     prs = sub.add_parser(
         "reshard", help="change the table's hash-partition count (atomic migration commit)"
@@ -219,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"partitions_compacted": eng.compact()}))
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
-        print(json.dumps({"files_removed": eng.vacuum()}))
+        print(json.dumps({"files_removed": eng.vacuum(grace_s=args.grace_s)}))
     elif args.cmd == "reshard":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

@@ -152,6 +152,22 @@ def _lww_order(schema: pa.Schema, lsn_col: str) -> tuple[str, ...]:
     return ("ts", lsn_col) if "ts" in schema.names else (lsn_col,)
 
 
+def pruned_lake_schema(
+    lake_sch: pa.Schema, key_cols: tuple[str, ...], columns: list[str]
+) -> pa.Schema:
+    """Lake schema restricted to what a column-projected merge-on-read
+    still needs: the primary key, the LWW order columns, the tombstone
+    flag, and the REQUESTED payload columns — everything else (at 100 TB,
+    usually the wide ``text`` column) never leaves the parquet files."""
+    need = (
+        set(key_cols)
+        | set(_lww_order(lake_sch, LSN_COL))
+        | {LSN_COL, DELETED_COL}
+        | set(columns)
+    )
+    return pa.schema([f for f in lake_sch if f.name in need])
+
+
 def merge_partition_files(
     files: list[str], lake_sch: pa.Schema, key_cols: tuple[str, ...]
 ) -> pa.Table:
@@ -160,7 +176,12 @@ def merge_partition_files(
     tombstones + bookkeeping columns."""
     if not files:
         return lake_sch.empty_table()
-    tables = [normalize_table(pq.read_table(f), lake_sch) for f in files]
+
+    def read_pruned(f: str) -> pa.Table:
+        have = set(pq.read_schema(f).names)
+        return pq.read_table(f, columns=[n for n in lake_sch.names if n in have])
+
+    tables = [normalize_table(read_pruned(f), lake_sch) for f in files]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     if not key_cols:
         return t  # PK-less (append-only) table: plain concat, no reduce
@@ -185,8 +206,13 @@ def _is_cdc_sorted(files: list[str]) -> bool:
 
 
 def _iter_file_chunks(path: str, lake_sch: pa.Schema, chunk_rows: int):
+    # prune at the read: only the target schema's columns leave the file —
+    # with a pruned lake schema (column-projected snapshot) the payload
+    # columns a consumer didn't ask for are never decoded
     pf = pq.ParquetFile(path)
-    for rb in pf.iter_batches(batch_size=chunk_rows):
+    have = set(pf.schema_arrow.names)
+    cols = [n for n in lake_sch.names if n in have]
+    for rb in pf.iter_batches(batch_size=chunk_rows, columns=cols):
         yield normalize_table(pa.Table.from_batches([rb]), lake_sch)
 
 
@@ -1066,7 +1092,9 @@ class CDCEngine:
         return stats
 
     # ------------------------------------------------------------------
-    def snapshot(self, pids: list[int] | None = None) -> "ray.data.Dataset":
+    def snapshot(
+        self, pids: list[int] | None = None, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
         """Committed live rows as a streaming Dataset.
 
         Merge-on-read: each task resolves ONE hash partition — reads its
@@ -1079,9 +1107,22 @@ class CDCEngine:
         partition-pushdown path for consumers that know the routing
         (incremental view maintenance, key-range scans): at 100 TB a
         reader interested in one entity class touches its partitions'
-        files only, never the table."""
+        files only, never the table.
+
+        ``columns`` prunes the read to the given payload columns (output
+        order follows the argument): only the PK, LWW-order and tombstone
+        columns plus the requested payload are decoded from parquet — a
+        consumer reading 2 of 6 columns never pulls the wide ``text``
+        bytes through the merge."""
         public = self._public_schema()
         man = self.manifest
+        if columns is not None:
+            bad = [c for c in columns if c not in public.names]
+            if bad:
+                raise ValueError(
+                    f"unknown or internal columns {bad}; available: {public.names}"
+                )
+            public = pa.schema([public.field(c) for c in columns])
         want = None if pids is None else set(pids)
         parts = [
             {"pid": pid, "files": man.partitions[pid].files}
@@ -1091,6 +1132,8 @@ class CDCEngine:
         if not parts:
             return ray.data.from_arrow(public.empty_table())
         lake = man.schema
+        if columns is not None:
+            lake = pruned_lake_schema(lake, self.key_cols, columns)
         key_cols = self.key_cols
 
         def resolve(batch: pa.Table):
@@ -1381,10 +1424,12 @@ class CDCEngine:
             "rows_moved": rows_moved,
         }
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_s: float = 0.0) -> int:
         """Delete data files not referenced by the CURRENT manifest (ends
-        time travel to superseded versions)."""
-        return self.store.vacuum(self.manifest)
+        time travel to superseded versions). ``grace_s`` spares younger
+        unreferenced files — pass a few minutes when other writers may be
+        staging concurrently (see ``ManifestStore.vacuum``)."""
+        return self.store.vacuum(self.manifest, grace_s=grace_s)
 
     def _changefeed_files(self, since_lsn: int) -> list[tuple[int, str]]:
         """Validate the watermark and list the qualifying delta files as

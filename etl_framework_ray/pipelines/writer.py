@@ -161,14 +161,15 @@ class LakeWriter:
 
         gate = self._make_gate()
         fused, handle = gate.wrap_stage(stage)
-        out_dir = os.path.join(self.engine.table_dir, "data", f"overwrite-v{version:08d}")
-        if os.path.isdir(out_dir):
-            # a previously ABORTED attempt (gate error / crash) left staged
-            # files under the same uncommitted version — clear them so the
-            # file glob below can't double-count
-            import shutil
+        # unique per CALL: a version-keyed (or reused) name would collide
+        # with — and the old rmtree hygiene could DELETE — live committed
+        # files of a concurrent writer or of this writer's previous call;
+        # aborted attempts are unreferenced and reclaimed by graced vacuum
+        import uuid
 
-            shutil.rmtree(out_dir)
+        out_dir = os.path.join(
+            self.engine.table_dir, "data", f"overwrite-{uuid.uuid4().hex[:12]}"
+        )
         try:
             ds.map_batches(fused, batch_format="pyarrow").write_parquet(
                 out_dir, partition_cols=["pid"]
@@ -192,9 +193,15 @@ class LakeWriter:
         new_man.history.append(
             {"op": "overwrite", "version": version, "rows": rows, **self.run_context.as_dict()}
         )
+        # overwrite is serializable fail-loud: a CommitConflict means
+        # another writer changed the table since we read it — re-running
+        # re-derives the source against the fresh state (auto-rebasing
+        # would silently clobber the concurrent commit). Staged files stay
+        # unreferenced; the graced vacuum spares a concurrent writer's
+        # in-flight staging.
         self.engine.store.commit(new_man)
         self.engine.manifest = new_man
-        self.engine.store.vacuum(new_man)
+        self.engine.store.vacuum(new_man, grace_s=600.0)
         return rows
 
     # ------------------------------------------------------------------
@@ -375,9 +382,15 @@ class LakeWriter:
     def append(self, ds: "ray.data.Dataset") -> int:
         """Append rows (PK-less audit-table semantics): new delta files join
         the manifest; no LWW on read. DQ gate fused into the staging pass
-        (see :meth:`overwrite`)."""
+        (see :meth:`overwrite`).
+
+        Multi-writer safe: appends are logically commutative (disjoint new
+        files), so a :class:`~..state.manifest.CommitConflict` rebases on
+        the fresh manifest and retries the commit — the staged files are
+        written once, only the pointer swap repeats."""
+        from ..state.manifest import CommitConflict
+
         man = self.engine.manifest
-        version = man.version + 1
         names = self.spec.column_names
         key0 = names[0]
         num_partitions = man.num_partitions
@@ -393,13 +406,12 @@ class LakeWriter:
 
         gate = self._make_gate()
         fused, handle = gate.wrap_stage(stage)
-        out_dir = os.path.join(
-            self.engine.table_dir, "data", f"append-v{version:08d}"
-        )
-        if os.path.isdir(out_dir):  # aborted-attempt hygiene (see overwrite)
-            import shutil
+        # unique per CALL, not version-keyed (see overwrite)
+        import uuid
 
-            shutil.rmtree(out_dir)
+        out_dir = os.path.join(
+            self.engine.table_dir, "data", f"append-{uuid.uuid4().hex[:12]}"
+        )
         try:
             ds.map_batches(fused, batch_format="pyarrow").write_parquet(
                 out_dir, partition_cols=["pid"]
@@ -408,19 +420,42 @@ class LakeWriter:
             gate.abort(handle)
             raise
         gate.finalize(handle)  # DQError propagates pre-commit
-        new_man = Manifest.from_json(man.to_json())
-        new_man.version = version
+
+        staged: dict[int, list[tuple[str, int]]] = {}
         rows = 0
         for f in sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)):
             pid = int(f.split("pid=")[1].split(os.sep)[0])
-            st = new_man.partitions.setdefault(pid, PartitionState())
-            st.files.append(f)
             n = pq.read_metadata(f).num_rows
-            st.rows += n
+            staged.setdefault(pid, []).append((f, n))
             rows += n
-        new_man.history.append(
-            {"op": "append", "version": version, "rows": rows, **self.run_context.as_dict()}
+
+        for _attempt in range(10):
+            man = self.engine.manifest
+            new_man = Manifest.from_json(man.to_json())
+            new_man.version = man.version + 1
+            for pid, files in staged.items():
+                st = new_man.partitions.setdefault(pid, PartitionState())
+                for f, n in files:
+                    st.files.append(f)
+                    st.rows += n
+            new_man.history.append(
+                {
+                    "op": "append",
+                    "version": new_man.version,
+                    "rows": rows,
+                    **self.run_context.as_dict(),
+                }
+            )
+            try:
+                self.engine.store.commit(new_man)
+            except CommitConflict:
+                latest = self.engine.store.load()
+                if latest is None or latest.version <= man.version:
+                    raise  # not a concurrent advance — a real protocol error
+                self.engine.manifest = latest
+                continue
+            self.engine.manifest = new_man
+            return rows
+        raise CommitConflict(
+            f"append to {self.spec.name!r} lost the commit race 10 times in a row"
         )
-        self.engine.store.commit(new_man)
-        self.engine.manifest = new_man
-        return rows

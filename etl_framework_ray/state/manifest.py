@@ -110,20 +110,69 @@ class Manifest:
         )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (or the in-memory
+    manifest is stale). The loser's staged files are unreferenced and
+    reclaimable by vacuum; callers rebase on the fresh manifest and retry
+    (append does this automatically) or re-run (overwrite/merge —
+    serializable, fail-loud)."""
+
+
 class ManifestStore:
-    """Load/commit manifest versions with an atomic CURRENT pointer."""
+    """Load/commit manifest versions with an atomic CURRENT pointer.
+
+    Multi-writer safe: the VERSION FILE is the commit point — created
+    with a hard link (atomic fail-if-exists), so of two concurrent
+    committers of v(N+1) exactly one wins and the loser gets
+    :class:`CommitConflict`. CURRENT is a cached pointer written after
+    the version file; a crash in between leaves a durable-but-unpointed
+    version that the next reader or committer rolls forward
+    (``current_version`` recovery) — the same "log entry is the commit"
+    protocol as Delta (Armbrust et al., VLDB 2020, §3.2)."""
 
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
         self.manifest_dir = os.path.join(table_dir, "_manifest")
 
+    def _vpath(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:08d}.json")
+
     # -- read side ---------------------------------------------------------
     def current_version(self) -> int | None:
+        """Committed version, finishing any crashed committer's pointer
+        swap: version files are complete and durable before they become
+        visible (tmp + fsync + link), so if v(CURRENT+1) exists the commit
+        happened and only the pointer write was lost."""
         cur = os.path.join(self.manifest_dir, "CURRENT")
-        if not os.path.exists(cur):
+        pointed: int | None = None
+        if os.path.exists(cur):
+            with open(cur) as f:
+                pointed = int(f.read().strip())
+        v = pointed or 0
+        while os.path.exists(self._vpath(v + 1)):
+            v += 1
+        if pointed is not None and v == pointed:
+            return pointed
+        if v == 0:
             return None
-        with open(cur) as f:
-            return int(f.read().strip())
+        # roll the pointer forward — re-read first so a slow recoverer
+        # cannot regress a pointer a faster committer already advanced
+        # (a lost race here is self-healing: the next read recovers again)
+        if os.path.exists(cur):
+            with open(cur) as f:
+                if int(f.read().strip()) >= v:
+                    return v
+        import uuid
+
+        ptmp = os.path.join(
+            self.manifest_dir, f"CURRENT.rec-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, cur)
+        return v
 
     def load(self, version: int | None = None) -> Manifest | None:
         """Committed manifest; ``version`` reads an older snapshot (time
@@ -141,46 +190,76 @@ class ManifestStore:
     def commit(self, manifest: Manifest) -> None:
         """Atomically publish ``manifest`` as the next version.
 
-        Refuses to skip/replay versions: ``manifest.version`` must be exactly
-        ``current + 1`` (single-writer protocol; optimistic check catches a
-        concurrent committer or a stale in-memory manifest).
+        Optimistic concurrency: ``manifest.version`` must be exactly
+        ``current + 1`` AND this writer must be the one that creates the
+        version file — ``os.link`` is atomic fail-if-exists, so two
+        committers racing past the precheck still serialize and the loser
+        raises :class:`CommitConflict` (its staged data files stay
+        unreferenced; vacuum reclaims them).
         """
         os.makedirs(self.manifest_dir, exist_ok=True)
         cur = self.current_version()
         expected = (cur or 0) + 1
         if manifest.version != expected:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"manifest version conflict: committing v{manifest.version}, expected v{expected}"
             )
-        vpath = os.path.join(self.manifest_dir, f"v{manifest.version:08d}.json")
-        tmp = vpath + ".tmp"
+        import uuid
+
+        vpath = self._vpath(manifest.version)
+        # unique per ATTEMPT (pid alone collides for same-process threads)
+        tmp = f"{vpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest.to_json(), f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, vpath)
-        ptmp = os.path.join(self.manifest_dir, "CURRENT.tmp")
+        try:
+            os.link(tmp, vpath)  # the commit point: atomic winner-take-all
+        except FileExistsError:
+            raise CommitConflict(
+                f"manifest version conflict: v{manifest.version} was committed "
+                f"concurrently by another writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        ptmp = os.path.join(
+            self.manifest_dir, f"CURRENT.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
         with open(ptmp, "w") as f:
             f.write(str(manifest.version))
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptmp, os.path.join(self.manifest_dir, "CURRENT"))
 
-    def vacuum(self, manifest: Manifest) -> int:
+    def vacuum(self, manifest: Manifest, grace_s: float = 0.0) -> int:
         """Delete data files not referenced by the committed manifest
         (orphans from replaced COW partitions or crashed attempts). Safe to
         run any time after commit; returns number of files removed.
 
+        ``grace_s``: skip unreferenced files younger than this — under
+        concurrent writers an unreferenced file may be another writer's
+        staged-but-not-yet-committed data (the writer paths pass a
+        multi-minute grace; 0 is for single-writer maintenance).
+
         Retained changefeed deltas (``properties['retained_deltas']``) are
         live until their retention expires and the engine prunes them."""
+        import time as _time
+
         live = set(manifest.data_files())
         live.update(e["path"] for e in manifest.properties.get("retained_deltas", []))
         removed = 0
+        cutoff = _time.time() - grace_s
         data_dir = os.path.join(self.table_dir, "data")
         for root, _dirs, files in os.walk(data_dir):
             for name in files:
                 p = os.path.join(root, name)
                 if p not in live:
+                    if grace_s > 0:
+                        try:
+                            if os.path.getmtime(p) > cutoff:
+                                continue
+                        except OSError:
+                            continue  # already gone (concurrent vacuum)
                     os.remove(p)
                     removed += 1
         return removed

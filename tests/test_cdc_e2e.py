@@ -88,3 +88,28 @@ def test_metrics_lineage_written(tmp_path):
     assert set(m.column("epoch_id").to_pylist()) == {
         h["epoch_id"] for h in eng.manifest.history
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_column_pruning(tmp_path):
+    """snapshot(columns=...) must equal the full snapshot projected — same
+    rows, caller's column order — while never decoding unrequested payload
+    (verified indirectly: the pruned lake schema excludes 'text')."""
+    from etl_framework_ray.pipelines.cdc import pruned_lake_schema
+
+    log_tbl, eng, _ = _replay(tmp_path, GenConfig(num_events=3000, seed=47))
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    full = sorted(eng.snapshot().take_all(), key=key)
+    slim = sorted(eng.snapshot(columns=["role", "conv_id", "turn_idx"]).take_all(), key=key)
+    assert len(slim) == len(full)
+    assert list(slim[0].keys()) == ["role", "conv_id", "turn_idx"]  # caller order
+    for f, s in zip(full, slim):
+        assert (s["conv_id"], s["turn_idx"], s["role"]) == (
+            f["conv_id"], f["turn_idx"], f["role"],
+        )
+    pruned = pruned_lake_schema(
+        eng.manifest.schema, eng.key_cols, ["role", "conv_id", "turn_idx"]
+    )
+    assert "text" not in pruned.names  # the wide column is never decoded
+    with pytest.raises(ValueError, match="unknown or internal"):
+        eng.snapshot(columns=["_lsn"])

@@ -294,3 +294,67 @@ def test_merge_sweeps_stale_segments_from_failed_attempt(tmp_path):
     # the real merge staged exactly the 10 rows once: state matches source
     snap = w.engine.snapshot_arrow()
     assert snap.num_rows == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_concurrent_appends_both_land(tmp_path, monkeypatch):
+    """Two independent writers (own manifests, same table dir) appending
+    concurrently: the commit race resolves by rebase-retry, both land."""
+    import threading
+
+    import ray.data
+
+    # not under test: ray's _is_http_filesystem re-imports
+    # fsspec.implementations.http on EVERY write (aiohttp is absent here so
+    # it always fails → False), and a concurrent half-failed import raises
+    # bare ImportError that ray doesn't catch. Threads race it; a real
+    # multi-writer deployment is multi-process and never shares the import.
+    from ray.data.datasource import path_util as _pu
+
+    monkeypatch.setattr(_pu, "_is_http_filesystem", lambda fs: False)
+
+    w1 = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    w2 = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    # force the race: both writers read the SAME base version before either
+    # commits (threads serialize unpredictably otherwise on this tiny data)
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+
+    def go(name, w, rows):
+        ds = ray.data.from_arrow(
+            pa.table({"rule": [f"{name}{i}" for i in range(rows)],
+                      "failed": list(range(rows))})
+        )
+        barrier.wait()
+        results[name] = w.append(ds)
+
+    t1 = threading.Thread(target=go, args=("a", w1, 3))
+    t2 = threading.Thread(target=go, args=("b", w2, 4))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results == {"a": 3, "b": 4}
+    fresh = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    got = fresh.read().to_pandas()
+    assert len(got) == 7
+    assert sorted(got["rule"]) == sorted([f"a{i}" for i in range(3)] + [f"b{i}" for i in range(4)])
+    man = fresh.engine.manifest
+    assert man.version >= 3  # create + two appends
+    ops = [h["op"] for h in man.history]
+    assert ops.count("append") == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stale_overwrite_conflicts_fail_loud(tmp_path):
+    """overwrite is serializable: a writer whose manifest went stale must
+    raise CommitConflict, and the winner's data must survive untouched."""
+    import ray.data
+
+    from etl_framework_ray.state.manifest import CommitConflict
+
+    w1 = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    w2 = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    w1.overwrite(ray.data.from_arrow(pa.table({"rule": ["w1"], "failed": [1]})))
+    with pytest.raises(CommitConflict):
+        w2.overwrite(ray.data.from_arrow(pa.table({"rule": ["w2"], "failed": [2]})))
+    fresh = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    got = fresh.read().to_pandas()
+    assert list(got["rule"]) == ["w1"]
