@@ -23,8 +23,10 @@ own slim schema and needs no sort.
 
 Partitioning assumptions (documented per the operator brief): all rows
 of ONE key fit a worker (the same co-location contract as the CDC
-applier), and blocks × buckets object refs stay bounded
-(≲1e5 — the cdc.py exchange bound; beyond that, raise block size).
+applier), and split-tasks × buckets object refs stay bounded — split
+tasks are capped at ~1 per CPU (each takes a stride of blocks) and
+buckets at max(shuffle_buckets, 2×CPU, ≤256), so the ref matrix grows
+with the cluster, not with how finely Ray happened to split the read.
 
 Determinism: if the right side can hold several rows with the SAME
 (key, time), pre-reduce it first (the oracle query does the same) —
@@ -117,7 +119,6 @@ def _resolve_side_types(
 
 @ray.remote
 def _split_side_task(
-    block,
     by: str,
     on: str,
     keep_cols: list[str],
@@ -125,16 +126,42 @@ def _split_side_task(
     key_t,
     t_t,
     num_buckets: int,
+    *blocks,
 ):
-    """Map round: normalize one block onto its side's slim schema
-    (payload + ``_key``/``_t``) and hash-split it by key into
-    ``num_buckets`` sub-tables (``num_returns=num_buckets``) — the
-    cdc.py ``_prep_segment_task`` shape."""
+    """Map round: normalize a GROUP of blocks onto its side's slim schema
+    (payload + ``_key``/``_t``) and hash-split the concatenation by key
+    into ``num_buckets`` sub-tables (``num_returns=num_buckets``) — the
+    cdc.py ``_prep_segment_task`` shape. Grouping matters: Ray Data reads
+    split small tables into dozens of tiny blocks, and one split task per
+    tiny block × one return per bucket made scheduling (not compute) the
+    cost — 64-block × 64-block inputs measured 16k shuffle refs of
+    near-empty tables before grouping."""
     _single_threaded_arrow()
-    t = pa.Table.from_pandas(block, preserve_index=False) if isinstance(block, pd.DataFrame) else block
-    if t.num_rows == 0:
-        # zero-row blocks (e.g. from repartition) arrive with ZERO columns —
-        # emit the slim schema explicitly so concat/unification still works
+
+    def slim_one(block) -> pa.Table | None:
+        t = (
+            pa.Table.from_pandas(block, preserve_index=False)
+            if isinstance(block, pd.DataFrame)
+            else block
+        )
+        if t.num_rows == 0:
+            # zero-row blocks (e.g. from repartition) can arrive with ZERO
+            # columns — skip; the empty slim schema below covers them
+            return None
+        cols = {}
+        for c in keep_cols:
+            cols[c] = (
+                t.column(c).cast(keep_types[c])
+                if c in t.column_names
+                else pa.nulls(t.num_rows, keep_types[c])
+            )
+        cols["_key"] = t.column(by).cast(key_t)
+        if t_t is not None:
+            cols["_t"] = t.column(on).cast(t_t)
+        return pa.table(cols)
+
+    slims = [s for s in (slim_one(b) for b in blocks) if s is not None]
+    if not slims:
         empty = pa.table(
             {
                 **{c: pa.nulls(0, keep_types[c]) for c in keep_cols},
@@ -143,17 +170,7 @@ def _split_side_task(
             }
         )
         return tuple(empty for _ in range(num_buckets)) if num_buckets > 1 else empty
-    cols = {}
-    for c in keep_cols:
-        cols[c] = (
-            t.column(c).cast(keep_types[c])
-            if c in t.column_names
-            else pa.nulls(t.num_rows, keep_types[c])
-        )
-    cols["_key"] = t.column(by).cast(key_t)
-    if t_t is not None:
-        cols["_t"] = t.column(on).cast(t_t)
-    slim = pa.table(cols)
+    slim = pa.concat_tables(slims) if len(slims) > 1 else slims[0]
     # bucket routing must be DTYPE-STABLE under nulls (the group_topk
     # finding): hash only the VALID keys at their true Arrow dtype — an
     # int64 column converts to float64 only in blocks that happen to hold
@@ -210,16 +227,27 @@ def _direct_keyed_join(
     direct exchange; returns the result as a streaming Dataset."""
     l_refs = _block_refs(left)
     r_refs = [] if right_empty else _block_refs(right)
-    # scale buckets with input blocks: 32 buckets cap reduce parallelism
-    # at 32 tasks regardless of cluster size (round-2 finding)
-    nb = int(max(shuffle_buckets, min(256, len(l_refs) + len(r_refs))))
+    # scale buckets with the CLUSTER, not the block count: 32 buckets cap
+    # reduce parallelism at 32 tasks on bigger clusters (round-2 finding),
+    # but block-count scaling exploded the ref matrix on block-happy reads
+    # (Ray splits even a 15k-row parquet into 64 blocks → 128 buckets ×
+    # 128 split tasks = 16k tiny shuffle objects, scheduling-bound)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = int(max(shuffle_buckets, min(256, cpus * 2)))
     if not l_refs:
         return ray.data.from_arrow_refs([_bucket_join_task.remote(kernel, 0)])
 
     def split(refs, by, on, kc, kt):
+        if not refs:
+            return []
+        # one split task per ~CPU, each taking a stride of blocks
+        n_tasks = min(len(refs), max(1, cpus))
+        groups = [refs[i::n_tasks] for i in range(n_tasks)]
         outs = [
-            _split_side_task.options(num_returns=nb).remote(b, by, on, kc, kt, key_t, t_t, nb)
-            for b in refs
+            _split_side_task.options(num_returns=nb).remote(
+                by, on, kc, kt, key_t, t_t, nb, *grp
+            )
+            for grp in groups
         ]
         return [[o] for o in outs] if nb == 1 else outs
 
