@@ -510,6 +510,18 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return embedding_dedup_lsh(ds, threshold=0.95).select_columns(["vec_id", "is_dup"])
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style near-dup flagging: spherical-k-means clusters as the
+    candidate generator, within-cluster greedy-by-id cosine prune —
+    rows-only check (approximate; recall vs the exact tier is tested)."""
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import semantic_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(ds, threshold=0.95, k=16).select_columns(["vec_id", "is_dup"])
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data
 
@@ -957,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "embedding_dedup",
     "embedding_dedup_lsh",
+    "semantic_dedup",
     "ann_topk",
     "ann_ivf_topk",
     "langid",

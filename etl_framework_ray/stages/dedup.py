@@ -871,3 +871,115 @@ def embedding_dedup_lsh(
         return batch.append_column("is_dup", pa.array(in_sorted(ids, d), pa.bool_()))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    k: int = 16,
+    sample_size: int = 4096,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 8192,
+    shuffle_buckets: int = 64,
+    stats_out: dict | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, then flag near-duplicates WITHIN each cluster only — the
+    k-means partition replaces the LSH banding of
+    :func:`embedding_dedup_lsh` as the candidate generator, trading its
+    multiprobe shuffle fanout ((num_planes+2)× vector copies) for ONE
+    copy per vector plus a bounded driver-side centroid fit.
+
+    Same greedy-by-id rule as the exact tier (``is_dup`` iff an
+    EARLIER-id neighbor in the same cluster has cosine ≥ threshold), so
+    recall is directly measurable against :func:`embedding_dedup`; the
+    approximation misses pairs k-means separates (SemDeDup accepts this
+    by construction — near-dups co-locate semantically).
+
+    Scale shape: centroids train on a bounded driver sample and broadcast
+    once (``ray.put``); assignment is one matmul per batch; clusters
+    route to ``shuffle_buckets`` coarse groups (one UDF dispatch handles
+    all of a group's clusters); within a cluster one (Q, I) matmul against
+    the id-sorted index side, capped at ``max_cluster`` lowest ids with a
+    counted, never-silent truncation; the flagged-id broadcast is
+    O(duplicates)."""
+    from .similarity import _spherical_kmeans, _stack
+
+    sample_tbl = pa.concat_tables(
+        ds.limit(sample_size).select_columns([vec_col]).iter_batches(batch_format="pyarrow")
+    )
+    centroids = _spherical_kmeans(_stack(sample_tbl.column(vec_col)), k, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col),
+                    "_cb": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        cent = ray.get(cent_ref)
+        m = _stack(batch.column(vec_col))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cluster = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        cb = (cluster.astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                vec_col: batch.column(vec_col),
+                "_cb": pa.array(cb),
+                "cluster": pa.array(cluster),
+            }
+        )
+
+    counter = _trunc_counter()
+
+    def coarse_cluster_dups(group: pd.DataFrame) -> pd.DataFrame:
+        out: list[np.ndarray] = []
+        for _, g in group.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            ids = g[id_col].to_numpy()[order]
+            m = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            if len(ids) > max_cluster:  # deterministic: lowest ids indexed
+                counter.add(
+                    {"truncated_buckets": 1, "truncated_rows": len(ids) - max_cluster}
+                )
+            im = m[:max_cluster]
+            iids = ids[:max_cluster]
+            sims = m @ im.T  # (Q, I) — queries are the whole cluster
+            hit = (sims >= threshold) & (iids[None, :] < ids[:, None])
+            out.append(ids[hit.any(axis=1)].astype(np.int64))
+        if not out:
+            return pd.DataFrame({"dup_id": np.array([], np.int64)})
+        return pd.DataFrame({"dup_id": np.unique(np.concatenate(out))})
+
+    try:
+        dup_rows = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(coarse_cluster_dups, batch_format="pandas")
+            .to_pandas()  # O(duplicates) — the broadcast payload
+        )
+    except BaseException:
+        counter.cleanup()
+        raise
+    _report_truncation(counter, stats_out, "semantic_dedup")
+    dups = dup_rows["dup_id"].to_numpy() if "dup_id" in dup_rows.columns else np.array([])
+    dup_ids = np.unique(dups.astype(np.int64))
+    ref = ray.put(dup_ids)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("is_dup", pa.array(in_sorted(ids, d), pa.bool_()))
+
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -251,3 +251,78 @@ def test_derive_num_planes_scales_with_corpus():
     assert _derive_num_planes(_Fake(1_000), 1024) == 8
     assert _derive_num_planes(_Fake(1 << 20), 1024) == 10  # 1M/1k → 2^10 buckets
     assert _derive_num_planes(_Fake(1 << 40), 1024) == 20  # clamped ceiling
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style: k-means clusters as candidate generator)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_recall_vs_exact():
+    """Cluster-bucketed dedup must recover ≥90% of the exact tier's
+    duplicate set on a corpus of planted near-dups, never inventing any
+    (a planted near-pair is ~always co-clustered; the rule is the same
+    greedy-by-id as the exact tier)."""
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import embedding_dedup, semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 32)).astype(np.float64)
+    near = base[:80] + 0.02 * rng.standard_normal((80, 32))
+    vecs = np.vstack([base, near])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = embedding_dedup(ds, threshold=0.95).to_pandas()
+    sem = semantic_dedup(ds, threshold=0.95, k=8).to_pandas()
+    exact_dups = set(exact[exact.is_dup].vec_id)
+    sem_dups = set(sem[sem.is_dup].vec_id)
+    assert exact_dups
+    assert sem_dups <= exact_dups  # clustering can only MISS, never invent
+    recall = len(sem_dups & exact_dups) / len(exact_dups)
+    assert recall >= 0.90, f"recall {recall:.3f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_truncation_counted():
+    """An oversize cluster truncates its INDEX side at the lowest ids and
+    counts it — never silent, and dup flags stay deterministic."""
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(16)
+    vecs = v[None, :] + 0.0001 * rng.standard_normal((50, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([list(v_) for v_ in vecs], pa.list_(pa.float64())),
+        }
+    )
+    stats: dict = {}
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            threshold=0.95,
+            k=2,
+            max_cluster=10,
+            stats_out=stats,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert stats.get("truncated_buckets", 0) >= 1
+    assert stats.get("truncated_rows", 0) > 0
+    # greedy-by-id is per cluster: each of the (≤2) clusters keeps exactly
+    # its lowest id; everyone else is flagged regardless of the index cap
+    assert not out.iloc[0]["is_dup"]  # global min id is always kept
+    kept = int((~out["is_dup"]).sum())
+    assert 1 <= kept <= 2
+    assert out["is_dup"].sum() == 50 - kept
