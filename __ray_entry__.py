@@ -261,6 +261,56 @@ def _cdc_corpus_incremental(sf_dir: str):
     return view.read()
 
 
+def _cdc_tool_usage_incremental(sf_dir: str):
+    """Incrementally-maintained per-(conversation, tool) call counts (IVM
+    over the changefeed): bootstrap at half the log, advance over the
+    rest — must equal the full-state oracle (group-by over the
+    LWW-resolved final table)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalToolUsage
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    src = _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivmt_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    for f in segs[:half]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalToolUsage(eng, os.path.join(work, "tool_usage"))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()
+    for f in segs[half:]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()
+    return view.read()
+
+
+def _tool_usage_view_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, tool
+            FROM ranked WHERE rn = 1 AND op <> 'D' AND tool IS NOT NULL
+        )
+        SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS calls
+        FROM snap GROUP BY conv_id, tool
+    """
+
+
 def _assemble_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     return f"""
@@ -936,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
         "cdc_corpus_incremental": _cdc_corpus_incremental,
+        "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
         "clean_parts": m.clean_parts,
@@ -1033,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
+        "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),
         "repetition_stats": """

@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("snapshot", help="row count / export of the committed state")
     ps.add_argument("--table", required=True)
     ps.add_argument("--version", type=int, default=None)
+    ps.add_argument(
+        "--as-of-ts",
+        type=float,
+        default=None,
+        help="time travel: newest version committed at or before this unix time",
+    )
     ps.add_argument("--out", default=None)
 
     pp = sub.add_parser("publish", help="resumable partitioned export")
@@ -195,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "snapshot":
         eng = _existing_engine(args.table)
-        t = eng.snapshot_arrow(version=args.version)
+        t = eng.snapshot_arrow(version=args.version, as_of_ts=args.as_of_ts)
         if args.out:
             import pyarrow.parquet as pq
 

@@ -1615,13 +1615,27 @@ class CDCEngine:
         t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
         return t.sort_by([(k, "ascending") for k in self.key_cols])
 
-    def snapshot_arrow(self, version: int | None = None) -> pa.Table:
+    def snapshot_arrow(
+        self, version: int | None = None, as_of_ts: float | None = None
+    ) -> pa.Table:
         """Driver-side committed state (no Ray) — for tests/oracles on small
         tables. Sorted by primary key (stable turn ordering).
 
         ``version`` time-travels to an older committed manifest (every
         commit leaves its manifest snapshot on disk; valid until ``vacuum``
-        removes the superseded data files — standard lakehouse semantics)."""
+        removes the superseded data files — standard lakehouse semantics).
+        ``as_of_ts`` (unix seconds) resolves the newest version committed
+        at or before that wall-clock time (``VERSION AS OF TIMESTAMP``);
+        mutually exclusive with ``version``."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.store.version_at(as_of_ts)
+            if version is None:
+                raise ValueError(
+                    f"no version of {self.table_dir!r} was committed at or before "
+                    f"ts={as_of_ts}"
+                )
         man = self.manifest if version is None else self.store.load(version)
         lake = man.schema
         public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])

@@ -197,6 +197,53 @@ class CorpusKernel:
         return join_dialogues(pd.concat(partials))
 
 
+class ToolUsageKernel:
+    """View kernel for per-(conversation, tool) call counts — the
+    incremental form of ``publish.tool_usage``'s first exchange (the
+    (tool, conv) grain). The view stays keyed by ``conv_id`` so the
+    engine's touched-conversation splice applies unchanged (several rows
+    per conversation — the splice filters old rows by conv hash, not by
+    row identity); global per-tool totals are a tiny roll-up over the
+    view (``calls`` sum + row count per tool), never over raw turns."""
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("calls", pa.int64()),
+        ]
+    )
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "conv_id": live.column("conv_id").to_pandas(),
+                "tool": live.column("tool").to_pandas(),
+            }
+        )
+        df = df[df["tool"].notna()]
+        return (
+            df.groupby(["conv_id", "tool"], sort=False).size().rename("calls").reset_index()
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        g = (
+            pd.concat(partials)
+            .groupby(["conv_id", "tool"], sort=False)["calls"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.Array.from_pandas(g["conv_id"], type=pa.string()),
+                "tool": pa.Array.from_pandas(g["tool"], type=pa.string()),
+                "calls": pa.Array.from_pandas(g["calls"], type=pa.int64()),
+            }
+        )
+
+
 class IncrementalRollup:
     """Incrementally-maintained view of a ``CDCEngine`` table — by default
     the ``conversation_rollup`` aggregate; pass ``kernel=CorpusKernel()``
@@ -481,3 +528,13 @@ class IncrementalCorpus(IncrementalRollup):
 
     def __init__(self, engine, view_dir: str):
         super().__init__(engine, view_dir, kernel=CorpusKernel())
+
+
+class IncrementalToolUsage(IncrementalRollup):
+    """Incrementally-maintained per-(conversation, tool) call counts over
+    the CDC changefeed (agent-telemetry grain kept continuously fresh).
+    Same durable-state, rebuild, and retention-floor contracts as
+    :class:`IncrementalRollup`."""
+
+    def __init__(self, engine, view_dir: str):
+        super().__init__(engine, view_dir, kernel=ToolUsageKernel())

@@ -66,6 +66,9 @@ class Manifest:
     primary_key: list[str] = field(default_factory=list)
     #: append-only lineage: one entry per committed epoch
     history: list[dict] = field(default_factory=list)
+    #: wall-clock commit time (stamped by ManifestStore.commit) — enables
+    #: timestamp time travel; None for pre-upgrade versions
+    committed_at: float | None = None
 
     @property
     def schema(self) -> pa.Schema:
@@ -92,6 +95,7 @@ class Manifest:
             "properties": self.properties,
             "primary_key": self.primary_key,
             "history": self.history,
+            "committed_at": self.committed_at,
         }
 
     @staticmethod
@@ -107,6 +111,7 @@ class Manifest:
             properties=dict(d.get("properties", {})),
             primary_key=list(d.get("primary_key", [])),
             history=list(d.get("history", [])),
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -174,6 +179,20 @@ class ManifestStore:
         os.replace(ptmp, cur)
         return v
 
+    def version_at(self, ts: float) -> int | None:
+        """Newest committed version whose commit time is ≤ ``ts`` —
+        timestamp time travel (Delta's ``VERSION AS OF TIMESTAMP``).
+        Linear scan from CURRENT downward (robust to clock regressions
+        between commits, and the common ask is a recent timestamp);
+        pre-upgrade versions without a commit stamp qualify as old."""
+        v = self.current_version()
+        while v is not None and v >= 1:
+            m = self.load(v)
+            if m.committed_at is None or m.committed_at <= ts:
+                return v
+            v -= 1
+        return None
+
     def load(self, version: int | None = None) -> Manifest | None:
         """Committed manifest; ``version`` reads an older snapshot (time
         travel — every commit leaves its full manifest version on disk)."""
@@ -204,8 +223,10 @@ class ManifestStore:
             raise CommitConflict(
                 f"manifest version conflict: committing v{manifest.version}, expected v{expected}"
             )
+        import time as _time
         import uuid
 
+        manifest.committed_at = _time.time()
         vpath = self._vpath(manifest.version)
         # unique per ATTEMPT (pid alone collides for same-process threads)
         tmp = f"{vpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"

@@ -314,3 +314,48 @@ def test_advance_crash_orphans_are_pruned_next_commit(tmp_path):
     view.advance()
     assert not os.path.exists(orphan)
     _assert_view_equals(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_tool_usage_equals_full_rollup(tmp_path):
+    """The tool-usage view (IncrementalToolUsage) after bootstrap + one
+    incremental advance equals a from-scratch per-(conv, tool) count of
+    the committed state — updates and deletes included. A multi-row-per-
+    conversation view exercises the splice's hash filter (not row
+    identity)."""
+    from etl_framework_ray.pipelines.incremental import IncrementalToolUsage
+
+    log = generate_changelog(
+        GenConfig(num_events=6000, num_conversations=80, seed=23, delete_frac=0.08)
+    )
+    half = log.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, half), segment_rows=1500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8)
+    eng.replay(clog)
+
+    view = IncrementalToolUsage(eng, str(tmp_path / "tools"))
+    s1 = view.advance()
+    assert s1["touched_convs"] == -1  # bootstrap
+
+    clog.write_segments(log.slice(half), segment_rows=1500)
+    eng.replay(clog)
+    s2 = view.advance()
+    assert 0 < s2["touched_convs"]
+
+    snap = eng.snapshot_arrow().to_pandas()
+    snap = snap[snap["tool"].notna()]
+    want = (
+        snap.groupby(["conv_id", "tool"], sort=True).size().rename("calls").reset_index()
+    )
+    got = (
+        view.read_arrow()
+        .to_pandas()
+        .sort_values(["conv_id", "tool"])
+        .reset_index(drop=True)
+    )
+    want["calls"] = want["calls"].astype("int64")
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+    s3 = view.advance()
+    assert s3["touched_convs"] == 0 and s3["rows_written"] == 0

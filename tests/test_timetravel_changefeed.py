@@ -358,3 +358,31 @@ def test_inherit_sentinel_compares_by_equality(tmp_path):
                      changefeed_retention_lsn=clone)
     assert eng2.changefeed_retention_lsn == 7_000
     assert eng2.manifest.version == eng.manifest.version  # no config commit
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_travel_by_timestamp(tmp_path):
+    """as_of_ts resolves the newest version committed at or before the
+    given wall-clock time; pre-table timestamps error; version/as_of_ts
+    are mutually exclusive."""
+    import time
+
+    log, clog, eng = _setup(tmp_path)
+    t_before_any = time.time() - 3600.0
+    commits = []  # (committed_at, version, snapshot)
+    for ep in clog.epochs(1):
+        eng.apply_epoch(ep)
+        commits.append((eng.manifest.committed_at, eng.manifest.version, eng.snapshot_arrow()))
+    assert all(c[0] is not None for c in commits)
+    # exactly at a commit time → that version; just before → the previous
+    for i, (ts, version, snap) in enumerate(commits):
+        assert eng.store.version_at(ts) == version
+        assert eng.snapshot_arrow(as_of_ts=ts).equals(snap)
+    assert eng.store.version_at(time.time() + 60) == eng.manifest.version
+    mid = (commits[0][0] + commits[1][0]) / 2.0
+    if commits[1][0] > commits[0][0]:  # distinct clock ticks
+        assert eng.store.version_at(mid) == commits[0][1]
+    with pytest.raises(ValueError, match="committed at or before"):
+        eng.snapshot_arrow(as_of_ts=t_before_any)
+    with pytest.raises(ValueError, match="not both"):
+        eng.snapshot_arrow(version=2, as_of_ts=commits[0][0])
