@@ -63,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
         "at the next fold; lagging consumers get the loud coverage error)",
     )
 
+    pt = sub.add_parser(
+        "tail", help="follow a changelog: poll + apply new segments (exactly-once)"
+    )
+    pt.add_argument("--log", required=True)
+    pt.add_argument("--table", required=True)
+    pt.add_argument("--partitions", type=int, default=32)
+    pt.add_argument("--epoch-segments", type=int, default=4)
+    pt.add_argument("--pipelined", action="store_true")
+    pt.add_argument("--poll-s", type=float, default=2.0)
+    pt.add_argument("--max-polls", type=int, default=None)
+    pt.add_argument(
+        "--idle-stop", type=int, default=None,
+        help="exit after this many consecutive empty polls (drain-then-exit)",
+    )
+
     ps = sub.add_parser("snapshot", help="row count / export of the committed state")
     ps.add_argument("--table", required=True)
     ps.add_argument("--version", type=int, default=None)
@@ -195,6 +210,27 @@ def main(argv: list[str] | None = None) -> int:
                     "seconds": round(stats.seconds, 3),
                     "events_per_sec": round(stats.events_per_sec, 1),
                     "schema_changes": stats.schema_changes,
+                    "applied_lsn": eng.manifest.applied_lsn,
+                }
+            )
+        )
+    elif args.cmd == "tail":
+        started_ray = _init_ray(args.num_cpus)
+        eng = CDCEngine(args.table, num_partitions=args.partitions)
+        stats = eng.tail(
+            ChangeLog(args.log),
+            poll_s=args.poll_s,
+            max_polls=args.max_polls,
+            idle_stop_polls=args.idle_stop,
+            segments_per_epoch=args.epoch_segments,
+            pipelined=args.pipelined,
+        )
+        print(
+            json.dumps(
+                {
+                    "epochs_applied": stats.epochs_applied,
+                    "events": stats.events,
+                    "seconds": round(stats.seconds, 3),
                     "applied_lsn": eng.manifest.applied_lsn,
                 }
             )

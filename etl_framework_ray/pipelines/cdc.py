@@ -1092,6 +1092,44 @@ class CDCEngine:
         return stats
 
     # ------------------------------------------------------------------
+    def tail(
+        self,
+        changelog: ChangeLog,
+        poll_s: float = 2.0,
+        max_polls: int | None = None,
+        idle_stop_polls: int | None = None,
+        **replay_kw,
+    ) -> ReplayStats:
+        """Continuously FOLLOW the changelog: poll for segments past the
+        manifest watermark and apply them — the long-running "tail the
+        binlog" deployment shape (the north-star's continuous ingester;
+        each poll is one exactly-once :meth:`replay`, so a killed tailer
+        resumes from the last committed epoch like any other run).
+
+        Stop conditions (both optional; pass neither to follow forever):
+        ``max_polls`` bounds total polls, ``idle_stop_polls`` stops after
+        that many CONSECUTIVE empty polls (drain-then-exit for batch
+        catch-up jobs). ``replay_kw`` forwards to :meth:`replay`
+        (``pipelined=True`` keeps the pool busy across epoch boundaries
+        within one poll). Returns the aggregate stats over all polls."""
+        total = ReplayStats()
+        polls = idle = 0
+        while True:
+            stats = self.replay(changelog, **replay_kw)
+            total.epochs_applied += stats.epochs_applied
+            total.epochs_skipped += stats.epochs_skipped
+            total.events += stats.events
+            total.seconds += stats.seconds
+            total.schema_changes.extend(stats.schema_changes)
+            polls += 1
+            idle = 0 if stats.epochs_applied else idle + 1
+            if max_polls is not None and polls >= max_polls:
+                return total
+            if idle_stop_polls is not None and idle >= idle_stop_polls:
+                return total
+            if poll_s > 0:
+                time.sleep(poll_s)
+
     def snapshot(
         self, pids: list[int] | None = None, columns: list[str] | None = None
     ) -> "ray.data.Dataset":

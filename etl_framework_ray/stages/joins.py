@@ -362,10 +362,21 @@ def equi_join(
     shuffle-join path (the broadcast pattern covers small sides;
     reference join semantics /root/reference/src/gold/product_dimension.py:62-74).
 
-    Output = all left columns + one ``r_<col>`` per entry of
-    ``right_cols``. ``how`` is ``"inner"`` or ``"left"``. Duplicate right
-    keys multiply rows (standard join semantics); NULL keys never match
-    (SQL parity — pandas ``merge`` would otherwise pair NaN with NaN).
+    ``how``:
+
+    - ``"inner"`` / ``"left"`` — output is all left columns + one
+      ``r_<col>`` per entry of ``right_cols``; duplicate right keys
+      multiply rows (standard join semantics).
+    - ``"semi"`` / ``"anti"`` — output is the left rows with at least one
+      / no right match, left columns only, never multiplied
+      (``right_cols`` must be empty; only the right KEY ships through the
+      exchange). For a semi-join against a large right side consider
+      ``sketches.bloom_semijoin`` first — it pre-filters without
+      shuffling the left side at all.
+
+    NULL keys never match (SQL parity — pandas ``merge`` would otherwise
+    pair NaN with NaN; NULL-key left rows survive ``anti``, as in SQL
+    ``NOT EXISTS``).
 
     Why not ``Dataset.join``: Ray Data's hash join is a 4-round
     sort/exchange with a barrier whose fixed costs measured ~4.1 s at
@@ -375,14 +386,21 @@ def equi_join(
 
     Partitioning assumption (as the temporal joins): all rows of one join
     key fit a worker; blocks × buckets refs stay ≲1e5."""
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"{how} join carries no right payload; pass right_cols=[]")
     left, right = _ensure_arrow(left), _ensure_arrow(right)
     l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
         left, right, left_on, None, right_on, right_cols
     )
 
     def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pa.Table:
+        if how in ("semi", "anti"):
+            rk = rdf["_key"].dropna().unique() if len(rdf) else []
+            member = ldf["_key"].isin(rk) & ldf["_key"].notna()
+            out = ldf[member if how == "semi" else ~member]
+            return _typed_out(out.reset_index(drop=True), l_names, l_types, {})
         ren = {c: f"r_{c}" for c in r_cols}
         if len(rdf):
             # drop NULL right keys pre-merge: SQL joins never match NULLs,

@@ -545,3 +545,38 @@ def test_asof_nullable_int_key_routing():
         .reset_index(drop=True)
     )
     assert list(out["r_v"]) == [None, "hit", "hit"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_semi_anti():
+    """semi keeps matched left rows exactly once (no multiplication from
+    duplicate right keys); anti keeps the complement INCLUDING null-key
+    rows (SQL NOT EXISTS)."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, None, 4], pa.int64()),
+            "x": pa.array([10, 11, 20, 30, 40], pa.int64()),
+        }
+    )
+    right = pa.table({"k2": pa.array([1, 1, 9, None], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right)
+    semi = (
+        equi_join(lds, rds, left_on="k", right_on="k2", right_cols=[], how="semi",
+                  shuffle_buckets=3)
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    assert list(semi["x"]) == [10, 11]  # both k=1 rows, no multiplication
+    assert list(semi.columns) == ["k", "x"]
+    anti = (
+        equi_join(lds, rds, left_on="k", right_on="k2", right_cols=[], how="anti",
+                  shuffle_buckets=3)
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    assert list(anti["x"]) == [20, 30, 40]  # null-key row survives anti
+    with pytest.raises(ValueError, match="no right payload"):
+        equi_join(lds, rds, left_on="k", right_on="k2", right_cols=["k2"], how="semi")

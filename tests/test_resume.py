@@ -141,3 +141,36 @@ def test_apply_task_retry_is_idempotent(tmp_path):
     # exactly one staged file exists for this (partition, epoch)
     d = os.path.dirname(first["path"])
     assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_follows_growing_changelog(tmp_path):
+    """tail() drains what exists, picks up segments appended between
+    polls, and stops after the configured idle polls — final state equals
+    the oracle and re-tailing is a no-op."""
+    from etl_framework_ray.sources.generator import oracle_replay
+
+    log = generate_changelog(GenConfig(num_events=4000, seed=77))
+    half = log.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, half), segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+
+    s1 = eng.tail(clog, poll_s=0, max_polls=1, segments_per_epoch=1)
+    assert s1.epochs_applied > 0
+    mid_lsn = eng.manifest.applied_lsn
+
+    clog.write_segments(log.slice(half), segment_rows=1000)
+    s2 = eng.tail(clog, poll_s=0, idle_stop_polls=2, segments_per_epoch=1)
+    assert s2.epochs_applied > 0
+    assert eng.manifest.applied_lsn > mid_lsn
+
+    oracle = oracle_replay(log)
+    state = eng.snapshot_arrow().to_pylist()
+    assert len(state) == len(oracle)
+    for row, k in zip(state, sorted(oracle)):
+        assert (row["conv_id"], row["turn_idx"]) == k
+        assert row["text"] == oracle[k]["text"]
+
+    s3 = eng.tail(clog, poll_s=0, idle_stop_polls=1, segments_per_epoch=1)
+    assert s3.epochs_applied == 0 and s3.events == 0
