@@ -580,3 +580,67 @@ def test_equi_join_semi_anti():
     assert list(anti["x"]) == [20, 30, 40]  # null-key row survives anti
     with pytest.raises(ValueError, match="no right payload"):
         equi_join(lds, rds, left_on="k", right_on="k2", right_cols=["k2"], how="semi")
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None)
+@given(
+    n_left=st.integers(0, 60),
+    n_right=st.integers(0, 60),
+    n_keys=st.integers(1, 8),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+    seed=st.integers(0, 10_000),
+)
+def test_equi_join_matches_pandas_property(n_left, n_right, n_keys, how, seed):
+    """Property: equi_join ≡ pandas merge / isin on random frames with
+    duplicate keys and ~10% null keys, across all four modes."""
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    rng = np.random.default_rng(seed)
+
+    def keys(n):
+        k = rng.integers(0, n_keys, n).astype(float)
+        k[rng.random(n) < 0.1] = np.nan
+        return k
+
+    ldf = pd.DataFrame({"k": keys(n_left), "x": rng.integers(0, 1000, n_left)})
+    rdf = pd.DataFrame({"rk": keys(n_right), "v": rng.normal(size=n_right)})
+    lt = pa.table({"k": pa.array(ldf["k"]), "x": pa.array(ldf["x"], pa.int64())})
+    rt = pa.table({"rk": pa.array(rdf["rk"]), "v": pa.array(rdf["v"])})
+    if n_left == 0:
+        return  # empty left has no schema; the API requires one
+    lds = ray.data.from_arrow(lt).repartition(3)
+    rds = ray.data.from_arrow(rt).repartition(2) if n_right else ray.data.from_arrow(rt)
+    got = equi_join(
+        lds, rds, left_on="k", right_on="rk",
+        right_cols=[] if how in ("semi", "anti") else ["v"],
+        how=how, shuffle_buckets=4,
+    ).to_pandas()
+
+    l2 = ldf.copy()
+    r2 = rdf.dropna(subset=["rk"])
+    if how in ("semi", "anti"):
+        member = l2["k"].isin(r2["rk"].unique()) & l2["k"].notna()
+        want = l2[member if how == "semi" else ~member][["k", "x"]]
+        key_cols = ["k", "x"]
+    else:
+        want = l2.merge(
+            r2.rename(columns={"v": "r_v"}), left_on="k", right_on="rk", how=how
+        )[["k", "x", "r_v"]]
+        if how == "inner":
+            want = want[want["k"].notna()]
+        key_cols = ["k", "x", "r_v"]
+    if len(want) == 0:
+        # Ray's to_pandas() on an all-empty dataset returns a columnless
+        # frame (the Dataset schema itself is correct) — row count is the
+        # only comparable fact
+        assert len(got) == 0
+        return
+    g = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    w = want.sort_values(key_cols).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    for c in key_cols:
+        a, b = g[c].to_numpy(dtype=float), w[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, equal_nan=True), c
