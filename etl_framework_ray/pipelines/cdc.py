@@ -1522,6 +1522,18 @@ class CDCEngine:
                     delta_files.append((int(m.group(2)) if m else -1, e["path"]))
         return delta_files
 
+    def changefeed_since_ts(self, ts: float) -> "ray.data.Dataset":
+        """Changefeed of everything committed AFTER the given wall-clock
+        time: resolves the newest version committed at or before ``ts``
+        (the same commit stamps as timestamp time travel) and streams the
+        changes past that version's LSN watermark — "what changed since I
+        looked on Tuesday" without the consumer tracking LSNs. A ``ts``
+        older than the first commit yields the feed from LSN 0 (subject
+        to the same retention-floor errors as :meth:`changefeed`)."""
+        v = self.store.version_at(ts)
+        wm = 0 if v is None else int(self.store.load(v).applied_lsn)
+        return self.changefeed(since_lsn=wm)
+
     def changefeed(self, since_lsn: int) -> "ray.data.Dataset":
         """Changefeed for downstream consumers as a STREAMING Dataset: the
         net row-level changes committed after ``since_lsn`` (delta files

@@ -430,6 +430,47 @@ def equi_join(
     )
 
 
+def _direct_grouped_apply(
+    ds: "ray.data.Dataset", key_col: str, kernel, shuffle_buckets: int
+) -> "ray.data.Dataset":
+    """One-input direct exchange: hash-split the dataset's blocks by
+    ``key_col`` (dtype-stable under nulls; null keys to bucket 0) and run
+    ``kernel(df) -> pa.Table`` ONCE per bucket over all of its groups —
+    the join exchange with an absent right side. The input's own blocks
+    (grouped ~one split task per CPU) replace a Dataset
+    ``groupby().map_groups`` sort exchange and its four scheduling
+    rounds."""
+    ds = _ensure_arrow(ds)
+    schema = ds.schema()
+    if schema is None:
+        return ds
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    refs = _block_refs(ds)
+    if not refs:
+        return ds
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = int(max(shuffle_buckets, min(256, cpus * 2)))
+    n_tasks = min(len(refs), max(1, cpus))
+    block_groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    outs = [
+        _split_side_task.options(num_returns=nb).remote(
+            key_col, None, names, types, types[key_col], None, nb, *grp
+        )
+        for grp in block_groups
+    ]
+    splits = [[o] for o in outs] if nb == 1 else outs
+
+    def one_sided(lhs: pd.DataFrame, _rdf: pd.DataFrame) -> pa.Table:
+        return kernel(lhs.drop(columns=["_key"]))
+
+    out_refs = [
+        _bucket_join_task.remote(one_sided, len(splits), *[s[i] for s in splits])
+        for i in range(nb)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def group_topk(
     ds: "ray.data.Dataset",
     group_col: str,
@@ -440,10 +481,11 @@ def group_topk(
 ) -> "ray.data.Dataset":
     """Top-k rows PER GROUP by ``order_cols`` (the generic form of A5's
     argmax; deterministic when ``order_cols`` ends in a unique
-    tie-breaker). Coarse-bucketed: groups co-locate via
-    ``hash(group) % shuffle_buckets`` and one pandas sort+head per bucket
+    tie-breaker). Runs on the direct exchange
+    (:func:`_direct_grouped_apply`): one pandas sort+head per bucket
     handles ALL of its groups — one UDF dispatch per bucket, not per
-    group. Pre-trim: each input block keeps only its own per-group top-k
+    group, and none of the Dataset sort-exchange's fixed costs.
+    Pre-trim: each input block keeps only its own per-group top-k
     before the shuffle, so at most ``k × groups`` rows per block move.
     Outputs rebuild at the INPUT's Arrow types (a pandas round-trip flips
     nullable int64 → float64 only in blocks that happen to hold nulls,
@@ -457,48 +499,26 @@ def group_topk(
     out_types = dict(zip(schema.names, schema.types))
     out_names = list(schema.names)
 
-    def _retype(df: pd.DataFrame, extra: dict | None = None) -> pa.Table:
-        cols = {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in out_names}
-        if extra:
-            cols.update(extra)
-        return pa.table(cols)
+    def _retype(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in out_names}
+        )
 
-    def trim(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        df = batch.to_pandas()
-        out = (
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
             df.sort_values(order_cols, ascending=ascending, kind="mergesort")
             .groupby(group_col, sort=False, dropna=False)  # SQL keeps the NULL partition
             .head(k)
         )
-        # bucket routing must be DTYPE-STABLE under nulls: hash only the
-        # valid keys at their true Arrow dtype (a pandas conversion flips
-        # int64→float64 when a batch happens to hold a null, splitting one
-        # group across buckets); null-key rows get a dedicated bucket
-        arr = pa.Array.from_pandas(out[group_col], type=batch.schema.field(group_col).type)
-        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-        cb = np.full(len(out), shuffle_buckets, dtype=np.int64)  # null bucket
-        vv = arr.drop_null().to_numpy(zero_copy_only=False)
-        if len(vv):
-            cb[np.flatnonzero(valid)] = (
-                stable_hash_array(vv) % np.uint64(shuffle_buckets)
-            ).astype(np.int64)
-        return _retype(out, {"_cb": pa.array(cb, pa.int64())})
 
-    def bucket_topk(df: pd.DataFrame) -> pa.Table:
-        out = (
-            df.drop(columns=["_cb"])
-            .sort_values(order_cols, ascending=ascending, kind="mergesort")
-            .groupby(group_col, sort=False, dropna=False)
-            .head(k)
-        )
-        return _retype(out)
+    def trim(batch: pa.Table) -> pa.Table:
+        return _retype(topk(batch.to_pandas()))
 
-    return (
-        ds.map_batches(trim, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(bucket_topk, batch_format="pandas")
+    return _direct_grouped_apply(
+        ds.map_batches(trim, batch_format="pyarrow"),
+        group_col,
+        lambda df: _retype(topk(df)),
+        shuffle_buckets,
     )
 
 

@@ -386,3 +386,29 @@ def test_time_travel_by_timestamp(tmp_path):
         eng.snapshot_arrow(as_of_ts=t_before_any)
     with pytest.raises(ValueError, match="not both"):
         eng.snapshot_arrow(version=2, as_of_ts=commits[0][0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changefeed_since_ts(tmp_path):
+    """changefeed_since_ts(ts) streams exactly the changes committed
+    after the version in effect at ts; a pre-table ts yields the full
+    feed."""
+    log, clog, eng = _setup(tmp_path)
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    mid_ts = eng.manifest.committed_at
+    mid_lsn = eng.manifest.applied_lsn
+    for ep in epochs[1:]:
+        eng.apply_epoch(ep)
+
+    via_ts = eng.changefeed_since_ts(mid_ts).to_pandas()
+    via_lsn = eng.changefeed(since_lsn=mid_lsn).to_pandas()
+    key = ["conv_id", "turn_idx", "_lsn"]
+    pd_sorted = lambda df: df.sort_values(key).reset_index(drop=True)  # noqa: E731
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_sorted(via_ts), pd_sorted(via_lsn))
+
+    full = eng.changefeed_since_ts(0.0).to_pandas()
+    assert len(full) >= len(via_ts)
+    assert full["_lsn"].min() >= 1
