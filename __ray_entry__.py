@@ -461,6 +461,20 @@ def _q_approx_distinct_users(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([round(est)], pa.int64())})
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users per event type —
+    per-group mergeable register partials co-located on the direct
+    exchange; rows-only (accuracy + partition invariance tested)."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import hll_distinct_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return hll_distinct_by(ds, "event_type", "user_id", p=12)
+
+
 def _q_normalize_text(sf_dir: str):
     import ray.data
 
@@ -1013,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "decontaminate_docs": _q_decontaminate,
         "approx_distinct_users": _q_approx_distinct_users,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "top_events_per_user": _q_top_events_per_user,
         "price_quantiles": _q_price_quantiles,
         "doc_chunks_packed": _q_doc_chunks_packed,

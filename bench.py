@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "embedding_dedup_lsh",
     "semantic_dedup",
+    "distinct_users_by_type",
     "ann_topk",
     "ann_ivf_topk",
     "langid",

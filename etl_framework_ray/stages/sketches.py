@@ -225,3 +225,80 @@ def bloom_semijoin(
         return batch.filter(pa.array(mask))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def hll_distinct_by(
+    ds: "object", group_col: str, col: str, p: int = 10
+) -> "object":
+    """Approximate per-group COUNT(DISTINCT col) — grouped HyperLogLog.
+
+    Per block: one register set PER GROUP PRESENT IN THE BLOCK (the loop
+    is over groups-in-block, the register fold per group is the same
+    vectorized pass as :func:`hll_distinct`); partials then co-locate by
+    group on the direct exchange and merge by elementwise max. NULL
+    groups form their own group (SQL ``GROUP BY`` parity); NULL values
+    are excluded from the count (SQL ``COUNT(DISTINCT)`` parity).
+
+    Cost model: the shuffle carries O(groups-per-block × blocks) rows of
+    2^p bytes — the default ``p=10`` (1 KiB, ~3.2% rel. error) keeps a
+    1e4-group × 1e3-block table at ~10 GB of partials; raise ``p`` for
+    accuracy when the group count is modest (p=12 → ~1.6%). For LOW
+    group cardinality an exact ``groupby().aggregate(Count distinct)``
+    shuffles less; this sketch wins when values-per-group are huge.
+
+    Returns a Dataset of ``(group_col, approx_distinct: double)``."""
+    import pandas as pd
+
+    from .joins import _direct_grouped_apply
+
+    m = 1 << p
+
+    def part(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        vals = batch.column(col)
+        mask = pc.is_valid(vals)
+        g = gcol.filter(mask).to_pandas()
+        v = vals.drop_null().to_numpy(zero_copy_only=False)
+        groups, regs = [], []
+        if len(v):
+            # factorize, not groupby(dropna=False): pandas' grouper builds a
+            # Categorical and refuses null categories on object columns
+            codes, uniques = pd.factorize(g, use_na_sentinel=False)
+            for ci, gval in enumerate(np.asarray(uniques, dtype=object)):
+                groups.append(None if pd.isna(gval) else gval)
+                regs.append(_fold_registers(v[codes == ci], p))
+        gtype = gcol.type
+        return pa.table(
+            {
+                group_col: pa.array(groups, gtype),
+                "regs": pa.array(
+                    [r.tolist() for r in regs], pa.list_(pa.uint8())
+                ),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        groups, ests = [], []
+        codes, uniques = pd.factorize(df[group_col], use_na_sentinel=False)
+        regs_np = df["regs"].to_numpy()
+        for ci, gval in enumerate(np.asarray(uniques, dtype=object)):
+            stacked = np.stack(
+                [np.asarray(r, dtype=np.uint8) for r in regs_np[codes == ci]]
+            )
+            merged = np.maximum.reduce(stacked) if len(stacked) > 1 else stacked[0]
+            groups.append(None if pd.isna(gval) else gval)
+            ests.append(_estimate(merged))
+        gtype = df_types.get(group_col)
+        return pa.table(
+            {
+                group_col: pa.Array.from_pandas(pd.Series(groups), type=gtype),
+                "approx_distinct": pa.array(ests, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    df_types = {group_col: None}
+    sch = partials.schema()
+    if sch is not None:
+        df_types[group_col] = dict(zip(sch.names, sch.types))[group_col]
+    return _direct_grouped_apply(partials, group_col, kernel, shuffle_buckets=32)

@@ -175,3 +175,65 @@ def test_bloom_semijoin_exact_with_nulls(ray_session):
     assert len(out) == len(expected)
     got = set(zip(out["k"].astype(int), out["payload"].astype(int)))
     assert got == set(expected)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_by_accuracy_and_nulls():
+    """Grouped HLL: per-group estimates within the sketch's error bound;
+    NULL groups form their own group; NULL values are excluded."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    groups = rng.choice(["a", "b", "c"], n).astype(object)
+    groups[rng.random(n) < 0.05] = None
+    # distinct pools of very different sizes per group
+    vals = np.where(
+        groups == "a", rng.integers(0, 5000, n),
+        np.where(groups == "b", rng.integers(0, 500, n), rng.integers(0, 50, n)),
+    ).astype(float)
+    vals[rng.random(n) < 0.03] = np.nan
+    t = pa.table({"g": pa.array(groups, pa.string()), "v": pa.array(vals, pa.float64())})
+    out = (
+        hll_distinct_by(ray.data.from_arrow(t).repartition(6), "g", "v", p=12)
+        .to_pandas()
+        .set_index("g")
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"g": groups, "v": vals})
+    exact = df.dropna(subset=["v"]).groupby("g", dropna=False)["v"].nunique()
+    assert len(out) == 4  # a, b, c, and the NULL group
+    for gval, true in exact.items():
+        key = gval if not pd.isna(gval) else None
+        est = out.loc[key, "approx_distinct"] if key is not None else out[out.index.isna()]["approx_distinct"].iloc[0]
+        assert abs(est - true) / true < 0.10, (gval, est, true)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_by_partition_invariant():
+    """Register merge is max — estimates must not depend on block split."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y"], 5000)),
+            "v": pa.array(rng.integers(0, 800, 5000), pa.int64()),
+        }
+    )
+    a = (
+        hll_distinct_by(ray.data.from_arrow(t).repartition(2), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        hll_distinct_by(ray.data.from_arrow(t).repartition(13), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
