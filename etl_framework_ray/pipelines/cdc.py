@@ -58,7 +58,7 @@ from ..context import DEFAULT_NUM_PARTITIONS, RunContext
 from ..functions.hashing import partition_ids, salted_partition_ids, stable_hash_array
 from ..sources.changelog import ChangeLog, Epoch
 from ..stages.lww import lww_reduce, lww_survivor_indices
-from ..state.manifest import Manifest, ManifestStore, PartitionState
+from ..state.manifest import CommitConflict, Manifest, ManifestStore, PartitionState
 from ..state.planner import plan_evolution
 from ..state.schema import (
     DELETED_COL,
@@ -1009,7 +1009,21 @@ class CDCEngine:
         self._invalidate_retention_coverage(
             new_man, folded=any(m["mode"] == "base" for m in metas)
         )
-        self.store.commit(new_man)
+        try:
+            self.store.commit(new_man)
+        except CommitConflict:
+            # another applier committed concurrently. If ITS commit covers
+            # this epoch, this was duplicate delivery by a racing tailer —
+            # rebase and no-op (staged files are byte-identical: immutable
+            # segments + deterministic kernels + deterministic names, so
+            # the clobber during staging was harmless). A conflict from a
+            # commit that does NOT cover the epoch (e.g. a writer-surface
+            # append) is a real single-applier violation — re-raise.
+            latest = self.store.load()
+            if latest is not None and latest.applied_lsn >= epoch.epoch_id:
+                self.manifest = latest
+                return None
+            raise
         self.manifest = new_man
         return new_man.history[-1]
 

@@ -174,3 +174,47 @@ def test_tail_follows_growing_changelog(tmp_path):
 
     s3 = eng.tail(clog, poll_s=0, idle_stop_polls=1, segments_per_epoch=1)
     assert s3.epochs_applied == 0 and s3.events == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_racing_duplicate_tailer_is_harmless(tmp_path):
+    """Two engines (racing tailers) applying the SAME epoch: the commit
+    race loser treats it as duplicate delivery (no-op, rebased manifest)
+    and both converge to the oracle state; a conflict from a commit that
+    does NOT cover the epoch still raises."""
+    from etl_framework_ray.sources.generator import oracle_replay
+    from etl_framework_ray.state.manifest import CommitConflict, Manifest
+
+    log = generate_changelog(GenConfig(num_events=3000, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng1 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)  # same table, stale view
+    epochs = clog.epochs(1)
+
+    assert eng1.apply_epoch(epochs[0]) is not None  # eng1 wins epoch 1
+    assert eng2.apply_epoch(epochs[0]) is None       # loser: duplicate delivery
+    assert eng2.manifest.version == eng1.manifest.version  # rebased
+    # the loser continues from the rebased state like nothing happened
+    for ep in epochs[1:]:
+        assert eng2.apply_epoch(ep) is not None
+
+    oracle = oracle_replay(log)
+    state = eng2.snapshot_arrow().to_pylist()
+    assert len(state) == len(oracle)
+    for row, k in zip(state, sorted(oracle)):
+        assert (row["conv_id"], row["turn_idx"]) == k
+        assert row["text"] == oracle[k]["text"]
+
+    # a conflicting commit that does NOT cover the epoch re-raises:
+    # bump the version with a no-data property commit, then let a stale
+    # engine try an epoch the new current does not cover
+    eng3 = CDCEngine(str(tmp_path / "tbl2"), num_partitions=2)
+    clog2 = ChangeLog(str(tmp_path / "log2"))
+    clog2.write_segments(log.slice(0, 1000), segment_rows=500)
+    eng4 = CDCEngine(str(tmp_path / "tbl2"), num_partitions=2)  # stale twin
+    m = Manifest.from_json(eng3.manifest.to_json())
+    m.version += 1
+    eng3.store.commit(m)  # version bump without advancing applied_lsn
+    with pytest.raises(CommitConflict):
+        eng4.apply_epoch(clog2.epochs(1)[0])
