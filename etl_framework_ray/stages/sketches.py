@@ -237,7 +237,10 @@ def hll_distinct_by(
     vectorized pass as :func:`hll_distinct`); partials then co-locate by
     group on the direct exchange and merge by elementwise max. NULL
     groups form their own group (SQL ``GROUP BY`` parity); NULL values
-    are excluded from the count (SQL ``COUNT(DISTINCT)`` parity).
+    are excluded from the count (SQL ``COUNT(DISTINCT)`` parity). One
+    deliberate deviation: a group ALL of whose values are NULL is omitted
+    entirely, where SQL emits it with count 0 — emitting it would ship an
+    empty register row for every such group for no information.
 
     Cost model: the shuffle carries O(groups-per-block × blocks) rows of
     2^p bytes — the default ``p=10`` (1 KiB, ~3.2% rel. error) keeps a
