@@ -602,10 +602,14 @@ def _resalt_partition_task(
     driver's single manifest commit (2PC)."""
     _single_threaded_arrow()
     merged = merge_partition_files(list(files), lake_sch, key_cols)
-    keys_t = merged.select(list(key_cols[:2]))
+    # PK-less tables (append-only audit logs) route by their FIRST declared
+    # column — the same rule LakeWriter.append stamps pids with — so a
+    # reshard re-homes their rows consistently instead of crashing
+    route_cols = key_cols or (lake_sch.names[0],)
+    keys_t = merged.select(list(route_cols[:2]))
     # full_salt (old + new) — rows previously salted INTO this partition
     # must keep their existing homes, only the new keys move
-    pid_new = salted_partition_ids(keys_t, key_cols, num_partitions, full_salt)
+    pid_new = salted_partition_ids(keys_t, route_cols, num_partitions, full_salt)
     out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"salt=v{version:08d}")
 
     import numpy as np

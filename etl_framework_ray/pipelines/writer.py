@@ -394,6 +394,7 @@ class LakeWriter:
         names = self.spec.column_names
         key0 = names[0]
         num_partitions = man.num_partitions
+        staged_schema_b64 = man.schema_b64  # shape the staged files assume
         next_lsn = man.applied_lsn + 1
 
         def stage(batch: pa.Table) -> pa.Table:
@@ -452,6 +453,26 @@ class LakeWriter:
                 latest = self.engine.store.load()
                 if latest is None or latest.version <= man.version:
                     raise  # not a concurrent advance — a real protocol error
+                # appends only commute with commits that keep the table's
+                # SHAPE: the staged pid= files were hash-routed with
+                # num_partitions and projected onto the schema captured at
+                # staging time. A concurrent reshard (or schema change)
+                # invalidates that routing — retrying would silently file
+                # rows into wrong partitions (breaking partition-pruned
+                # reads and future merges), so fail loud and direct the
+                # caller to restage (IncrementalRollup.advance's guard).
+                if latest.num_partitions != num_partitions:
+                    raise CommitConflict(
+                        f"append to {self.spec.name!r} raced a reshard "
+                        f"({num_partitions} → {latest.num_partitions} partitions); "
+                        "staged files were routed with the stale partition count — "
+                        "re-run the append against the fresh table"
+                    ) from None
+                if latest.schema_b64 != staged_schema_b64:
+                    raise CommitConflict(
+                        f"append to {self.spec.name!r} raced a schema change; "
+                        "staged files carry the stale schema — re-run the append"
+                    ) from None
                 self.engine.manifest = latest
                 continue
             self.engine.manifest = new_man

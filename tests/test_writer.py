@@ -358,3 +358,89 @@ def test_stale_overwrite_conflicts_fail_loud(tmp_path):
     fresh = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
     got = fresh.read().to_pandas()
     assert list(got["rule"]) == ["w1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_raced_by_reshard_fails_loud(tmp_path):
+    """append's rebase-retry must NOT commute with a reshard: the staged
+    pid= files were hash-routed with the stale partition count, so
+    retrying would silently misplace rows across partitions. The guard
+    raises CommitConflict instead; the table stays intact and a restaged
+    append against the fresh table lands."""
+    import ray.data
+
+    from etl_framework_ray.state.manifest import CommitConflict
+
+    w = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=4)
+    w.append(ray.data.from_arrow(pa.table({"rule": ["r0"], "failed": [0]})))
+
+    store = w.engine.store
+    orig_commit = store.commit
+    raced = {"done": False}
+
+    def commit_with_reshard(man, *a, **k):
+        # between this append's staging and its commit, another writer
+        # reshards the table (the exact race the guard exists for)
+        if not raced["done"]:
+            raced["done"] = True
+            other = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=4)
+            other.engine.reshard(new_num_partitions=2)
+        return orig_commit(man, *a, **k)
+
+    store.commit = commit_with_reshard
+    try:
+        with pytest.raises(CommitConflict, match="reshard"):
+            w.append(ray.data.from_arrow(pa.table({"rule": ["r1"], "failed": [1]})))
+    finally:
+        store.commit = orig_commit
+
+    fresh = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    assert list(fresh.read().to_pandas()["rule"]) == ["r0"]
+    assert fresh.engine.manifest.num_partitions == 2
+    # restaged append against the fresh table lands normally
+    fresh.append(ray.data.from_arrow(pa.table({"rule": ["r1"], "failed": [1]})))
+    assert sorted(fresh.read().to_pandas()["rule"]) == ["r0", "r1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_raced_by_schema_change_fails_loud(tmp_path):
+    """Same guard, schema axis: a concurrent commit that changes the
+    table schema invalidates the staged files' projection — the rebase
+    must refuse rather than attach stale-schema files."""
+    import dataclasses
+
+    import ray.data
+
+    from etl_framework_ray.state.manifest import CommitConflict
+
+    w = LakeWriter(str(tmp_path / "audit"), AUDIT_SPEC, num_partitions=2)
+    w.append(ray.data.from_arrow(pa.table({"rule": ["r0"], "failed": [0]})))
+
+    store = w.engine.store
+    orig_commit = store.commit
+    raced = {"done": False}
+
+    def commit_with_schema_change(man, *a, **k):
+        if not raced["done"]:
+            raced["done"] = True
+            latest = store.load()
+            widened = pa.schema(
+                list(latest.schema) + [pa.field("note", pa.string())]
+            )
+            from etl_framework_ray.state.manifest import schema_to_b64
+
+            evolved = dataclasses.replace(
+                latest,
+                version=latest.version + 1,
+                schema_b64=schema_to_b64(widened),
+                schema_version=latest.schema_version + 1,
+            )
+            orig_commit(evolved)
+        return orig_commit(man, *a, **k)
+
+    store.commit = commit_with_schema_change
+    try:
+        with pytest.raises(CommitConflict, match="schema"):
+            w.append(ray.data.from_arrow(pa.table({"rule": ["r1"], "failed": [1]})))
+    finally:
+        store.commit = orig_commit
