@@ -161,18 +161,14 @@ def pk_violations(ds: "ray.data.Dataset", key_cols: tuple[str, ...]) -> int:
     return dup.count()
 
 
-def _route_turns(batch: pa.Table, shuffle_buckets: int) -> pa.Table:
-    """Shared coarse-bucket routing stage for the turn-level publish
-    operators: project to (conv_id, turn_idx, role, text) as plain utf8
-    and append ``_cb = hash(conv_id) % shuffle_buckets``. ONE copy of
-    this projection exists so assemble / windows / the IVM corpus kernel
-    can never drift apart formats the shared string_agg oracle checks."""
-    from ..functions.hashing import stable_hash_array
-
-    cb = (stable_hash_array(batch.column("conv_id")) % np.uint64(shuffle_buckets)).astype(
-        np.int64
-    )
-    out = pa.table(
+def _route_turns(batch: pa.Table) -> pa.Table:
+    """Shared projection stage for the turn-level publish operators:
+    (conv_id, turn_idx, role, text) as plain utf8 — the direct exchange
+    routes on ``conv_id`` itself (round 4; previously a ``_cb`` coarse
+    column + sort exchange). ONE copy of this projection exists so
+    assemble / windows / the IVM corpus kernel can never drift apart
+    formats the shared string_agg oracle checks."""
+    return pa.table(
         {
             "conv_id": batch.column("conv_id").cast(pa.string()),
             "turn_idx": batch.column("turn_idx"),
@@ -180,7 +176,6 @@ def _route_turns(batch: pa.Table, shuffle_buckets: int) -> pa.Table:
             "text": batch.column("text").cast(pa.string()),
         }
     )
-    return out.append_column("_cb", pa.array(cb))
 
 
 def render_turn_lines(role: pd.Series, text: pd.Series) -> pd.Series:
@@ -210,21 +205,23 @@ def join_dialogues(turns: pd.DataFrame) -> pa.Table:
 
 
 def assemble_conversations(
-    ds: "ray.data.Dataset", shuffle_buckets: int = 64
+    ds: "ray.data.Dataset", shuffle_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """Render each conversation as ONE training document: turns ordered by
     ``turn_idx``, formatted ``role: text`` and joined with newlines — the
     transcripts→SFT-corpus step of an LLM-data pipeline, run over the CDC
     lake's committed snapshot.
 
-    Conversations co-locate via ``hash(conv_id) % shuffle_buckets`` and one
-    kernel dispatch handles ALL of a bucket's conversations (the
-    coarse-bucket pattern of ``latest_event_per_user`` /
-    ``group_topk`` — one UDF dispatch per bucket, not per conversation,
-    at millions of conversations). Inside the kernel everything is one
-    pandas sort + groupby-agg; per-turn work is vectorized string concat.
-    Output: ``conv_id, n_turns, dialogue`` — SQL-oracle-expressible as
+    Conversations co-locate by ``hash(conv_id)`` on the DIRECT exchange
+    (:func:`~..stages.joins._direct_grouped_apply`; round 4 retired the
+    ``groupby("_cb").map_groups`` sort exchange) and one kernel dispatch
+    handles ALL of a bucket's conversations — one UDF dispatch per
+    bucket, not per conversation, at millions of conversations. Inside
+    the kernel everything is one pandas sort + groupby-agg; per-turn work
+    is vectorized string concat. Output: ``conv_id, n_turns, dialogue`` —
+    SQL-oracle-expressible as
     ``string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)``."""
+    from ..stages.joins import _direct_grouped_apply
 
     def assemble(group: pd.DataFrame) -> pa.Table:
         turns = pd.DataFrame(
@@ -236,27 +233,30 @@ def assemble_conversations(
         )
         return join_dialogues(turns)
 
-    return (
-        ds.map_batches(lambda b: _route_turns(b, shuffle_buckets), batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(assemble, batch_format="pandas")
+    return _direct_grouped_apply(
+        ds.map_batches(_route_turns, batch_format="pyarrow"),
+        "conv_id",
+        assemble,
+        shuffle_buckets,
     )
 
 
 def conversation_windows(
-    ds: "ray.data.Dataset", k: int = 4, shuffle_buckets: int = 64
+    ds: "ray.data.Dataset", k: int = 4, shuffle_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """Rolling dialogue-context construction: for EVERY turn, the
     ``role: text`` lines of the last ``k`` turns (older first, newline
     joined) — the chat-training-example shape "response with its recent
     history". One row per turn: ``conv_id, turn_idx, context``.
 
-    Same coarse-bucket exchange as :func:`assemble_conversations`; inside
+    Same direct exchange as :func:`assemble_conversations`; inside
     the bucket kernel the rolling join is ``k-1`` vectorized
     ``GroupBy.shift`` passes (prepend the i-turns-back line where it
     exists), never a per-row loop. SQL-oracle-expressible as
     ``string_agg(...) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS
     BETWEEN k-1 PRECEDING AND CURRENT ROW)``."""
+    from ..stages.joins import _direct_grouped_apply
+
     if k < 1:
         raise ValueError("k must be >= 1")
     # preserve the lake's turn_idx type exactly (schema evolution can make
@@ -280,10 +280,11 @@ def conversation_windows(
             }
         )
 
-    return (
-        ds.map_batches(lambda b: _route_turns(b, shuffle_buckets), batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(window, batch_format="pandas")
+    return _direct_grouped_apply(
+        ds.map_batches(_route_turns, batch_format="pyarrow"),
+        "conv_id",
+        window,
+        shuffle_buckets,
     )
 
 

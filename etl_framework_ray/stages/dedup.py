@@ -2,16 +2,16 @@
 
 Five dedup families, each expressed Ray-Data-first:
 
-- **exact**: content-hash routing (``groupby(hash % buckets)``) + per-group
+- **exact**: content-hash routing on the direct exchange + per-bucket
   keep-min-id over distinct texts — the generalization of the reference's
   ``distinct`` (A3, /root/reference/src/models/data_quality_evaluator.py:64)
   to content dedup at scale.
 - **MinHash + LSH**: word-shingle → k-minhash signature → banded LSH
   bucketing → IN-BUCKET candidate pair-gen + signature-Jaccard verify
-  (one ``groupby`` over coarse buckets; the signature ships WITH its band
-  rows so verification is co-partitioned — nothing O(corpus) ever lands
-  on the driver) → distributed connected components (hash-to-min label
-  propagation, a few ``groupby`` rounds) → keep min id per cluster.
+  (one direct-exchange round over band keys; the signature ships WITH its
+  band rows so verification is co-partitioned — nothing O(corpus) ever
+  lands on the driver) → distributed connected components (hash-to-min
+  label propagation, a few exchange rounds) → keep min id per cluster.
 - **n-gram Jaccard**: same pipeline, but band rows carry the exact
   shingle-hash sets and buckets verify with true set Jaccard.
 - **SimHash**: 64-bit simhash, banded into 4×16-bit keys, in-bucket
@@ -72,38 +72,44 @@ def exact_dedup(
 ):
     """Keep the min-id row per distinct text. Returns the kept rows.
 
-    Content-hash → COARSE bucket (``hash % num_buckets``) → groupby over
-    buckets → one vectorized pandas dedup per bucket. Grouping on the raw
-    hash pays one UDF dispatch per distinct text (measured 3s vs <1s for
-    5k docs); buckets bound dispatches at ``num_buckets`` while equal
-    texts still co-locate. ``num_buckets=None`` auto-sizes from the
-    dataset's byte size when that is cheaply known (parquet metadata);
-    datasets mid-pipeline fall back to 64. Hash collisions are safe — the
-    bucket compares actual text."""
-    if num_buckets is None:
-        # size WITHOUT triggering execution: input_files() is metadata-only
-        # and returns [] for mid-pipeline datasets (ds.size_bytes() would
-        # execute the upstream — measured as a full duplicate pass)
-        try:
-            import os as _os
+    Round 4: runs on the engine's DIRECT hash exchange
+    (:func:`~.joins._direct_grouped_apply`) keyed on the text column
+    itself — equal texts co-locate by hash, one vectorized pandas dedup
+    per bucket handles ALL of its texts, and none of the Dataset
+    ``groupby().map_groups`` sort-exchange fixed costs apply (the
+    temporal-join finding, BASELINE.md round 2). A per-block pre-trim
+    drops within-block duplicates before anything ships.
 
-            files = ds.input_files()
-            sb = sum(_os.path.getsize(f) for f in files) if files else None
-        except Exception:
-            sb = None
-        num_buckets = _auto_buckets(sb) if sb else 64
+    ``num_buckets=None`` auto-sizes (2×CPU, pinned per job — see
+    ``resolve_buckets``); an explicit count is honored EXACTLY. Memory
+    contract (same as every bucket kernel in the engine): one bucket —
+    distinct-text bytes / num_buckets — must fit a worker; for corpora
+    beyond that, raise ``num_buckets`` (refs scale as CPUs × buckets) or
+    use the slim-signature design of :func:`minhash_dedup` (ship hashes,
+    not text)."""
+    from .joins import _direct_grouped_apply, _mat_arrow, _typed_out
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = stable_hash_array(batch.column(text_col)) % np.uint64(num_buckets)
-        return batch.append_column("_b", pa.array(h.astype(np.int64), pa.int64()))
+    # materialize FIRST: a lazy ds.schema() would partially execute the
+    # upstream (double-counting stateful stages like curation's funnel)
+    ds, schema = _mat_arrow(ds)
+    if schema is None:
+        return ds
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
 
-    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).drop_duplicates(text_col, keep="first").drop(columns=["_b"])
+    def pretrim(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(id_col).drop_duplicates(text_col, keep="first")
+        return _typed_out(df.reset_index(drop=True), names, types, {})
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(dedup_bucket, batch_format="pandas")
+    def dedup_bucket(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(id_col).drop_duplicates(text_col, keep="first")
+        return _typed_out(out.reset_index(drop=True), names, types, {})
+
+    return _direct_grouped_apply(
+        ds.map_batches(pretrim, batch_format="pyarrow"),
+        text_col,
+        dedup_bucket,
+        shuffle_buckets=num_buckets,
     )
 
 
@@ -237,16 +243,18 @@ class MinHasher:
 
 
 def _band_tbl(
-    sig_batch: pa.Table, cfg: MinHashConfig, id_col: str, payload_col: str, shuffle_buckets: int
+    sig_batch: pa.Table, cfg: MinHashConfig, id_col: str, payload_col: str
 ) -> pa.Table:
-    """Explode signatures into (id, band, band_hash, payload, _cb) rows.
+    """Explode signatures into (id, band, band_hash, payload, _bk) rows.
 
     The verification payload (signature or shingle set) travels WITH the
     band row so the bucket stage can verify candidates co-partitioned —
     the per-doc shuffle cost is ``bands × payload`` instead of a driver
-    round-trip. ``_cb`` is a coarse bucket over (band, band_hash): one UDF
-    dispatch per coarse bucket, not per LSH bucket (per-bucket dispatch
-    measured 15 s vs <0.5 s for a 5 k-doc corpus)."""
+    round-trip. ``_bk`` mixes (band, band_hash) into one routing key for
+    the direct exchange: rows of the SAME LSH bucket co-locate, and one
+    exchange-bucket kernel dispatch handles ALL of its LSH buckets
+    (per-LSH-bucket dispatch measured 15 s vs <0.5 s for a 5 k-doc
+    corpus)."""
     ids = sig_batch.column(id_col)
     payload = sig_batch.column(payload_col)
     if sig_batch.num_rows == 0:
@@ -256,7 +264,7 @@ def _band_tbl(
                 "band": pa.array([], pa.int64()),
                 "band_hash": pa.array([], pa.int64()),
                 "payload": payload,
-                "_cb": pa.array([], pa.int64()),
+                "_bk": pa.array([], pa.int64()),
             }
         )
     col = sig_batch.column("sig")
@@ -273,7 +281,7 @@ def _band_tbl(
         h = np.zeros(n, dtype=np.uint64)
         for j in range(r):
             h = h * np.uint64(1099511628211) + seg[:, j]
-        cb = ((h * _MIX) + np.uint64(b)) % np.uint64(shuffle_buckets)
+        bk = (h * _MIX) + np.uint64(b)
         parts.append(
             pa.table(
                 {
@@ -281,7 +289,7 @@ def _band_tbl(
                     "band": pa.array(np.full(n, b, dtype=np.int64)),
                     "band_hash": pa.array(h.astype(np.int64)),
                     "payload": payload,
-                    "_cb": pa.array(cb.astype(np.int64)),
+                    "_bk": pa.array(bk.astype(np.int64)),
                 }
             )
         )
@@ -296,16 +304,18 @@ def _make_bucket_verifier(
     max_bucket: int,
     counter=None,  # stages.util.BatchCounts | None — truncation reporting
 ):
-    """Per-coarse-bucket UDF: generate candidate pairs inside every true
-    LSH bucket and verify them against the co-located payloads, emitting
-    only the surviving duplicate EDGES (a < b). Buckets larger than
-    ``max_bucket`` are truncated DETERMINISTICALLY (id-sorted rows keep
-    the lowest ids) — a giant bucket means near-identical boilerplate
-    where any spanning pairing suffices; components still merge via CC.
-    Every truncation is COUNTED through ``counter`` (no silent caps —
-    callers log and surface the totals)."""
+    """Per-exchange-bucket kernel (:func:`~.joins._direct_grouped_apply`):
+    generate candidate pairs inside every true LSH bucket co-located in
+    this exchange bucket and verify them against the co-located payloads,
+    emitting only the surviving duplicate EDGES (a < b) as a typed Arrow
+    table. Buckets larger than ``max_bucket`` are truncated
+    DETERMINISTICALLY (id-sorted rows keep the lowest ids) — a giant
+    bucket means near-identical boilerplate where any spanning pairing
+    suffices; components still merge via CC. Every truncation is COUNTED
+    through ``counter`` (no silent caps — callers log and surface the
+    totals)."""
 
-    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
+    def verify_group(df: pd.DataFrame) -> pa.Table:
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         dup = df[df.duplicated(bucket_cols, keep=False)]
@@ -344,10 +354,16 @@ def _make_bucket_verifier(
                 out_a.append(ids[ia[keep]].astype(np.int64))
                 out_b.append(ids[ib[keep]].astype(np.int64))
         if not out_a:
-            return pd.DataFrame({"a": np.array([], np.int64), "b": np.array([], np.int64)})
-        return pd.DataFrame(
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        pairs = pd.DataFrame(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         ).drop_duplicates()
+        return pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy(np.int64)),
+                "b": pa.array(pairs["b"].to_numpy(np.int64)),
+            }
+        )
 
     return verify_group
 
@@ -389,16 +405,18 @@ def _labels_checksum(labels: "ray.data.Dataset") -> tuple[int, int]:
 
 def components_labels(
     edges: "ray.data.Dataset",
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
     max_rounds: int = 16,
     driver_threshold: int = 2_000_000,
 ) -> pd.DataFrame:
     """Distributed connected components over an (a, b) edge Dataset via
     hash-to-min label propagation (Rastogi et al. 2013): each round every
     node sends its neighborhood to its minimum neighbor and the minimum to
-    its whole neighborhood — one coarse-bucketed ``groupby`` per round,
-    all per-node math vectorized pandas. Converges in O(log d) rounds
-    (fixpoint detected by a distributed checksum).
+    its whole neighborhood — one DIRECT hash exchange round keyed on
+    ``node`` (:func:`~.joins._direct_grouped_apply`; round 4 retired the
+    ``groupby("_cb").map_groups`` sort exchange here), all per-node math
+    vectorized pandas. Converges in O(log d) rounds (fixpoint detected by
+    a distributed checksum).
 
     Returns the (node, label) frame — O(nodes-with-edges), i.e.
     O(duplicate docs), which the callers broadcast to label the corpus.
@@ -411,25 +429,28 @@ def components_labels(
     rounds take over when the edge set itself is too big for a Python
     dict — equivalence of the two paths is unit-tested."""
 
+    from .joins import _direct_grouped_apply
+
     def seed(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([a, b, a, b])
         nbr = np.concatenate([b, a, a, b])  # both directions + self-loops
-        cb = (node.astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)).astype(np.int64)
-        return pa.table({"node": pa.array(node), "nbr": pa.array(nbr), "_cb": pa.array(cb)})
+        return pa.table({"node": pa.array(node), "nbr": pa.array(nbr)})
 
-    def h2m_round(df: pd.DataFrame) -> pd.DataFrame:
+    def h2m_round(df: pd.DataFrame) -> pa.Table:
         df = df[["node", "nbr"]].drop_duplicates()
         m = df.groupby("node")["nbr"].transform("min").to_numpy()
         nbr = df["nbr"].to_numpy()
         out = pd.DataFrame(
             {"node": np.concatenate([m, nbr]), "nbr": np.concatenate([nbr, m])}
         ).drop_duplicates()
-        out["_cb"] = (
-            out["node"].to_numpy().astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)
-        ).astype(np.int64)
-        return out
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy(np.int64)),
+                "nbr": pa.array(out["nbr"].to_numpy(np.int64)),
+            }
+        )
 
     edges = edges.materialize()  # O(duplicate edges); consumed twice below
     n_edges = edges.count()
@@ -447,7 +468,7 @@ def components_labels(
     adj = edges.map_batches(seed, batch_format="pyarrow")
     prev = None
     for _ in range(max_rounds):
-        adj = adj.groupby("_cb").map_groups(h2m_round, batch_format="pandas").materialize()
+        adj = _direct_grouped_apply(adj, "node", h2m_round, shuffle_buckets).materialize()
         labels = adj.groupby("node").min("nbr")
         cur = _labels_checksum(labels)
         if cur == prev:
@@ -500,7 +521,7 @@ def minhash_edges(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact_verify: bool = False,
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
     max_bucket: int = 200,
     counter: BatchCounts | None = None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
@@ -509,7 +530,12 @@ def minhash_edges(
     Returns ``(sigs, edges)`` — both Datasets. Exposed separately so tests
     can compare the distributed component labeling against the driver
     union-find on identical edges. ``counter`` receives bucket-cap
-    truncation counts during the (lazy) verify stage."""
+    truncation counts during the verify stage. Band rows route on their
+    full-range ``_bk`` key through the direct exchange — equal LSH
+    buckets co-locate; one verifier dispatch per exchange bucket handles
+    all of its LSH buckets."""
+    from .joins import _direct_grouped_apply
+
     sigs = ds.map_batches(
         _cached_stage(MinHasher, cfg, text_col, id_col, exact_verify),
         batch_format="pyarrow",
@@ -517,15 +543,17 @@ def minhash_edges(
 
     payload_col = "shingles" if exact_verify else "sig"
     bands = sigs.map_batches(
-        lambda b: _band_tbl(b, cfg, id_col, payload_col, shuffle_buckets),
+        lambda b: _band_tbl(b, cfg, id_col, payload_col),
         batch_format="pyarrow",
     )
     verify = "exact_jaccard" if exact_verify else "sig_jaccard"
-    edges = bands.groupby("_cb").map_groups(
+    edges = _direct_grouped_apply(
+        bands,
+        "_bk",
         _make_bucket_verifier(
             id_col, ["band", "band_hash"], verify, cfg.jaccard_threshold, max_bucket, counter
         ),
-        batch_format="pandas",
+        shuffle_buckets,
     )
     return sigs, edges
 
@@ -536,7 +564,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact_verify: bool = False,
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
     max_bucket: int = 200,
     stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
@@ -605,7 +633,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
     max_bucket: int = 200,
     stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
@@ -613,8 +641,11 @@ def simhash_dedup(
 
     Banding: 4×16-bit keys — any pair within distance 3 shares at least
     one exact band (pigeonhole). The 8-byte simhash IS the verification
-    payload, so band rows stay slim; verify + component labeling follow
-    the same bucketed/groupby path as MinHash."""
+    payload, so band rows stay slim; verify + component labeling run on
+    the same direct-exchange path as MinHash (routing key ``_bk`` mixes
+    band index into the band key)."""
+    from .joins import _direct_grouped_apply
+
     sh = ds.map_batches(
         _cached_stage(SimHasher, text_col, id_col),
         batch_format="pyarrow",
@@ -627,7 +658,7 @@ def simhash_dedup(
         parts = []
         for b in range(4):
             key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            cb = ((key.astype(np.uint64) * _MIX) + np.uint64(b)) % np.uint64(shuffle_buckets)
+            bk = (key.astype(np.uint64) * _MIX) + np.uint64(b)
             parts.append(
                 pa.table(
                     {
@@ -635,7 +666,7 @@ def simhash_dedup(
                         "band": pa.array(np.full(n, b, dtype=np.int64)),
                         "band_hash": pa.array(key),
                         "payload": pa.array(h.astype(np.int64)),
-                        "_cb": pa.array(cb.astype(np.int64)),
+                        "_bk": pa.array(bk.astype(np.int64)),
                     }
                 )
             )
@@ -643,15 +674,13 @@ def simhash_dedup(
 
     counter = _trunc_counter()
     try:
-        edges = (
-            sh.map_batches(band_rows, batch_format="pyarrow")
-            .groupby("_cb")
-            .map_groups(
-                _make_bucket_verifier(
-                    id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket, counter
-                ),
-                batch_format="pandas",
-            )
+        edges = _direct_grouped_apply(
+            sh.map_batches(band_rows, batch_format="pyarrow"),
+            "_bk",
+            _make_bucket_verifier(
+                id_col, ["band", "band_hash"], "hamming", max_hamming, max_bucket, counter
+            ),
+            shuffle_buckets,
         )
         labels = components_labels(edges, shuffle_buckets)
     except BaseException:
@@ -728,7 +757,7 @@ def embedding_dedup_lsh(
     id_col: str = "vec_id",
     max_bucket: int = 4096,
     target_bucket: int = 1024,
-    shuffle_buckets: int = 64,
+    shuffle_buckets: int | None = None,
     stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Bucketed approximation of ``embedding_dedup`` — the 100-TB path.
@@ -744,8 +773,9 @@ def embedding_dedup_lsh(
     ``num_planes=None`` (default) derives the plane count from the
     corpus size when metadata knows it (expected bucket ≈
     ``target_bucket``), so buckets stay bounded as the corpus grows.
-    LSH buckets route to ``shuffle_buckets`` COARSE groups — one UDF
-    dispatch per coarse group handles all of its buckets (the per-group
+    LSH buckets route on ``bucket`` through the DIRECT hash exchange
+    (:func:`~.joins._direct_grouped_apply`) — one kernel dispatch per
+    exchange bucket handles all of its LSH buckets (the per-group
     dispatch cost pattern measured at 15 s vs 0.5 s elsewhere). Buckets
     larger than ``max_bucket`` compare only the ``max_bucket`` LOWEST-id
     index rows (deterministic under any row order) and the truncation is
@@ -755,15 +785,12 @@ def embedding_dedup_lsh(
     measured against the exact tier in tests (≥0.95 on the seeded corpus
     at τ=0.95); residual misses are pairs whose buckets differ in ≥2 bits.
     """
+    from .joins import _direct_grouped_apply
+
     if num_planes is None:
         num_planes = _derive_num_planes(ds, target_bucket)
     if stats_out is not None:
         stats_out["num_planes"] = num_planes
-
-    def _cb_of(bucket: np.ndarray) -> pa.Array:
-        return pa.array(
-            ((bucket.astype(np.uint64) * _MIX) % np.uint64(shuffle_buckets)).astype(np.int64)
-        )
 
     def emit_probe_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -773,7 +800,6 @@ def embedding_dedup_lsh(
                     id_col: pa.array([], pa.int64()),
                     vec_col: batch.column(vec_col),
                     "role": pa.array([], pa.int8()),
-                    "_cb": pa.array([], pa.int64()),
                 }
             )
         m = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
@@ -791,7 +817,6 @@ def embedding_dedup_lsh(
                     id_col: pa.array(ids),
                     vec_col: vecs,
                     "role": pa.array(np.zeros(n, dtype=np.int8)),  # index
-                    "_cb": _cb_of(home),
                 }
             ),
             pa.table(
@@ -800,7 +825,6 @@ def embedding_dedup_lsh(
                     id_col: pa.array(ids),
                     vec_col: vecs,
                     "role": pa.array(np.ones(n, dtype=np.int8)),  # query, home probe
-                    "_cb": _cb_of(home),
                 }
             ),
         ]
@@ -813,7 +837,6 @@ def embedding_dedup_lsh(
                         id_col: pa.array(ids),
                         vec_col: vecs,
                         "role": pa.array(np.ones(n, dtype=np.int8)),
-                        "_cb": _cb_of(probe),
                     }
                 )
             )
@@ -821,11 +844,12 @@ def embedding_dedup_lsh(
 
     counter = _trunc_counter()
 
-    def coarse_bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
-        """All LSH buckets of one coarse group, one dispatch; per bucket
-        one (Q, I) matmul against the id-sorted (capped) index rows."""
+    def bucket_dups(group: pd.DataFrame) -> pa.Table:
+        """All LSH buckets of one exchange bucket, one dispatch; per LSH
+        bucket one (Q, I) matmul against the id-sorted (capped) index
+        rows."""
         out: list[np.ndarray] = []
-        for _, g in group.groupby("bucket", sort=False):
+        for _, g in group.groupby("bucket", sort=False) if len(group) else []:
             idx = g[g["role"] == 0]
             qry = g[g["role"] == 1]
             if not len(idx) or not len(qry):
@@ -845,17 +869,16 @@ def embedding_dedup_lsh(
             sims = qm @ im.T  # (Q, I)
             hit = (sims >= threshold) & (iids[None, :] < qids[:, None])
             out.append(qids[hit.any(axis=1)].astype(np.int64))
-        if not out:
-            return pd.DataFrame({"dup_id": np.array([], np.int64)})
-        return pd.DataFrame({"dup_id": np.unique(np.concatenate(out))})
+        d = np.unique(np.concatenate(out)) if out else np.array([], np.int64)
+        return pa.table({"dup_id": pa.array(d.astype(np.int64))})
 
     try:
-        dup_rows = (
-            ds.map_batches(emit_probe_rows, batch_format="pyarrow")
-            .groupby("_cb")
-            .map_groups(coarse_bucket_dups, batch_format="pandas")
-            .to_pandas()  # O(duplicates) — the broadcast payload
-        )
+        dup_rows = _direct_grouped_apply(
+            ds.map_batches(emit_probe_rows, batch_format="pyarrow"),
+            "bucket",
+            bucket_dups,
+            shuffle_buckets,
+        ).to_pandas()  # O(duplicates) — the broadcast payload
     except BaseException:
         counter.cleanup()
         raise
@@ -882,7 +905,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster: int = 8192,
-    shuffle_buckets: int = 64,
+    shuffle_buckets: int | None = None,
     stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
@@ -901,17 +924,24 @@ def semantic_dedup(
 
     Scale shape: centroids train on a bounded driver sample and broadcast
     once (``ray.put``); assignment is one matmul per batch; clusters
-    route to ``shuffle_buckets`` coarse groups (one UDF dispatch handles
-    all of a group's clusters); within a cluster one (Q, I) matmul against
-    the id-sorted index side, capped at ``max_cluster`` lowest ids with a
-    counted, never-silent truncation; the flagged-id broadcast is
-    O(duplicates)."""
-    from .similarity import _spherical_kmeans, _stack
+    route on ``cluster`` through the direct hash exchange (one kernel
+    dispatch handles all of an exchange bucket's clusters); within a
+    cluster one (Q, I) matmul against the id-sorted index side, capped at
+    ``max_cluster`` lowest ids with a counted, never-silent truncation;
+    the flagged-id broadcast is O(duplicates)."""
+    from .joins import _direct_grouped_apply
+    from .similarity import _bounded_sample, _spherical_kmeans, _stack
 
-    sample_tbl = pa.concat_tables(
-        ds.limit(sample_size).select_columns([vec_col]).iter_batches(batch_format="pyarrow")
-    )
-    centroids = _spherical_kmeans(_stack(sample_tbl.column(vec_col)), k, seed)
+    sample = _bounded_sample(ds, vec_col, sample_size)
+    if sample is None:
+        # EMPTY corpus: nothing to cluster (pa.concat_tables([]) would
+        # raise before any work) — every row of the (empty) input is
+        # trivially non-duplicate, matching embedding_dedup_lsh's behavior
+        return ds.map_batches(
+            lambda b: b.append_column("is_dup", pa.array([False] * b.num_rows, pa.bool_())),
+            batch_format="pyarrow",
+        )
+    centroids = _spherical_kmeans(sample, min(k, len(sample)), seed)
     cent_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -920,7 +950,6 @@ def semantic_dedup(
                 {
                     id_col: pa.array([], pa.int64()),
                     vec_col: batch.column(vec_col),
-                    "_cb": pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
                 }
             )
@@ -928,21 +957,19 @@ def semantic_dedup(
         m = _stack(batch.column(vec_col))
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cluster = np.argmax(m @ cent.T, axis=1).astype(np.int64)
-        cb = (cluster.astype(np.uint64) * _MIX % np.uint64(shuffle_buckets)).astype(np.int64)
         return pa.table(
             {
                 id_col: batch.column(id_col).cast(pa.int64()),
                 vec_col: batch.column(vec_col),
-                "_cb": pa.array(cb),
                 "cluster": pa.array(cluster),
             }
         )
 
     counter = _trunc_counter()
 
-    def coarse_cluster_dups(group: pd.DataFrame) -> pd.DataFrame:
+    def cluster_dups(group: pd.DataFrame) -> pa.Table:
         out: list[np.ndarray] = []
-        for _, g in group.groupby("cluster", sort=False):
+        for _, g in group.groupby("cluster", sort=False) if len(group) else []:
             if len(g) < 2:
                 continue
             order = np.argsort(g[id_col].to_numpy(), kind="stable")
@@ -958,17 +985,16 @@ def semantic_dedup(
             sims = m @ im.T  # (Q, I) — queries are the whole cluster
             hit = (sims >= threshold) & (iids[None, :] < ids[:, None])
             out.append(ids[hit.any(axis=1)].astype(np.int64))
-        if not out:
-            return pd.DataFrame({"dup_id": np.array([], np.int64)})
-        return pd.DataFrame({"dup_id": np.unique(np.concatenate(out))})
+        d = np.unique(np.concatenate(out)) if out else np.array([], np.int64)
+        return pa.table({"dup_id": pa.array(d.astype(np.int64))})
 
     try:
-        dup_rows = (
-            ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("_cb")
-            .map_groups(coarse_cluster_dups, batch_format="pandas")
-            .to_pandas()  # O(duplicates) — the broadcast payload
-        )
+        dup_rows = _direct_grouped_apply(
+            ds.map_batches(assign, batch_format="pyarrow"),
+            "cluster",
+            cluster_dups,
+            shuffle_buckets,
+        ).to_pandas()  # O(duplicates) — the broadcast payload
     except BaseException:
         counter.cleanup()
         raise

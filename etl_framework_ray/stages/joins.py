@@ -45,6 +45,39 @@ from ..functions.hashing import stable_hash_array
 
 _RESERVED = ("_key", "_t")
 
+#: auto bucket count pinned per Ray job — see :func:`resolve_buckets`
+_PINNED_AUTO_BUCKETS: dict[str, int] = {}
+
+
+def resolve_buckets(shuffle_buckets: int | None) -> int:
+    """Resolve an exchange bucket count.
+
+    - An EXPLICIT ``shuffle_buckets`` is used exactly (callers sizing for
+      tiny inputs or tests get what they asked for).
+    - ``None`` (the default everywhere) auto-sizes to 2×cluster CPUs,
+      clamped to [32, 256] — and the resolved value is PINNED for the
+      rest of the Ray job: on an autoscaling cluster
+      ``ray.cluster_resources()`` moves between a pipeline's stages, and
+      two exchanges of one pipeline disagreeing on bucket count would
+      re-route keys mid-pipeline. First resolution wins; results are
+      bucket-count-invariant either way, but routing determinism makes
+      runs reproducible and keeps per-bucket caps comparable."""
+    if shuffle_buckets is not None:
+        nb = int(shuffle_buckets)
+        if nb < 1:
+            raise ValueError("shuffle_buckets must be >= 1")
+        return nb
+    try:
+        job = ray.get_runtime_context().get_job_id() or "default"
+    except Exception:
+        job = "default"
+    nb = _PINNED_AUTO_BUCKETS.get(job)
+    if nb is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nb = int(min(256, max(32, cpus * 2)))
+        _PINNED_AUTO_BUCKETS[job] = nb
+    return nb
+
 
 def _single_threaded_arrow() -> None:
     """Arrow kernels inside raw Ray tasks must not fan out onto Arrow's
@@ -73,6 +106,22 @@ def _ensure_arrow(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     if schema is not None and any(not isinstance(t, pa.DataType) for t in schema.types):
         return ds.map_batches(lambda t: t, batch_format="pyarrow")
     return ds
+
+
+def _mat_arrow(ds: "ray.data.Dataset"):
+    """Materialize ONCE and return ``(materialized_ds, schema)``.
+
+    The direct exchange needs the dataset's block refs, so execution is
+    unavoidable; materializing FIRST makes ``schema()`` a metadata read
+    instead of its own partial execution — a lazy ``ds.schema()`` runs
+    the upstream to its first block, so stateful upstream stages (funnel
+    counters, metrics actors) would observe the pipeline running twice."""
+    ds = ds.materialize()
+    schema = ds.schema()
+    if schema is not None and any(not isinstance(t, pa.DataType) for t in schema.types):
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        schema = ds.schema()
+    return ds, schema
 
 
 def _resolve_side_types(
@@ -206,6 +255,17 @@ def _bucket_join_task(kernel, n_left: int, *pieces: pa.Table) -> pa.Table:
     return kernel(lhs.reset_index(drop=True), rdf)
 
 
+@ray.remote
+def _bucket_apply_task(kernel, as_pandas: bool, *pieces: pa.Table) -> pa.Table:
+    """Reduce round of the ONE-input exchange: concat this bucket's slices
+    and run ``kernel`` over the whole bucket (``_key`` routing column
+    dropped; the original key column is still in the payload)."""
+    _single_threaded_arrow()
+    t = pa.concat_tables(pieces)
+    t = t.drop_columns(["_key"])
+    return kernel(t.to_pandas()) if as_pandas else kernel(t)
+
+
 def _direct_keyed_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -233,7 +293,7 @@ def _direct_keyed_join(
     # (Ray splits even a 15k-row parquet into 64 blocks → 128 buckets ×
     # 128 split tasks = 16k tiny shuffle objects, scheduling-bound)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    nb = int(max(shuffle_buckets, min(256, cpus * 2)))
+    nb = resolve_buckets(shuffle_buckets)
     if not l_refs:
         return ray.data.from_arrow_refs([_bucket_join_task.remote(kernel, 0)])
 
@@ -290,7 +350,7 @@ def asof_join(
     left_on: str,
     right_on: str,
     right_cols: list[str],
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
     tie_break: str | None = None,
 ) -> "ray.data.Dataset":
     """Backward as-of LEFT join. Output = all left columns + one
@@ -356,7 +416,7 @@ def equi_join(
     right_on: str,
     right_cols: list[str],
     how: str = "inner",
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Hash equi-join on the direct two-round exchange — the large–large
     shuffle-join path (the broadcast pattern covers small sides;
@@ -431,17 +491,25 @@ def equi_join(
 
 
 def _direct_grouped_apply(
-    ds: "ray.data.Dataset", key_col: str, kernel, shuffle_buckets: int
+    ds: "ray.data.Dataset",
+    key_col: str,
+    kernel,
+    shuffle_buckets: int | None = None,
+    kernel_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """One-input direct exchange: hash-split the dataset's blocks by
     ``key_col`` (dtype-stable under nulls; null keys to bucket 0) and run
-    ``kernel(df) -> pa.Table`` ONCE per bucket over all of its groups —
-    the join exchange with an absent right side. The input's own blocks
-    (grouped ~one split task per CPU) replace a Dataset
-    ``groupby().map_groups`` sort exchange and its four scheduling
-    rounds."""
-    ds = _ensure_arrow(ds)
-    schema = ds.schema()
+    the kernel ONCE per bucket over all of its groups — the join exchange
+    with an absent right side. The input's own blocks (grouped ~one split
+    task per CPU) replace a Dataset ``groupby().map_groups`` sort exchange
+    and its four scheduling rounds.
+
+    ``kernel_format``: ``"pandas"`` calls ``kernel(df) -> pa.Table``;
+    ``"pyarrow"`` calls ``kernel(pa.Table) -> pa.Table`` (no pandas
+    round-trip — use for Arrow-native kernels where the conversion would
+    lose types or cost a copy). Either way the kernel MUST return a
+    consistently-typed Arrow table, including for a zero-row bucket."""
+    ds, schema = _mat_arrow(ds)
     if schema is None:
         return ds
     names = list(schema.names)
@@ -450,7 +518,7 @@ def _direct_grouped_apply(
     if not refs:
         return ds
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    nb = int(max(shuffle_buckets, min(256, cpus * 2)))
+    nb = resolve_buckets(shuffle_buckets)
     n_tasks = min(len(refs), max(1, cpus))
     block_groups = [refs[i::n_tasks] for i in range(n_tasks)]
     outs = [
@@ -460,12 +528,9 @@ def _direct_grouped_apply(
         for grp in block_groups
     ]
     splits = [[o] for o in outs] if nb == 1 else outs
-
-    def one_sided(lhs: pd.DataFrame, _rdf: pd.DataFrame) -> pa.Table:
-        return kernel(lhs.drop(columns=["_key"]))
-
+    as_pandas = kernel_format == "pandas"
     out_refs = [
-        _bucket_join_task.remote(one_sided, len(splits), *[s[i] for s in splits])
+        _bucket_apply_task.remote(kernel, as_pandas, *[s[i] for s in splits])
         for i in range(nb)
     ]
     return ray.data.from_arrow_refs(out_refs)
@@ -477,7 +542,7 @@ def group_topk(
     order_cols: list[str],
     k: int,
     descending: bool | list[bool] = True,
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Top-k rows PER GROUP by ``order_cols`` (the generic form of A5's
     argmax; deterministic when ``order_cols`` ends in a unique
@@ -533,7 +598,7 @@ def trailing_window_join(
     span_s: float,
     count_name: str = "n_right",
     sum_name: str = "sum_value",
-    shuffle_buckets: int = 32,
+    shuffle_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Range (interval) join + aggregate: for each left row, COUNT and SUM
     the right rows of the same key whose time lies in the trailing window

@@ -326,3 +326,40 @@ def test_semantic_dedup_truncation_counted():
     kept = int((~out["is_dup"]).sum())
     assert 1 <= kept <= 2
     assert out["is_dup"].sum() == 50 - kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_empty_and_tiny_inputs():
+    """semantic_dedup on an EMPTY corpus returns it unflagged (no
+    pa.concat_tables([]) crash); a corpus smaller than k clamps the
+    k-means fit instead of feeding a degenerate sample."""
+    import ray.data
+
+    from etl_framework_ray.stages.dedup import semantic_dedup
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = semantic_dedup(empty)
+    assert out.count() == 0
+
+    rng = np.random.default_rng(11)
+    tiny = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [rng.normal(size=8).astype(np.float32) for _ in range(3)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = semantic_dedup(tiny, k=16).take_all()  # k > corpus size
+    assert len(rows) == 3
+    assert all(r["is_dup"] is False or r["is_dup"] is True for r in rows)

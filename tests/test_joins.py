@@ -644,3 +644,43 @@ def test_equi_join_matches_pandas_property(n_left, n_right, n_keys, how, seed):
     for c in key_cols:
         a, b = g[c].to_numpy(dtype=float), w[c].to_numpy(dtype=float)
         assert np.allclose(a, b, equal_nan=True), c
+
+
+# ---------------------------------------------------------------------------
+# resolve_buckets — explicit counts are exact; auto counts pin per job
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_buckets_explicit_is_exact():
+    from etl_framework_ray.stages.joins import resolve_buckets
+
+    assert resolve_buckets(3) == 3
+    assert resolve_buckets(1) == 1
+    assert resolve_buckets(500) == 500  # no clamp on explicit counts
+    with pytest.raises(ValueError):
+        resolve_buckets(0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_buckets_auto_pins_across_cluster_resizes(monkeypatch):
+    """Auto bucket counts resolve ONCE per job: on an autoscaling cluster
+    ray.cluster_resources() moves between a pipeline's stages, and two
+    exchanges disagreeing on bucket count would re-route keys
+    mid-pipeline. The pinned value must survive a CPU-count change."""
+    import ray as _ray
+
+    from etl_framework_ray.stages import joins as joins_mod
+
+    monkeypatch.setattr(joins_mod, "_PINNED_AUTO_BUCKETS", {})
+    first = joins_mod.resolve_buckets(None)
+    # cluster "scales" 8x mid-pipeline; the pinned count must not move
+    real = _ray.cluster_resources
+
+    def inflated():
+        res = dict(real())
+        res["CPU"] = res.get("CPU", 4) * 8
+        return res
+
+    monkeypatch.setattr(_ray, "cluster_resources", inflated)
+    assert joins_mod.resolve_buckets(None) == first
