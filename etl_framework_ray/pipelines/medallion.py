@@ -386,30 +386,32 @@ def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def latest_event_per_user(sf_dir: str, shuffle_buckets: int = 64) -> "ray.data.Dataset":
+def latest_event_per_user(
+    sf_dir: str, shuffle_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Per user_id, the event with max (ts, event_id) — batch-level LWW
-    combiner then per-COARSE-BUCKET reduce; same kernel as the CDC apply.
+    combiner then per-bucket reduce; same kernel as the CDC apply.
 
-    Keys co-locate via ``hash(user_id) % shuffle_buckets`` and one
-    vectorized ``lww_reduce`` per bucket handles ALL of its users (the
-    kernel is multi-key already) — one UDF dispatch per bucket, not per
-    user, which is the difference between 64 dispatches and millions at
-    corpus scale (the group_topk pattern, stages/joins.py)."""
-    from ..functions.hashing import stable_hash_array
+    Keys co-locate by ``hash(user_id)`` on the DIRECT exchange
+    (:func:`~..stages.joins._direct_grouped_apply`; round 4 retired the
+    ``groupby("_cb").map_groups`` sort exchange) and one vectorized
+    ``lww_reduce`` per bucket handles ALL of its users (the kernel is
+    multi-key already) — one UDF dispatch per bucket, not per user, which
+    is the difference between ~2×CPU dispatches and millions at corpus
+    scale (the group_topk pattern, stages/joins.py)."""
+    from ..stages.joins import _direct_grouped_apply
 
     def combine(batch: pa.Table) -> pa.Table:
-        batch = lww_reduce(batch, ("user_id",), ("ts", "event_id"))
-        cb = (stable_hash_array(batch.column("user_id")) % np.uint64(shuffle_buckets)).astype(
-            np.int64
-        )
-        return batch.append_column("_cb", pa.array(cb))
+        return lww_reduce(batch, ("user_id",), ("ts", "event_id"))
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
-        return lww_reduce(group.drop_columns(["_cb"]), ("user_id",), ("ts", "event_id"))
+        return lww_reduce(group, ("user_id",), ("ts", "event_id"))
 
-    return (
+    return _direct_grouped_apply(
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
-        .map_batches(combine, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow"),
+        "user_id",
+        reduce_bucket,
+        shuffle_buckets,
+        kernel_format="pyarrow",
     )

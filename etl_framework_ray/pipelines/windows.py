@@ -137,36 +137,41 @@ def hopping_counts(
     return out.map_batches(snap, batch_format="pyarrow")
 
 
-def session_windows(sf_dir: str, gap_s: int = 1800, shuffle_buckets: int = 64) -> "ray.data.Dataset":
+def session_windows(
+    sf_dir: str, gap_s: int = 1800, shuffle_buckets: int | None = None
+) -> "ray.data.Dataset":
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_s``. Output one row per session.
 
-    COARSE-BUCKETED: users co-locate via ``hash(user_id) %
-    shuffle_buckets`` and ONE vectorized kernel per bucket sessionizes all
-    of its users — sort by (user, ts, event_id), session boundaries =
-    user-change OR gap>τ (the ``lww.last_per_key_mask`` adjacent-diff
-    trick), cumsum for ids, one pandas groupby-agg in C for the rollup.
-    Per-user ``map_groups`` costs one Python dispatch per user — a scale
-    bug at millions of keys (measured on this engine: per-group vs
-    per-bucket dispatch is 15 s vs 0.5 s for 5 k groups, joins.py)."""
+    Users co-locate by ``hash(user_id)`` on the DIRECT exchange
+    (:func:`~..stages.joins._direct_grouped_apply`; round 4 retired the
+    ``groupby("_cb").map_groups`` sort exchange) and ONE vectorized kernel
+    per bucket sessionizes all of its users — sort by (user, ts,
+    event_id), session boundaries = user-change OR gap>τ (the
+    ``lww.last_per_key_mask`` adjacent-diff trick), cumsum for ids, one
+    pandas groupby-agg in C for the rollup. Per-user ``map_groups`` costs
+    one Python dispatch per user — a scale bug at millions of keys
+    (measured on this engine: per-group vs per-bucket dispatch is 15 s vs
+    0.5 s for 5 k groups, joins.py)."""
     import numpy as np
 
-    from ..functions.hashing import stable_hash_array
+    from ..stages.joins import _direct_grouped_apply
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        cb = (stable_hash_array(batch.column("user_id")) % np.uint64(shuffle_buckets)).astype(
-            np.int64
-        )
-        return batch.append_column("_cb", pa.array(cb))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
+    )
+    schema = ds.schema()  # parquet metadata read — no execution
+    user_t = schema.types[schema.names.index("user_id")]
+    ts_t = schema.types[schema.names.index("ts")]
 
-    def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):  # Ray may dispatch an empty probe group
-            return pd.DataFrame(
+    def bucket_sessions(df: pd.DataFrame) -> pa.Table:
+        if not len(df):  # every bucket must emit the identical schema
+            return pa.table(
                 {
-                    "user_id": df["user_id"],
-                    "session_start": df["ts"],
-                    "session_end": df["ts"],
-                    "n_events": pd.Series([], dtype="int64"),
+                    "user_id": pa.array([], user_t),
+                    "session_start": pa.array([], ts_t),
+                    "session_end": pa.array([], ts_t),
+                    "n_events": pa.array([], pa.int64()),
                 }
             )
         g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -189,13 +194,13 @@ def session_windows(sf_dir: str, gap_s: int = 1800, shuffle_buckets: int = 64) -
             )
             .reset_index(drop=True)
         )
-        return out
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"], user_t),
+                "session_start": pa.array(out["session_start"]).cast(ts_t),
+                "session_end": pa.array(out["session_end"]).cast(ts_t),
+                "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            }
+        )
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
-    )
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(bucket_sessions, batch_format="pandas")
-    )
+    return _direct_grouped_apply(ds, "user_id", bucket_sessions, shuffle_buckets)

@@ -48,6 +48,18 @@ def _block_len_task(block) -> int:
 
 
 @ray.remote
+def _distinct_keys_task(block, key_cols: list) -> pa.Table:
+    """Distinct key tuples of one source block — O(block) work, O(distinct
+    keys) output; the driver only ever sees the deduped union."""
+    import pandas as pd
+
+    _single_threaded_arrow()
+    t = pa.Table.from_pandas(block, preserve_index=False) if isinstance(block, pd.DataFrame) else block
+    df = t.select(key_cols).to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+@ray.remote
 def _stage_segment_task(
     block,
     lo: int,
@@ -55,6 +67,7 @@ def _stage_segment_task(
     names: list[str],
     dtypes: dict,
     ts_stamp,
+    key_ts,
     checks,
     key_cols: tuple,
     table_name: str,
@@ -91,7 +104,23 @@ def _stage_segment_task(
         if name in t.column_names:
             cols[name] = t.column(name)
         elif name == "ts":
-            cols[name] = pa.array([ts_stamp] * n, dtypes[name])
+            if key_ts is not None and key_ts.num_rows:
+                # tombstone stamping: per key, max(now, lake's max observed
+                # event ts for the key) — the tombstone must win (ts,lsn)
+                # LWW against EVERYTHING committed for its key, including
+                # future-dated events wall-clock "now" would lose to. Ties
+                # go to the tombstone (its LSN is above the watermark).
+                import numpy as np
+
+                kc = list(key_cols)
+                m = t.select(kc).to_pandas().merge(key_ts.to_pandas(), on=kc, how="left")
+                stamped = np.maximum(
+                    m["ts"].fillna(pd.Timestamp(ts_stamp)).to_numpy(),
+                    np.datetime64(ts_stamp),
+                )
+                cols[name] = pa.array(stamped).cast(dtypes[name])
+            else:
+                cols[name] = pa.array([ts_stamp] * n, dtypes[name])
         else:
             cols[name] = pa.nulls(n, dtypes[name])
     hi = lo + n - 1
@@ -256,20 +285,12 @@ class LakeWriter:
             )
         ts_stamp = None
         if "ts" in names and "ts" not in schema_names:
-            # one stamp for the whole write (not per batch). Caveat (ts,lsn)
-            # LWW: a lake row whose EVENT time is ahead of this wall clock
-            # (clock skew, future-dated events) outranks the tombstone —
-            # warn so callers on ts-ordered tables pass an explicit ts
+            # only reachable for op='D' (non-D ops require every declared
+            # column, enforced above): one wall-clock stamp for the whole
+            # write, raised per key to the lake max below
             import datetime
-            import warnings
 
             ts_stamp = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-            warnings.warn(
-                f"{op!r} write to ts-ordered table {self.spec.name!r} has no 'ts' "
-                "column; stamping wall-clock now — rows with future event times "
-                "will survive it. Pass ts explicitly for point-in-time semantics.",
-                stacklevel=3,
-            )
         gate = self._make_gate()
         # tombstones have no payload to validate — gating them against
         # payload rules would spuriously trip NOT NULL checks
@@ -288,14 +309,24 @@ class LakeWriter:
                     nr = ray.get(_block_len_task.remote(ref))
                 blocks.append((ref, int(nr)))
         dtypes = {n: self.spec.column(n).dtype for n in names}
+        key_ts_ref = None
+        if op == "D" and ts_stamp is not None:
+            # ts-less DELETE on a ts-ordered table: a tombstone stamped with
+            # wall-clock "now" silently loses LWW to a lake row whose event
+            # time is ahead of this writer's clock (skew / future-dated
+            # events). Stamp per key with max(now, lake max ts for the key)
+            # instead — one pruned, broadcast-filtered snapshot scan, cost
+            # O(lake keys-scan) + O(delete keys) driver state. Callers that
+            # pass ts explicitly skip this scan entirely.
+            key_ts_ref = self._lake_key_max_ts(blocks, key_cols)
         refs, ranges, offset = [], [], 0
         for ref, nr in blocks:
             if nr == 0:
                 continue
             refs.append(
                 _stage_segment_task.remote(
-                    ref, start + offset, op, names, dtypes, ts_stamp, checks,
-                    key_cols, self.spec.name, rc, gate.failure_dir,
+                    ref, start + offset, op, names, dtypes, ts_stamp, key_ts_ref,
+                    checks, key_cols, self.spec.name, rc, gate.failure_dir,
                     self.run_context.run_id, seg_dir,
                 )
             )
@@ -336,6 +367,65 @@ class LakeWriter:
         return Epoch(
             tuple(Segment(m["path"], m["lo"], m["hi"]) for m in metas if m["path"])
         )
+
+    def _lake_key_max_ts(self, blocks: list, key_cols: tuple) -> "ray.ObjectRef | None":
+        """Max observed lake ``ts`` per delete key — the tombstone stamp
+        floor. Distinct keys come from the staged source blocks (remote
+        dedup, the driver sees only the union — O(delete keys)); the lake
+        side is ONE column-pruned merge-on-read scan of (pk, ts), filtered
+        per batch against the broadcast key set, emitting per-batch
+        partial maxima (≤ O(delete keys) each; a key lives in exactly one
+        partition, so the collected total is O(delete keys)). Returns a
+        ``ray.put`` ref of the (key_cols…, ts) Arrow table, or None when
+        neither side has rows."""
+        import pandas as pd
+
+        kc = list(key_cols)
+        key_parts = ray.get(
+            [_distinct_keys_task.remote(ref, kc) for ref, nr in blocks if nr]
+        )
+        key_parts = [k for k in key_parts if k.num_rows]
+        if not key_parts:
+            return None
+        keys_df = pa.concat_tables(key_parts).to_pandas().drop_duplicates()
+        if not len(keys_df):
+            return None
+        keys_ref = ray.put(pa.Table.from_pandas(keys_df.reset_index(drop=True), preserve_index=False))
+        ts_t = self.spec.column("ts").dtype
+        spec_types = {c: self.spec.column(c).dtype for c in kc}
+
+        def _typed(g: "pd.DataFrame") -> pa.Table:
+            # every partial emits the identical spec-typed schema (pandas
+            # merges can silently promote key dtypes otherwise)
+            arrs = {
+                c: (pa.array(g[c]).cast(spec_types[c]) if len(g) else pa.array([], spec_types[c]))
+                for c in kc
+            }
+            arrs["ts"] = pa.array(g["ts"]).cast(ts_t) if len(g) else pa.array([], ts_t)
+            return pa.table(arrs)
+
+        def partial_max(batch: pa.Table) -> pa.Table:
+            import pandas as _pd
+
+            kt = ray.get(keys_ref)
+            df = batch.to_pandas().merge(kt.to_pandas(), on=kc, how="inner")
+            g = (
+                df.groupby(kc, sort=False)["ts"].max().reset_index()
+                if len(df)
+                else df.head(0)[[*kc, "ts"]]
+            )
+            return _typed(g)
+
+        try:
+            snap = self.engine.snapshot(columns=[*kc, "ts"])
+        except Exception:
+            return None  # fresh/empty table: nothing committed to outrank
+        parts = snap.map_batches(partial_max, batch_format="pyarrow").take_all()
+        if not parts:
+            return None
+        pdf = pd.DataFrame(parts)
+        merged = pdf.groupby(kc, sort=False)["ts"].max().reset_index()
+        return ray.put(_typed(merged))
 
     def merge(self, ds: "ray.data.Dataset") -> dict:
         """PK upsert of ``ds`` into the table.

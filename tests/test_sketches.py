@@ -237,3 +237,28 @@ def test_hll_distinct_by_partition_invariant():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_by_all_null_group_emits_zero():
+    """SQL GROUP BY parity: a group ALL of whose values are NULL still
+    emits a row, with COUNT(DISTINCT) = 0 (round 4 closed the omission)."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import hll_distinct_by
+
+    t = pa.table(
+        {
+            "g": pa.array(["live", "live", "dead", "dead"], pa.string()),
+            "v": pa.array([1.0, 2.0, None, None], pa.float64()),
+        }
+    )
+    out = (
+        hll_distinct_by(ray.data.from_arrow(t).repartition(2), "g", "v", p=10)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+        .to_dict()
+    )
+    assert set(out) == {"live", "dead"}
+    assert out["dead"] == 0.0
+    assert abs(out["live"] - 2) / 2 < 0.25

@@ -24,6 +24,55 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+#: approximate queries checked against an exact-SQL oracle within a
+#: relative tolerance (these stay OUT of oracle_sql() — the driver's gate
+#: hash-compares values exactly, which a sketch can never satisfy).
+#: name -> (sql, join_cols, value_col, rel_tol). join_cols=[] means a
+#: single-row scalar compare.
+TOLERANCE_ORACLES: dict = {
+    "approx_distinct_users": (
+        "SELECT COUNT(DISTINCT user_id) AS approx_distinct_users FROM events",
+        [],
+        "approx_distinct_users",
+        0.10,
+    ),
+    "distinct_users_by_type": (
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_distinct"
+        " FROM events GROUP BY event_type",
+        ["event_type"],
+        "approx_distinct",
+        0.10,
+    ),
+}
+
+
+def check_tolerance(name: str, got: pd.DataFrame, con) -> list:
+    """Tolerance compare: same group rows, every estimate within rel_tol
+    of the exact COUNT(DISTINCT). Returns problem strings (empty = OK)."""
+    sql, join_cols, vcol, tol = TOLERANCE_ORACLES[name]
+    exp = con.sql(sql).df()
+    problems = []
+    if len(got) != len(exp):
+        problems.append(f"ROWS {len(got)} vs {len(exp)}")
+        return problems
+    if join_cols:
+        m = got.merge(exp, on=join_cols, how="outer", suffixes=("_got", "_exp"))
+        if m[f"{vcol}_got"].isna().any() or m[f"{vcol}_exp"].isna().any():
+            problems.append("GROUPS differ")
+            return problems
+        g = m[f"{vcol}_got"].astype(float).to_numpy()
+        x = m[f"{vcol}_exp"].astype(float).to_numpy()
+    else:
+        g = got[vcol].astype(float).to_numpy()
+        x = exp[vcol].astype(float).to_numpy()
+    denom = np.maximum(np.abs(x), 1.0)  # exact 0 must estimate exactly 0
+    bad = np.abs(g - x) / denom > tol
+    if (x == 0).any() and (g[x == 0] != 0).any():
+        bad |= x == 0
+    if bad.any():
+        problems.append(f"VAL {vcol} beyond ±{tol:.0%} in {int(bad.sum())} group(s)")
+    return problems
+
 
 def to_df(res) -> pd.DataFrame:
     return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
@@ -63,6 +112,13 @@ def main(sf_dir: str) -> int:
             print(f"{name:24s} RAY ERROR: {e}")
             continue
         dur = time.perf_counter() - t0
+        if name in TOLERANCE_ORACLES:
+            problems = check_tolerance(name, got, con)
+            tag = "OK~tol" if not problems else "MISMATCH " + "; ".join(problems)
+            print(f"{name:24s} {tag}   ({len(got)} rows, {dur:.1f}s)")
+            if problems:
+                fails.append(name)
+            continue
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(got):8d} rows   ({dur:.1f}s)")
             continue
