@@ -434,6 +434,135 @@ def run_membench() -> dict:
     return {"metric": "memcpy scaling (BASELINE.md VM bandwidth ceiling)", **out}
 
 
+def run_dedup_scale() -> dict:
+    """Scale-tier proof for the dedup family (round-3 verdict #7): a 10×
+    synthetic corpus (BENCH_DEDUP_DOCS, default 50 000 docs/vectors = 10×
+    the sf0.1 documents table) with PLANTED exact/near duplicates; runs
+    minhash_dedup, embedding_dedup_lsh and semantic_dedup and reports
+    recall against the planted ground truth, the (never-silent)
+    truncation counters, wall time per family, and driver peak RSS before
+    vs after — evidence the O(duplicates) broadcasts hold at 10×."""
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = int(os.environ.get("BENCH_DEDUP_DOCS", "50000"))
+    rng = np.random.default_rng(17)
+
+    # --- text corpus: 80% unique, 10% exact dups, 10% near dups -------
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    n_base = int(n * 0.8)
+    n_exact = int(n * 0.1)
+    n_near = n - n_base - n_exact
+    base_words = rng.choice(vocab, size=(n_base, 100))
+    base_texts = [" ".join(row) for row in base_words]
+    exact_src = rng.integers(0, n_base, n_exact)
+    near_src = rng.integers(0, n_base, n_near)
+    near_texts = []
+    for s in near_src:
+        w = base_words[s].copy()
+        w[rng.integers(0, 100, 3)] = rng.choice(vocab, 3)  # ~0.94 Jaccard
+        near_texts.append(" ".join(w))
+    texts = base_texts + [base_texts[s] for s in exact_src] + near_texts
+    planted_text_dups = set(range(n_base, n))  # every copy has a lower-id source
+    docs_dir = tempfile.mkdtemp(prefix="dedup_scale_")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}),
+        os.path.join(docs_dir, "documents.parquet"),
+    )
+
+    # --- embedding corpus: 80% random (dim 64 → accidental cos≥0.95 is
+    # ~1e-14/pair), 20% planted near-dups of earlier vectors ------------
+    dim = 64
+    nv_base = int(n * 0.8)
+    base_v = rng.standard_normal((nv_base, dim))
+    near_v_src = rng.integers(0, nv_base, n - nv_base)
+    near_v = base_v[near_v_src] + 0.02 * rng.standard_normal((n - nv_base, dim))
+    vecs = np.vstack([base_v, near_v]).astype(np.float32)
+    planted_vec_dups = set(range(nv_base, n))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(docs_dir, "embeddings.parquet"),
+    )
+
+    rss0_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    _bench_session()
+    import ray
+
+    from etl_framework_ray.stages.dedup import (
+        MinHashConfig,
+        embedding_dedup_lsh,
+        minhash_dedup,
+        semantic_dedup,
+    )
+
+    out: dict = {
+        "metric": "dedup scale tier: recall on planted dups at 10x corpus",
+        "docs": n,
+        "dim": dim,
+        "planted_text_dups": len(planted_text_dups),
+        "planted_vec_dups": len(planted_vec_dups),
+    }
+
+    docs = ray.data.read_parquet(os.path.join(docs_dir, "documents.parquet"))
+    mstats: dict = {}
+    t0 = time.perf_counter()
+    # τ=0.7: 3-of-100 word substitutions kill ~3×shingle_size shingles, so
+    # the planted pairs sit at shingle-Jaccard ≈0.73 — the threshold must
+    # sit below the planted similarity for recall to measure the BUCKETING
+    # path (a higher τ measures the verify rule's cutoff instead)
+    m = minhash_dedup(docs, MinHashConfig(jaccard_threshold=0.7), stats_out=mstats).to_pandas()
+    flagged = set(m[~m.is_kept].doc_id)
+    out["minhash"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall": round(len(flagged & planted_text_dups) / len(planted_text_dups), 4),
+        "flagged": len(flagged),
+        "truncated_buckets": mstats.get("truncated_buckets", 0),
+        "truncated_rows": mstats.get("truncated_rows", 0),
+    }
+
+    emb = ray.data.read_parquet(os.path.join(docs_dir, "embeddings.parquet"))
+    lstats: dict = {}
+    t0 = time.perf_counter()
+    l = embedding_dedup_lsh(emb, threshold=0.95, stats_out=lstats).to_pandas()
+    lflag = set(l[l.is_dup].vec_id)
+    out["embedding_lsh"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall": round(len(lflag & planted_vec_dups) / len(planted_vec_dups), 4),
+        "flagged": len(lflag),
+        "num_planes": lstats.get("num_planes"),
+        "truncated_buckets": lstats.get("truncated_buckets", 0),
+        "truncated_rows": lstats.get("truncated_rows", 0),
+    }
+
+    sstats: dict = {}
+    t0 = time.perf_counter()
+    s = semantic_dedup(emb, threshold=0.95, stats_out=sstats).to_pandas()
+    sflag = set(s[s.is_dup].vec_id)
+    out["semantic"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "recall": round(len(sflag & planted_vec_dups) / len(planted_vec_dups), 4),
+        "flagged": len(sflag),
+        "truncated_buckets": sstats.get("truncated_buckets", 0),
+        "truncated_rows": sstats.get("truncated_rows", 0),
+    }
+
+    out["driver_rss_mb_before"] = round(rss0_mb, 1)
+    out["driver_rss_mb_after"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
+    ray.shutdown()
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -441,5 +570,7 @@ if __name__ == "__main__":
         print(json.dumps(run_soak()))
     elif "--membench" in sys.argv:
         print(json.dumps(run_membench()))
+    elif "--dedup-scale" in sys.argv:
+        print(json.dumps(run_dedup_scale()))
     else:
         print(json.dumps(run_bench()))

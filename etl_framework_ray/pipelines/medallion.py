@@ -98,42 +98,61 @@ def clean_parts(sf_dir: str) -> "ray.data.Dataset":
 
 def supplier_nation_region(sf_dir: str) -> "ray.data.Dataset":
     """supplier ⋈ nation ⋈ region with both dims broadcast (ray.put once,
-    pandas merge per batch — no shuffle; dims are tiny)."""
+    one Arrow hash join per batch — no shuffle, no pandas round-trip;
+    dims are tiny)."""
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
-    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
-    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    dim_ref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+    from .cdc import _single_threaded_arrow
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey").select(
+        ["n_nationkey", "n_name", "r_name"]
+    )
+    dim_ref = ray.put(dim)
+
+    def join(batch: pa.Table) -> pa.Table:
+        _single_threaded_arrow()
         d = ray.get(dim_ref)
-        out = batch.merge(d, left_on="s_nationkey", right_on="n_nationkey", how="inner")
-        return out[["s_suppkey", "s_name", "n_name", "r_name"]].rename(
-            columns={"n_name": "nation_name", "r_name": "region_name"}
-        )
+        out = batch.join(d, keys="s_nationkey", right_keys="n_nationkey", join_type="inner")
+        out = out.select(["s_suppkey", "s_name", "n_name", "r_name"])
+        return out.rename_columns(["s_suppkey", "s_name", "nation_name", "region_name"])
 
-    return _read(sf_dir, "supplier").map_batches(join, batch_format="pandas")
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        join, batch_format="pyarrow"
+    )
 
 
 def revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
     """Fact ⋈ broadcast dim ⋈ aggregate: lineitem joined to part (small),
-    revenue per brand. The join is a per-batch pandas merge against a
-    broadcast dim; the groupby shuffles one partial row per (brand, block)."""
+    revenue per brand. The join is a per-batch Arrow hash join against a
+    broadcast dim (no pandas round-trip on the fact side); the groupby
+    shuffles one partial row per (brand, block)."""
     import pyarrow.parquet as pq
+
+    from .cdc import _single_threaded_arrow
 
     part = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
-    ).to_pandas()
+    )
     part_ref = ray.put(part)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        _single_threaded_arrow()
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table({"l_partkey": batch.column("l_partkey"), "revenue": rev})
         d = ray.get(part_ref)
-        j = df.merge(d, left_on="l_partkey", right_on="p_partkey", how="inner")
-        g = j.groupby("p_brand", sort=False)["revenue"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        j = t.join(d, keys="l_partkey", right_keys="p_partkey", join_type="inner")
+        g = j.group_by("p_brand").aggregate([("revenue", "sum")])
+        return g.select(["p_brand", "revenue_sum"]).rename_columns(["p_brand", "revenue"])
 
     from ray.data.aggregate import Sum
 
