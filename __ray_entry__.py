@@ -433,6 +433,20 @@ def _q_price_quantiles(sf_dir: str):
     return rank_select_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
 
 
+def _q_price_quantiles_approx(sf_dir: str):
+    """One-pass approximate quantile sketch (per-block equi-weight
+    summaries, log-depth task-tree merge) — the single-scan sibling of
+    the exact rank-select tier; tolerance-checked by the gate mirror."""
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import approx_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return approx_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
+
+
 def _q_top_events_per_user(sf_dir: str):
     """Generic per-group top-k (value DESC, event_id tie-break)."""
     import ray.data
@@ -1030,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "top_events_per_user": _q_top_events_per_user,
         "price_quantiles": _q_price_quantiles,
+        "price_quantiles_approx": _q_price_quantiles_approx,
         "doc_chunks_packed": _q_doc_chunks_packed,
         "sample_docs_10pct": _q_sample_docs,
         "exact_dedup_docs": _q_exact_dedup,

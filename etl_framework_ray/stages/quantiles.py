@@ -361,3 +361,111 @@ def grouped_rank_select_quantiles(
             "v": pa.array(out_v, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass approximate quantiles (the sketch tier)
+# ---------------------------------------------------------------------------
+
+
+def _compress_summary(v: np.ndarray, w: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Re-compress a weighted, VALUE-SORTED summary to ≤k equi-weight
+    points: sample at the k midpoint ranks (i+0.5)·W/k. Each compression
+    moves any rank estimate by ≤ W/(2k) — the error budget below."""
+    if len(v) <= k:
+        return v, w
+    W = float(w.sum())
+    cum = np.cumsum(w) - w / 2.0  # midpoint rank of each point
+    targets = (np.arange(k, dtype=np.float64) + 0.5) * (W / k)
+    idx = np.clip(np.searchsorted(cum, targets, side="left"), 0, len(v) - 1)
+    return v[idx], np.full(k, W / k, dtype=np.float64)
+
+
+@ray.remote
+def _merge_summaries_task(k: int, *tables: pa.Table) -> pa.Table:
+    """One fan-in node of the summary tree: concat the children's
+    (vals, wts) rows, sort by value, re-compress to k points."""
+    vs, ws = [], []
+    for t in tables:
+        for i in range(t.num_rows):
+            vs.append(np.asarray(t.column("vals")[i].as_py(), dtype=np.float64))
+            ws.append(np.asarray(t.column("wts")[i].as_py(), dtype=np.float64))
+    if not vs:
+        return pa.table(
+            {"vals": pa.array([], pa.list_(pa.float64())), "wts": pa.array([], pa.list_(pa.float64()))}
+        )
+    v = np.concatenate(vs)
+    w = np.concatenate(ws)
+    order = np.argsort(v, kind="mergesort")
+    v, w = _compress_summary(v[order], w[order], k)
+    return pa.table(
+        {"vals": pa.array([v], pa.list_(pa.float64())), "wts": pa.array([w], pa.list_(pa.float64()))}
+    )
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 512,
+    fanin: int = 8,
+) -> pa.Table:
+    """ONE-PASS approximate quantiles — the sketch tier next to the exact
+    :func:`rank_select_quantiles` (which re-scans per refinement level).
+
+    Per block: sort its non-null values and keep ``k`` equi-weight order
+    statistics (weight n_b/k each) — a ``2k``-float summary per block;
+    the column never reaches the driver. Summaries merge in a log-depth
+    task tree (sort + re-compress at each node); the driver ``ray.get``s
+    ONE summary and reads every quantile off it.
+
+    Error bound: each compression shifts any rank by ≤ W/(2k), so with
+    tree depth d (≈ log_fanin(blocks)) the total rank error is ≤
+    (d+1)/(2k) of N — k=512, fan-in 8, a million blocks (d=7) → ≤0.8%
+    rank error. Raise ``k`` for tighter answers; the exact tier is the
+    oracle when zero error is required.
+
+    Returns ``(q, v)`` like the exact tier; empty/all-null input returns
+    an empty table."""
+    import pyarrow.compute as pc
+
+    from .joins import _block_refs
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(v):
+            return pa.table(
+                {"vals": pa.array([], pa.list_(pa.float64())), "wts": pa.array([], pa.list_(pa.float64()))}
+            )
+        v = np.sort(v)
+        if len(v) > k:
+            idx = ((np.arange(k, dtype=np.float64) + 0.5) * (len(v) / k)).astype(np.int64)
+            vv, ww = v[np.clip(idx, 0, len(v) - 1)], np.full(k, len(v) / k, dtype=np.float64)
+        else:
+            vv, ww = v, np.ones(len(v), dtype=np.float64)
+        return pa.table(
+            {"vals": pa.array([vv], pa.list_(pa.float64())), "wts": pa.array([ww], pa.list_(pa.float64()))}
+        )
+
+    refs = _block_refs(ds.select_columns([col]).map_batches(part, batch_format="pyarrow"))
+    if not refs:
+        return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
+    while len(refs) > 1:
+        refs = [
+            _merge_summaries_task.remote(k, *refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    final = ray.get(_merge_summaries_task.remote(k, refs[0]))
+    if final.num_rows == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
+    v = np.asarray(final.column("vals")[0].as_py(), dtype=np.float64)
+    w = np.asarray(final.column("wts")[0].as_py(), dtype=np.float64)
+    W = float(w.sum())
+    cum = np.cumsum(w)
+    out_q, out_v = [], []
+    for q in qs:
+        target = float(q) * W
+        i = int(np.clip(np.searchsorted(cum, target, side="left"), 0, len(v) - 1))
+        out_q.append(float(q))
+        out_v.append(float(v[i]))
+    return pa.table({"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())})

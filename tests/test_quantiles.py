@@ -103,3 +103,63 @@ def test_grouped_quantiles_match_duckdb_with_refinement():
     """).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     assert (out[out.g == "const"].v == 3.5).all()
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles — the one-pass sketch tier
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_rank_error_bound():
+    """The one-pass sketch must land within its documented rank-error
+    budget of the exact answer: (depth+1)/(2k) of N. At 200k values,
+    16 blocks, fan-in 8 (depth 2), k=512 → ≤0.3% rank error; we assert a
+    conservative 1% in VALUE space on a continuous distribution."""
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    x = rng.lognormal(mean=3.0, sigma=1.0, size=200_000)
+    t = pa.table({"x": pa.array(x, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = approx_quantiles(ds, "x", (0.1, 0.5, 0.9, 0.99), k=512).to_pandas()
+    xs = np.sort(x)
+    for q, v in zip(got["q"], got["v"]):
+        # translate: the returned value's true rank must sit within 1% of q
+        true_rank = np.searchsorted(xs, v, side="left") / len(xs)
+        assert abs(true_rank - q) <= 0.01, (q, v, true_rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_nulls_and_empty():
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import approx_quantiles
+
+    t = pa.table({"x": pa.array([None, 1.0, None, 2.0, 3.0], pa.float64())})
+    got = approx_quantiles(ray.data.from_arrow(t), "x", (0.0, 1.0)).to_pandas()
+    assert list(got["v"]) == [1.0, 3.0]  # nulls excluded, exact at n<=k
+
+    empty = pa.table({"x": pa.array([], pa.float64())})
+    out = approx_quantiles(ray.data.from_arrow(empty), "x", (0.5,))
+    assert out.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_small_input_is_exact():
+    """n ≤ k: the summary IS the sorted column, so the sketch equals the
+    exact rank-select answer on every q."""
+    import ray.data
+
+    from etl_framework_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=400)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(x, pa.float64())})).repartition(3)
+    got = approx_quantiles(ds, "x", (0.25, 0.5, 0.75), k=512).to_pandas()
+    xs = np.sort(x)
+    for q, v in zip(got["q"], got["v"]):
+        # summary weights are 1 → searchsorted(cum, q*N) picks ceil(q*N)-1
+        assert v == xs[max(0, int(np.ceil(q * len(xs))) - 1)], (q, v)

@@ -43,6 +43,20 @@ TOLERANCE_ORACLES: dict = {
         "approx_distinct",
         0.10,
     ),
+    # one-pass sketch vs the exact rank-select definition (same SQL as the
+    # exact tier's oracle); 2% VALUE tolerance covers the documented
+    # ≤(depth+1)/(2k) rank-error budget on this distribution
+    "price_quantiles_approx": (
+        "WITH s AS (SELECT l_extendedprice AS v,"
+        "  ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn,"
+        "  COUNT(*) OVER () AS c FROM lineitem)"
+        " SELECT CAST(t.q AS DOUBLE) AS q, s.v"
+        " FROM (VALUES (0.5), (0.9), (0.99)) t(q)"
+        " JOIN s ON s.rn = CAST(FLOOR(t.q * (s.c - 1)) AS BIGINT)",
+        ["q"],
+        "v",
+        0.02,
+    ),
 }
 
 
