@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -163,18 +162,26 @@ PRODUCT_DIMENSION = TableSpec(
 
 
 def build_product_dimension(lake_root: str) -> "ray.data.Dataset":
-    """products ⋈ aisles ⋈ departments — dims broadcast (J1)."""
-    aisles = CDCEngine(os.path.join(lake_root, "silver", "aisles"), AISLES).snapshot_arrow().to_pandas()
-    deps = CDCEngine(os.path.join(lake_root, "silver", "departments"), DEPARTMENTS).snapshot_arrow().to_pandas()
+    """products ⋈ aisles ⋈ departments — dims broadcast (J1): ``ray.put``
+    once, one Arrow hash join per batch (no shuffle, no pandas
+    round-trip; dims are tiny)."""
+    from .cdc import _single_threaded_arrow
+
+    aisles = CDCEngine(os.path.join(lake_root, "silver", "aisles"), AISLES).snapshot_arrow()
+    deps = CDCEngine(os.path.join(lake_root, "silver", "departments"), DEPARTMENTS).snapshot_arrow()
     dim_ref = ray.put((aisles, deps))
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
+    def join(batch: pa.Table) -> pa.Table:
+        _single_threaded_arrow()
         a, d = ray.get(dim_ref)
-        out = batch.merge(a, on="aisle_id", how="inner").merge(d, on="department_id", how="inner")
-        return out[["product_id", "product_name", "aisle_name", "department_name", "price"]]
+        out = batch.join(a, keys="aisle_id", join_type="inner")
+        out = out.join(d, keys="department_id", join_type="inner")
+        return out.select(
+            ["product_id", "product_name", "aisle_name", "department_name", "price"]
+        )
 
     products = CDCEngine(os.path.join(lake_root, "silver", "products"), PRODUCTS).snapshot()
-    return products.map_batches(join, batch_format="pandas")
+    return products.map_batches(join, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

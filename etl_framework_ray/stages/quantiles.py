@@ -427,8 +427,6 @@ def approx_quantiles(
 
     Returns ``(q, v)`` like the exact tier; empty/all-null input returns
     an empty table."""
-    import pyarrow.compute as pc
-
     from .joins import _block_refs
 
     def part(batch: pa.Table) -> pa.Table:
