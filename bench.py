@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "distinct_users_by_type",
     "ann_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "langid",
     "multimodal_frames",
