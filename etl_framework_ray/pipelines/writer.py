@@ -416,10 +416,16 @@ class LakeWriter:
             )
             return _typed(g)
 
-        try:
-            snap = self.engine.snapshot(columns=[*kc, "ts"])
-        except Exception:
-            return None  # fresh/empty table: nothing committed to outrank
+        # a table created before the ts column existed (ts arrives via
+        # schema evolution in this very epoch) has no committed event times
+        # to outrank — "now" is a safe stamp. Every OTHER scan failure must
+        # propagate: a delete that silently falls back to wall-clock
+        # stamping on a transient read error reintroduces the
+        # future-dated-row resurrection this scan exists to prevent.
+        lake_cols = set(self.engine._public_schema().names)
+        if "ts" not in lake_cols or not set(kc) <= lake_cols:
+            return None
+        snap = self.engine.snapshot(columns=[*kc, "ts"])
         parts = snap.map_batches(partial_max, batch_format="pyarrow").take_all()
         if not parts:
             return None
@@ -457,9 +463,11 @@ class LakeWriter:
         merge-on-read hides the keys, late redelivery of older events
         cannot resurrect them, and tombstone-TTL GC applies. The source
         needs only the PK columns (an optional ``ts`` column sets the
-        delete's event time; otherwise the delete is stamped "now" so it
-        wins LWW). Extends the reference writer surface — its MERGE has
-        no delete clause — with the engine's native tombstone path."""
+        delete's event time; otherwise each tombstone is stamped
+        ``max(now, lake max ts for its key)`` so it wins LWW even against
+        future-dated committed rows — see ``_lake_key_max_ts``). Extends
+        the reference writer surface — its MERGE has no delete clause —
+        with the engine's native tombstone path."""
         if not self.spec.primary_key:
             raise ValueError(
                 f"DELETE requires a primary key on table {self.spec.name!r}"

@@ -57,11 +57,10 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixer
 # ---------------------------------------------------------------------------
 
 
-def _auto_buckets(size_bytes: int, target_bucket_bytes: int = 64 << 20) -> int:
-    """Bucket count sized so one bucket (corpus/buckets) is ~64 MiB — small
-    enough for a single worker's pandas dedup, large enough to bound the
-    per-bucket UDF dispatch count. Clamped to [16, 65536]."""
-    return int(min(65536, max(16, -(-size_bytes // target_bucket_bytes))))
+from .joins import _auto_buckets  # noqa: F401  (canonical home: joins.py)
+
+#: internal routing column for exact_dedup — 8 bytes/row on the exchange
+_TEXT_HASH_COL = "_texth"
 
 
 def exact_dedup(
@@ -73,43 +72,49 @@ def exact_dedup(
     """Keep the min-id row per distinct text. Returns the kept rows.
 
     Round 4: runs on the engine's DIRECT hash exchange
-    (:func:`~.joins._direct_grouped_apply`) keyed on the text column
-    itself — equal texts co-locate by hash, one vectorized pandas dedup
-    per bucket handles ALL of its texts, and none of the Dataset
-    ``groupby().map_groups`` sort-exchange fixed costs apply (the
-    temporal-join finding, BASELINE.md round 2). A per-block pre-trim
-    drops within-block duplicates before anything ships.
+    (:func:`~.joins._direct_grouped_apply`) keyed on a PRECOMPUTED int64
+    hash of the text — equal texts co-locate by hash while the exchange's
+    routing copy stays 8 bytes/row (routing on the text column itself
+    would serialize every document's bytes TWICE through the
+    memcpy-bound shuffle: payload + ``_key``). One vectorized pandas
+    dedup per bucket — on the actual text, so hash collisions cannot
+    merge distinct documents — handles ALL of its texts; none of the
+    Dataset ``groupby().map_groups`` sort-exchange fixed costs apply
+    (the temporal-join finding, BASELINE.md round 2). A per-block
+    pre-trim drops within-block duplicates before anything ships.
 
-    ``num_buckets=None`` auto-sizes (2×CPU, pinned per job — see
-    ``resolve_buckets``); an explicit count is honored EXACTLY. Memory
-    contract (same as every bucket kernel in the engine): one bucket —
-    distinct-text bytes / num_buckets — must fit a worker; for corpora
-    beyond that, raise ``num_buckets`` (refs scale as CPUs × buckets) or
-    use the slim-signature design of :func:`minhash_dedup` (ship hashes,
-    not text)."""
-    from .joins import _direct_grouped_apply, _mat_arrow, _typed_out
-
-    # materialize FIRST: a lazy ds.schema() would partially execute the
-    # upstream (double-counting stateful stages like curation's funnel)
-    ds, schema = _mat_arrow(ds)
-    if schema is None:
-        return ds
-    names = list(schema.names)
-    types = dict(zip(schema.names, schema.types))
+    ``num_buckets=None`` auto-sizes to max(2×CPU, corpus bytes / 64 MiB)
+    — bucket count scales with the DATA so one bucket's distinct text
+    always fits a worker (the memory contract every bucket kernel makes);
+    an explicit count is honored EXACTLY. For corpora where even hashes
+    are too heavy, see the slim-signature design of
+    :func:`minhash_dedup` (ship signatures, not text)."""
+    from .joins import _direct_grouped_apply, _typed_out
 
     def pretrim(batch: pa.Table) -> pa.Table:
+        names = list(batch.schema.names)
+        types = dict(zip(names, batch.schema.types))
         df = batch.to_pandas().sort_values(id_col).drop_duplicates(text_col, keep="first")
-        return _typed_out(df.reset_index(drop=True), names, types, {})
+        out = _typed_out(df.reset_index(drop=True), names, types, {})
+        h = stable_hash_array(
+            out.column(text_col).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return out.append_column(_TEXT_HASH_COL, pa.array(h, pa.int64()))
 
-    def dedup_bucket(df: pd.DataFrame) -> pa.Table:
-        out = df.sort_values(id_col).drop_duplicates(text_col, keep="first")
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([_TEXT_HASH_COL])
+        names = list(t.schema.names)
+        types = dict(zip(names, t.schema.types))
+        out = t.to_pandas().sort_values(id_col).drop_duplicates(text_col, keep="first")
         return _typed_out(out.reset_index(drop=True), names, types, {})
 
     return _direct_grouped_apply(
         ds.map_batches(pretrim, batch_format="pyarrow"),
-        text_col,
+        _TEXT_HASH_COL,
         dedup_bucket,
         shuffle_buckets=num_buckets,
+        kernel_format="pyarrow",
+        target_bucket_bytes=64 << 20,
     )
 
 

@@ -79,6 +79,26 @@ def resolve_buckets(shuffle_buckets: int | None) -> int:
     return nb
 
 
+def _auto_buckets(size_bytes: int, target_bucket_bytes: int = 64 << 20) -> int:
+    """Bucket count sized so one bucket (payload/buckets) is ~64 MiB —
+    small enough for a single worker's in-memory kernel, large enough to
+    bound the per-bucket dispatch count. Clamped to [16, 65536]."""
+    return int(min(65536, max(16, -(-size_bytes // target_bucket_bytes))))
+
+
+def _tree_reduce(refs: list, submit, fanin: int = 8):
+    """Log-depth task-side fan-in: ``submit(*child_refs) -> ref`` merges
+    up to ``fanin`` children per node; the driver launches ⌈N/F⌉ + ⌈N/F²⌉
+    + … tasks and holds ONE final ref instead of pulling and folding N
+    partials itself. Always applies one final fold even for a single ref
+    — a raw leaf block can hold several partial rows (one per input
+    batch). Returns the final ref (``ray.get`` it yourself); ``refs``
+    must be non-empty."""
+    while len(refs) > 1:
+        refs = [submit(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    return submit(refs[0])
+
+
 def _single_threaded_arrow() -> None:
     """Arrow kernels inside raw Ray tasks must not fan out onto Arrow's
     global thread pool (one task per CPU already — see cdc.py's measured
@@ -496,6 +516,7 @@ def _direct_grouped_apply(
     kernel,
     shuffle_buckets: int | None = None,
     kernel_format: str = "pandas",
+    target_bucket_bytes: int | None = None,
 ) -> "ray.data.Dataset":
     """One-input direct exchange: hash-split the dataset's blocks by
     ``key_col`` (dtype-stable under nulls; null keys to bucket 0) and run
@@ -508,7 +529,14 @@ def _direct_grouped_apply(
     ``"pyarrow"`` calls ``kernel(pa.Table) -> pa.Table`` (no pandas
     round-trip — use for Arrow-native kernels where the conversion would
     lose types or cost a copy). Either way the kernel MUST return a
-    consistently-typed Arrow table, including for a zero-row bucket."""
+    consistently-typed Arrow table, including for a zero-row bucket.
+
+    ``target_bucket_bytes``: when set (and ``shuffle_buckets`` is None),
+    the auto bucket count additionally scales with the MATERIALIZED data
+    size so one bucket stays ~this many bytes — the memory contract for
+    kernels that hold a whole bucket's payload (exact_dedup's distinct
+    text). Without it a fixed 2×CPU count lets bucket size grow linearly
+    with the corpus."""
     ds, schema = _mat_arrow(ds)
     if schema is None:
         return ds
@@ -519,6 +547,8 @@ def _direct_grouped_apply(
         return ds
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nb = resolve_buckets(shuffle_buckets)
+    if shuffle_buckets is None and target_bucket_bytes is not None:
+        nb = max(nb, _auto_buckets(int(ds.size_bytes() or 0), target_bucket_bytes))
     n_tasks = min(len(refs), max(1, cpus))
     block_groups = [refs[i::n_tasks] for i in range(n_tasks)]
     outs = [

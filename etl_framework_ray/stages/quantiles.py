@@ -385,6 +385,9 @@ def _compress_summary(v: np.ndarray, w: np.ndarray, k: int) -> tuple[np.ndarray,
 def _merge_summaries_task(k: int, *tables: pa.Table) -> pa.Table:
     """One fan-in node of the summary tree: concat the children's
     (vals, wts) rows, sort by value, re-compress to k points."""
+    from .joins import _single_threaded_arrow
+
+    _single_threaded_arrow()
     vs, ws = [], []
     for t in tables:
         for i in range(t.num_rows):
@@ -427,7 +430,7 @@ def approx_quantiles(
 
     Returns ``(q, v)`` like the exact tier; empty/all-null input returns
     an empty table."""
-    from .joins import _block_refs
+    from .joins import _block_refs, _tree_reduce
 
     def part(batch: pa.Table) -> pa.Table:
         v = batch.column(col).drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -448,12 +451,9 @@ def approx_quantiles(
     refs = _block_refs(ds.select_columns([col]).map_batches(part, batch_format="pyarrow"))
     if not refs:
         return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
-    while len(refs) > 1:
-        refs = [
-            _merge_summaries_task.remote(k, *refs[i : i + fanin])
-            for i in range(0, len(refs), fanin)
-        ]
-    final = ray.get(_merge_summaries_task.remote(k, refs[0]))
+    final = ray.get(
+        _tree_reduce(refs, lambda *rs: _merge_summaries_task.remote(k, *rs), fanin=fanin)
+    )
     if final.num_rows == 0:
         return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
     v = np.asarray(final.column("vals")[0].as_py(), dtype=np.float64)

@@ -297,8 +297,19 @@ def _spherical_kmeans(sample: np.ndarray, nlist: int, seed: int, iters: int = 10
     return cent
 
 
-#: trained coarse quantizers keyed by corpus fingerprint — see train_ivf
-_IVF_CACHE: dict[tuple, np.ndarray] = {}
+#: trained coarse quantizers keyed by corpus fingerprint — see train_ivf.
+#: Bounded: every compaction/reshard/epoch rewrites the files and mints a
+#: NEW key, so without eviction a long-lived driver that re-queries after
+#: each epoch leaks centroids + per-file key tuples monotonically.
+_IVF_CACHE: "dict[tuple, np.ndarray]" = {}
+_IVF_CACHE_MAX = 8
+
+
+def _ivf_cache_put(key: tuple, cent: np.ndarray) -> None:
+    """Insert-with-eviction (oldest-inserted first; dicts are ordered)."""
+    while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
+        _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+    _IVF_CACHE[key] = cent
 
 
 def _corpus_fingerprint(ds: "ray.data.Dataset") -> tuple | None:
@@ -345,7 +356,7 @@ def train_ivf(
         return None
     cent = _spherical_kmeans(sample, nlist, seed)
     if key is not None:
-        _IVF_CACHE[key] = cent
+        _ivf_cache_put(key, cent)
     return cent
 
 

@@ -43,6 +43,9 @@ def _reduce_partials_task(op: str, colname: str, *tables: pa.Table) -> pa.Table:
     2^p bytes (HLL) or m/8 bytes (Bloom) — tiny; the tree exists to keep
     the DRIVER from serially merging one partial per block (10^5–10^6
     blocks at the 100 TB design point)."""
+    from .joins import _single_threaded_arrow
+
+    _single_threaded_arrow()
     fold = np.maximum if op == "max" else np.bitwise_or
     merged: np.ndarray | None = None
     for t in tables:
@@ -62,19 +65,18 @@ def _tree_reduce_partials(
     array, instead of pulling and folding N partials itself (the
     round-3 verdict's driver-linear merge). Returns None for an empty
     dataset."""
-    from .joins import _block_refs
+    from .joins import _block_refs, _tree_reduce
 
     refs = _block_refs(partials)
     if not refs:
         return None
-    while len(refs) > 1:
-        refs = [
-            _reduce_partials_task.remote(op, colname, *refs[i : i + fanin])
-            for i in range(0, len(refs), fanin)
-        ]
-    # one final fold even for a single ref — a raw leaf block can hold
-    # several partial rows (one per input batch)
-    out = ray.get(_reduce_partials_task.remote(op, colname, refs[0]))
+    out = ray.get(
+        _tree_reduce(
+            refs,
+            lambda *rs: _reduce_partials_task.remote(op, colname, *rs),
+            fanin=fanin,
+        )
+    )
     if out.num_rows == 0:
         return None
     return np.asarray(out.column(colname)[0].as_py(), dtype=np.uint8)
@@ -359,4 +361,7 @@ def hll_distinct_by(
     sch = partials.schema()
     if sch is not None:
         df_types[group_col] = dict(zip(sch.names, sch.types))[group_col]
-    return _direct_grouped_apply(partials, group_col, kernel, shuffle_buckets=32)
+    # None = the pinned auto bucket count (2×CPU): an explicit 32 would cap
+    # the merge round at 32 reduce tasks on any cluster (the round-2
+    # reduce-parallelism finding the direct exchange exists to avoid)
+    return _direct_grouped_apply(partials, group_col, kernel, shuffle_buckets=None)

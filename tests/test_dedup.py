@@ -363,3 +363,18 @@ def test_semantic_dedup_empty_and_tiny_inputs():
     rows = semantic_dedup(tiny, k=16).take_all()  # k > corpus size
     assert len(rows) == 3
     assert all(r["is_dup"] is False or r["is_dup"] is True for r in rows)
+
+
+def test_exact_dedup_output_schema_matches_input(corpus_ds):
+    """The internal hash routing column must never leak into results."""
+    out = exact_dedup(corpus_ds)
+    sch = out.schema()
+    assert list(sch.names) == ["doc_id", "text"]
+    assert dict(zip(sch.names, sch.types))["doc_id"] == pa.int64()
+
+
+def test_exact_dedup_explicit_buckets_exact(corpus_ds):
+    """An explicit num_buckets is honored exactly and stays correct."""
+    kept = exact_dedup(corpus_ds, num_buckets=3).to_pandas()
+    assert len(kept) == 42
+    assert 100 not in set(kept.doc_id) and 0 in set(kept.doc_id)

@@ -185,3 +185,20 @@ def test_ann_and_cluster_empty_corpus():
     cl = cluster_embeddings(empty, k=4)
     assert cl.count() == 0
     assert set(cl.schema().names) == {"vec_id", "cluster", "sim"}
+
+
+def test_ivf_cache_bounded():
+    """The quantizer cache evicts oldest entries instead of growing with
+    every compaction-minted fingerprint."""
+    from etl_framework_ray.stages.similarity import (
+        _IVF_CACHE,
+        _IVF_CACHE_MAX,
+        _ivf_cache_put,
+    )
+
+    _IVF_CACHE.clear()
+    for i in range(_IVF_CACHE_MAX + 5):
+        _ivf_cache_put((("f", i),), np.zeros((2, 2)))
+    assert len(_IVF_CACHE) == _IVF_CACHE_MAX
+    assert (("f", 0),) not in _IVF_CACHE  # oldest evicted
+    assert (("f", _IVF_CACHE_MAX + 4),) in _IVF_CACHE  # newest kept

@@ -486,3 +486,45 @@ def test_append_raced_by_schema_change_fails_loud(tmp_path):
             w.append(ray.data.from_arrow(pa.table({"rule": ["r1"], "failed": [1]})))
     finally:
         store.commit = orig_commit
+
+
+def test_delete_without_ts_fails_loud_on_scan_error(tmp_path):
+    """A ts-less delete must NOT silently fall back to wall-clock
+    stamping when the lake (pk, ts) scan fails — that would let a
+    future-dated committed row outrank the tombstone and resurrect.
+    The scan error propagates to the caller instead."""
+    import datetime
+
+    import ray.data
+
+    spec = TableSpec(
+        name="tst",
+        columns=(
+            ColumnSpec("k", pa.int64(), nullable=False),
+            ColumnSpec("v", pa.string()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+        primary_key=("k",),
+    )
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    w.merge(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1], pa.int64()),
+                    "v": pa.array(["x"]),
+                    "ts": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("us")),
+                }
+            )
+        )
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated unreadable partition")
+
+    w.engine.snapshot = boom
+    with pytest.raises(RuntimeError, match="simulated unreadable partition"):
+        w.delete(ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})))
+    # nothing committed: the row is still live
+    w2 = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    assert w2.engine.snapshot_arrow().column("k").to_pylist() == [1]
