@@ -261,6 +261,65 @@ def _cdc_corpus_incremental(sf_dir: str):
     return view.read()
 
 
+def _cdc_dedup_incremental(sf_dir: str):
+    """Incrementally-maintained EXACT-DEDUP index (IVM over the
+    changefeed): bootstrap the fingerprint view at half the log, advance
+    over the rest — only touched conversations re-fingerprint; labels
+    derive from the maintained index with one slim (24 B/row) exchange.
+    Must equal the window-function oracle over the LWW-resolved final
+    state (min conv_id per assembled dialogue is canonical)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalDedup
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    src = _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivmd_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    for f in segs[:half]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalDedup(eng, os.path.join(work, "dedup"))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()  # bootstrap at the half-log state
+    for f in segs[half:]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
+    view.advance()  # incremental window: touched conversations only
+    return view.labels()
+
+
+def _dedup_labels_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        ), d AS (
+            SELECT conv_id,
+                   string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                              chr(10) ORDER BY turn_idx) AS dialogue
+            FROM snap GROUP BY conv_id
+        )
+        SELECT conv_id,
+               MIN(conv_id) OVER (PARTITION BY dialogue) AS canonical_conv_id,
+               conv_id <> MIN(conv_id) OVER (PARTITION BY dialogue) AS is_dup
+        FROM d
+    """
+
+
 def _cdc_tool_usage_incremental(sf_dir: str):
     """Incrementally-maintained per-(conversation, tool) call counts (IVM
     over the changefeed): bootstrap at half the log, advance over the
@@ -1014,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
         "cdc_corpus_incremental": _cdc_corpus_incremental,
+        "cdc_dedup_incremental": _cdc_dedup_incremental,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
@@ -1114,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
+        "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),

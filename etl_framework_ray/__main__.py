@@ -130,12 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--key", required=True, help="comma-separated leading-PK values")
 
     pi = sub.add_parser(
-        "ivm", help="advance (or rebuild) an incremental view: rollup aggregate or SFT corpus"
+        "ivm", help="advance (or rebuild) an incremental view: rollup aggregate, SFT corpus, tool-usage counts, or exact-dedup index"
     )
     pi.add_argument("--table", required=True)
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
-    pi.add_argument("--kind", choices=("rollup", "corpus"), default="rollup")
+    pi.add_argument(
+        "--kind", choices=("rollup", "corpus", "tool-usage", "dedup"), default="rollup"
+    )
 
     pa_ = sub.add_parser(
         "assemble",
@@ -283,10 +285,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": t.num_rows, "result": t.to_pylist()}, default=str))
     elif args.cmd == "ivm":
         started_ray = _init_ray(args.num_cpus)
-        from .pipelines.incremental import IncrementalCorpus, IncrementalRollup
+        from .pipelines.incremental import (
+            IncrementalCorpus,
+            IncrementalDedup,
+            IncrementalRollup,
+            IncrementalToolUsage,
+        )
 
         eng = _existing_engine(args.table)
-        cls = IncrementalCorpus if args.kind == "corpus" else IncrementalRollup
+        cls = {
+            "corpus": IncrementalCorpus,
+            "tool-usage": IncrementalToolUsage,
+            "dedup": IncrementalDedup,
+        }.get(args.kind, IncrementalRollup)
         view = cls(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))

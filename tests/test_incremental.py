@@ -359,3 +359,145 @@ def test_incremental_tool_usage_equals_full_rollup(tmp_path):
 
     s3 = view.advance()
     assert s3["touched_convs"] == 0 and s3["rows_written"] == 0
+
+
+# ---------------------------------------------------------------------------
+# IncrementalDedup: exact-dedup index maintained over the changefeed
+# ---------------------------------------------------------------------------
+
+
+def _expected_labels(eng) -> pd.DataFrame:
+    """Driver-side recompute: assemble dialogues from committed state, min
+    conv_id per dialogue is canonical (same rendering as the oracle SQL)."""
+    snap = eng.snapshot_arrow().to_pandas()
+    snap["line"] = snap["role"].fillna("") + ": " + snap["text"].fillna("")
+    d = (
+        snap.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id", sort=True)["line"]
+        .agg("\n".join)
+        .reset_index(name="dialogue")
+    )
+    canon = d.groupby("dialogue")["conv_id"].transform("min")
+    return pd.DataFrame(
+        {
+            "conv_id": d["conv_id"],
+            "canonical_conv_id": canon,
+            "is_dup": (d["conv_id"] != canon),
+        }
+    )
+
+
+def _assert_labels_equal(view, eng) -> None:
+    got = (
+        view.labels()
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _expected_labels(eng).reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_lifecycle(tmp_path):
+    """Plant exact-duplicate conversations, then drive every label
+    transition through advance(): dup appears, dup splits on edit, a new
+    dup forms, and deleting the canonical copy promotes the survivor."""
+    from etl_framework_ray.pipelines.incremental import IncrementalDedup
+
+    clog = ChangeLog(str(tmp_path / "log"))
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=1_000_000)
+
+    def seed_rows():
+        rows = []
+        for conv in ("conv-a", "conv-b", "conv-c"):
+            for t in range(3):
+                text = f"hello {t}" if conv != "conv-c" else f"other {t}"
+                rows.append(
+                    {"op": "I", "conv_id": conv, "turn_idx": t, "role": "user", "text": text}
+                )
+        return rows
+
+    ts0 = datetime.datetime(2025, 1, 1)
+    lsn = 0
+
+    def append(rows):
+        nonlocal lsn
+        full = [
+            {
+                "lsn": (lsn := lsn + 1),
+                "ts": ts0 + datetime.timedelta(seconds=lsn),
+                "role": None,
+                "text": None,
+                "tool": None,
+                **r,
+            }
+            for r in rows
+        ]
+        clog.write_segments(
+            pa.Table.from_pylist(full, schema=CHANGELOG_SCHEMA), segment_rows=len(full)
+        )
+        eng.replay(clog, segments_per_epoch=100)
+
+    append(seed_rows())
+    view = IncrementalDedup(eng, str(tmp_path / "view"))
+    view.advance()
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert labels["conv-a"] == {
+        "conv_id": "conv-a", "canonical_conv_id": "conv-a", "is_dup": False,
+    }
+    assert labels["conv-b"]["is_dup"] and labels["conv-b"]["canonical_conv_id"] == "conv-a"
+    assert not labels["conv-c"]["is_dup"]
+    _assert_labels_equal(view, eng)
+
+    # edit splits the dup pair: conv-b turn 1 diverges
+    append([{"op": "U", "conv_id": "conv-b", "turn_idx": 1, "role": "user", "text": "edited"}])
+    s = view.advance()
+    assert s["touched_convs"] == 1  # only conv-b re-fingerprints
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert not labels["conv-b"]["is_dup"]
+    _assert_labels_equal(view, eng)
+
+    # a new dup forms: conv-c rewritten to equal conv-a
+    append(
+        [
+            {"op": "U", "conv_id": "conv-c", "turn_idx": t, "role": "user", "text": f"hello {t}"}
+            for t in range(3)
+        ]
+    )
+    view.advance()
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert labels["conv-c"]["is_dup"] and labels["conv-c"]["canonical_conv_id"] == "conv-a"
+    _assert_labels_equal(view, eng)
+
+    # deleting the canonical copy promotes the survivor
+    append([{"op": "D", "conv_id": "conv-a", "turn_idx": t} for t in range(3)])
+    view.advance()
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert set(labels) == {"conv-b", "conv-c"}
+    assert not labels["conv-c"]["is_dup"]  # canonical of its (now singleton) group
+    assert labels["conv-c"]["canonical_conv_id"] == "conv-c"
+    _assert_labels_equal(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_matches_full_rebuild(tmp_path):
+    """Bootstrap + incremental advance over a generated log equals a
+    from-scratch rebuild (index AND labels)."""
+    from etl_framework_ray.pipelines.incremental import IncrementalDedup
+
+    clog, eng = _setup(tmp_path, num_events=4000, num_conversations=40)
+    epochs = clog.epochs(1)
+    for ep in epochs[:2]:
+        eng.apply_epoch(ep)
+    view = IncrementalDedup(eng, str(tmp_path / "view"))
+    view.advance()
+    for ep in epochs[2:]:
+        eng.apply_epoch(ep)
+    s = view.advance()
+    assert 0 < s["touched_convs"] <= 40
+    fresh = IncrementalDedup(eng, str(tmp_path / "view2"))
+    fresh.rebuild()
+    pd.testing.assert_frame_equal(
+        view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
+    )
+    _assert_labels_equal(view, eng)
