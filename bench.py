@@ -433,6 +433,107 @@ def run_soak() -> dict:
     return result
 
 
+def run_ivm() -> dict:
+    """IVM maintenance cost: replay the tier's changelog, bootstrap the
+    rollup and exact-dedup views, then apply ONE small epoch touching a
+    handful of conversations and measure advance() against a full
+    rebuild(). The ratio is the claim the views make — one partition task
+    per TOUCHED partition (untouched partitions carry forward by
+    reference), so a trickle epoch costs O(touched partitions' state),
+    not O(corpus). An epoch touching ≫partitions conversations degrades
+    to a full-partition sweep by design (hash spread) — the trickle case
+    is the representative incremental workload. One JSON line; numbers
+    land in BASELINE.md."""
+    import shutil as _sh
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _bench_session()
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalDedup, IncrementalRollup
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
+
+    sf = _sf_name()
+    n_events, n_convs = _bench_sizes(sf)
+    clog_dir = _bench_changelog(sf)
+    work = tempfile.mkdtemp(prefix="etl_ivm_bench_")
+    lake = os.path.join(work, "transcripts")
+    eng = CDCEngine(lake, num_partitions=64, compact_every=1_000_000)
+    clog = ChangeLog(os.path.join(work, "log"))
+    for f in sorted(os.listdir(clog_dir)):
+        if f.startswith("segment-"):
+            os.symlink(os.path.join(clog_dir, f), os.path.join(clog.log_dir, f))
+    t0 = time.perf_counter()
+    eng.replay(clog, segments_per_epoch=4, pipelined=True)
+    replay_sec = time.perf_counter() - t0
+
+    out: dict = {
+        "metric": "ivm_advance_vs_rebuild (trickle epoch: 8 convs)",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "conversations": n_convs,
+        "replay_sec": round(replay_sec, 2),
+        "views": {},
+    }
+
+    # the small epoch: update 2 turns in ~1% of conversations
+    rng = np.random.default_rng(17)
+    touched = rng.choice(n_convs, size=8, replace=False)  # trickle epoch
+    lsn0 = eng.manifest.applied_lsn + 1
+    rows = []
+    for i, c in enumerate(sorted(touched)):
+        for t in (0, 1):
+            rows.append(
+                {
+                    "lsn": lsn0 + 2 * i + t,
+                    "op": "U",
+                    "ts": None,
+                    "conv_id": f"conv-{c:06d}",
+                    "turn_idx": t,
+                    "role": "user",
+                    "text": f"ivm-bench rev {lsn0 + 2 * i + t}",
+                    "tool": None,
+                }
+            )
+    import datetime
+
+    ts = datetime.datetime(2031, 1, 1)
+    for r in rows:
+        r["ts"] = ts
+    small = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+
+    for name, cls in (("rollup", IncrementalRollup), ("dedup", IncrementalDedup)):
+        view = cls(eng, os.path.join(work, f"view_{name}"))
+        t0 = time.perf_counter()
+        view.rebuild()
+        boot_sec = time.perf_counter() - t0
+        out["views"][name] = {"bootstrap_sec": round(boot_sec, 2)}
+    clog.write_segments(small, segment_rows=len(rows))
+    eng.replay(clog, segments_per_epoch=4)
+    for name, cls in (("rollup", IncrementalRollup), ("dedup", IncrementalDedup)):
+        view = cls(eng, os.path.join(work, f"view_{name}"))
+        t0 = time.perf_counter()
+        stats = view.advance()
+        adv_sec = time.perf_counter() - t0
+        v = out["views"][name]
+        v.update(
+            {
+                "advance_sec": round(adv_sec, 2),
+                "touched_convs": stats["touched_convs"],
+                "touched_partitions": stats["touched_partitions"],
+                "rebuild_over_advance": round(v["bootstrap_sec"] / max(adv_sec, 1e-9), 1),
+            }
+        )
+
+    ray.shutdown()
+    _sh.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_membench() -> dict:
     """Reproduce BASELINE.md's memory-bandwidth ceiling measurement: pure
     numpy memcpy at increasing process counts, no Ray involved."""
@@ -588,5 +689,7 @@ if __name__ == "__main__":
         print(json.dumps(run_membench()))
     elif "--dedup-scale" in sys.argv:
         print(json.dumps(run_dedup_scale()))
+    elif "--ivm" in sys.argv:
+        print(json.dumps(run_ivm()))
     else:
         print(json.dumps(run_bench()))
