@@ -320,6 +320,43 @@ def _dedup_labels_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _cdc_minhash_incremental(sf_dir: str):
+    """Incrementally-maintained NEAR-dup (MinHash-LSH) index over the
+    changefeed: bootstrap the signature view at half the log, advance
+    over the rest (touched conversations re-sign only), then derive
+    cluster labels from the signatures alone — banding + co-partitioned
+    signature-Jaccard verify + distributed CC, never re-reading text.
+    Rows-only check (MinHash has no SQL oracle); accuracy is
+    pytest-verified on planted near-dups
+    (tests/test_incremental.py::test_incremental_minhash_near_dup_lifecycle)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalMinHash
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    src = _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivmm_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    for f in segs[:half]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalMinHash(eng, os.path.join(work, "minhash"))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()  # bootstrap at the half-log state
+    for f in segs[half:]:
+        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
+    view.advance()  # incremental window: touched conversations only
+    return view.labels()
+
+
 def _cdc_tool_usage_incremental(sf_dir: str):
     """Incrementally-maintained per-(conversation, tool) call counts (IVM
     over the changefeed): bootstrap at half the log, advance over the
@@ -1074,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed": _cdc_changefeed,
         "cdc_corpus_incremental": _cdc_corpus_incremental,
         "cdc_dedup_incremental": _cdc_dedup_incremental,
+        "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,

@@ -130,13 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--key", required=True, help="comma-separated leading-PK values")
 
     pi = sub.add_parser(
-        "ivm", help="advance (or rebuild) an incremental view: rollup aggregate, SFT corpus, tool-usage counts, or exact-dedup index"
+        "ivm", help="advance (or rebuild) an incremental view: rollup aggregate, SFT corpus, tool-usage counts, exact-dedup or near-dup (minhash) index"
     )
     pi.add_argument("--table", required=True)
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
     pi.add_argument(
-        "--kind", choices=("rollup", "corpus", "tool-usage", "dedup"), default="rollup"
+        "--kind", choices=("rollup", "corpus", "tool-usage", "dedup", "minhash"), default="rollup"
     )
 
     pa_ = sub.add_parser(
@@ -288,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.incremental import (
             IncrementalCorpus,
             IncrementalDedup,
+            IncrementalMinHash,
             IncrementalRollup,
             IncrementalToolUsage,
         )
@@ -297,6 +298,7 @@ def main(argv: list[str] | None = None) -> int:
             "corpus": IncrementalCorpus,
             "tool-usage": IncrementalToolUsage,
             "dedup": IncrementalDedup,
+            "minhash": IncrementalMinHash,
         }.get(args.kind, IncrementalRollup)
         view = cls(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()

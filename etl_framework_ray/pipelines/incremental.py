@@ -629,3 +629,138 @@ class IncrementalDedup(IncrementalRollup):
             )
 
         return _direct_grouped_apply(self.read(), "text_hash", kern)
+
+
+class MinHashSigKernel(CorpusKernel):
+    """View kernel for the incremental NEAR-dup index: per conversation,
+    a MinHash signature of its assembled dialogue's word shingles (the
+    same signature stage as :func:`~..stages.dedup.minhash_dedup` —
+    ``MinHasher`` with the config's permutations). The view holds
+    ``num_perm × 8`` bytes per conversation; dialogue text never leaves
+    the partition task, and each ``advance()`` re-signs only the touched
+    conversations. ``conv_hash`` (64-bit SipHash of the conv id) is the
+    integer node id the connected-components labeling runs on."""
+
+    def __init__(self, cfg=None):
+        from ..stages.dedup import MinHashConfig
+
+        self.cfg = cfg if cfg is not None else MinHashConfig()
+
+    @property
+    def schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("conv_hash", pa.int64()),
+                pa.field("sig", pa.list_(pa.int64())),
+            ]
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        from ..stages.dedup import MinHasher
+
+        t = CorpusKernel.combine(self, partials)  # (conv_id, n_turns, dialogue)
+        hasher = MinHasher(self.cfg, text_col="dialogue", id_col="conv_id")
+        sig_t = hasher(t)
+        h = stable_hash_array(t.column("conv_id")).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "conv_hash": pa.array(h, pa.int64()),
+                "sig": sig_t.column("sig"),
+            }
+        )
+
+
+class IncrementalMinHash(IncrementalRollup):
+    """Incrementally-maintained NEAR-duplicate (MinHash-LSH) index over
+    the CDC changefeed — the fuzzy sibling of :class:`IncrementalDedup`.
+
+    ``advance()`` keeps a per-conversation MinHash signature fresh at
+    O(changed conversations) per epoch (inherited touched-partition
+    recompute; signatures are computed inside the partition task).
+    :meth:`labels` then runs the engine's distributed LSH pipeline OVER
+    THE SIGNATURES ONLY — banding, co-partitioned signature-Jaccard
+    verification with counted bucket caps, hash-to-min connected
+    components — and marks each conversation with its near-dup cluster.
+    The corpus text is never re-read and never shipped: label cost
+    scales with the signature view (``num_perm × 8`` B/conversation) and
+    the duplicate set, not with corpus bytes.
+
+    ``cluster_id`` is an opaque 64-bit id (the cluster's minimum conv
+    hash); ``is_dup`` marks every non-representative member. Node ids
+    are 64-bit conv hashes — a collision (~n²/2⁶⁴) can merge two
+    clusters' bookkeeping; acceptable for advisory near-dup labels
+    (verification itself compares signatures, never ids).
+
+    Same durable-state, rebuild, reshard and retention-floor contracts
+    as :class:`IncrementalRollup`."""
+
+    def __init__(self, engine, view_dir: str, cfg=None):
+        kernel = MinHashSigKernel(cfg)
+        super().__init__(engine, view_dir, kernel=kernel)
+        self.cfg = kernel.cfg
+
+    def labels(
+        self, max_bucket: int = 200, stats_out: dict | None = None
+    ) -> "ray.data.Dataset":
+        """``(conv_id, cluster_id, is_dup)`` for every live conversation,
+        derived from the maintained signature view."""
+        from ..stages.dedup import (
+            _band_tbl,
+            _make_bucket_verifier,
+            _report_truncation,
+            _trunc_counter,
+            components_labels,
+        )
+        from ..stages.joins import _direct_grouped_apply
+
+        cfg = self.cfg
+        view = self.read().materialize()  # consumed by banding AND marking
+        bands = view.map_batches(
+            lambda b: _band_tbl(b.select(["conv_hash", "sig"]), cfg, "conv_hash", "sig"),
+            batch_format="pyarrow",
+        )
+        counter = _trunc_counter()
+        try:
+            edges = _direct_grouped_apply(
+                bands,
+                "_bk",
+                _make_bucket_verifier(
+                    "conv_hash",
+                    ["band", "band_hash"],
+                    "sig_jaccard",
+                    cfg.jaccard_threshold,
+                    max_bucket,
+                    counter,
+                ),
+            )
+            labels_pdf = components_labels(edges)
+        except BaseException:
+            counter.cleanup()
+            raise
+        _report_truncation(counter, stats_out, "incremental_minhash")
+        nodes = labels_pdf["node"].to_numpy().astype(np.int64)
+        labs = labels_pdf["label"].to_numpy().astype(np.int64)
+        ref = ray.put((nodes, labs))  # O(duplicate conversations)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            ns, ls = ray.get(ref)
+            h = batch.column("conv_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ns):
+                idx = np.clip(np.searchsorted(ns, h), 0, len(ns) - 1)
+                hit = ns[idx] == h
+                cluster = np.where(hit, ls[idx], h)
+            else:
+                cluster = h
+            return pa.table(
+                {
+                    "conv_id": batch.column("conv_id"),
+                    "cluster_id": pa.array(cluster.astype(np.int64)),
+                    "is_dup": pa.array(cluster != h),
+                }
+            )
+
+        return view.map_batches(mark, batch_format="pyarrow")

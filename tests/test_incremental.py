@@ -501,3 +501,87 @@ def test_incremental_dedup_matches_full_rebuild(tmp_path):
         view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
     )
     _assert_labels_equal(view, eng)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_minhash_near_dup_lifecycle(tmp_path):
+    """Near-dup (MinHash) index over the changefeed: planted near-dup
+    conversations cluster together, distinct ones don't, and an edit that
+    destroys the similarity flips the label on the next advance."""
+    from etl_framework_ray.pipelines.incremental import IncrementalMinHash
+
+    clog = ChangeLog(str(tmp_path / "log"))
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=1_000_000)
+
+    base_words = [f"word{i}" for i in range(40)]
+
+    def turns(conv, mutate=()):
+        words = list(base_words)
+        for pos, repl in mutate:
+            words[pos] = repl
+        text = " ".join(words)
+        return [
+            {"op": "U", "conv_id": conv, "turn_idx": t, "role": "user", "text": text}
+            for t in range(3)
+        ]
+
+    ts0 = datetime.datetime(2025, 1, 1)
+    lsn = 0
+
+    def append(rows):
+        nonlocal lsn
+        full = [
+            {
+                "lsn": (lsn := lsn + 1),
+                "ts": ts0 + datetime.timedelta(seconds=lsn),
+                "role": None,
+                "text": None,
+                "tool": None,
+                **r,
+            }
+            for r in rows
+        ]
+        clog.write_segments(
+            pa.Table.from_pylist(full, schema=CHANGELOG_SCHEMA), segment_rows=len(full)
+        )
+        eng.replay(clog, segments_per_epoch=100)
+
+    # near-dup pair (1-word change), plus a genuinely distinct conversation
+    append(
+        turns("conv-a")
+        + turns("conv-b", mutate=[(7, "changed")])
+        + [
+            {"op": "U", "conv_id": "conv-z", "turn_idx": t, "role": "user",
+             "text": " ".join(f"other{i+t}" for i in range(40))}
+            for t in range(3)
+        ]
+    )
+    view = IncrementalMinHash(eng, str(tmp_path / "view"))
+    view.advance()
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert labels["conv-a"]["cluster_id"] == labels["conv-b"]["cluster_id"]
+    assert labels["conv-a"]["is_dup"] != labels["conv-b"]["is_dup"]  # one representative
+    assert not labels["conv-z"]["is_dup"]
+    assert labels["conv-z"]["cluster_id"] != labels["conv-a"]["cluster_id"]
+
+    # destroy the similarity: conv-b rewritten — only it re-signs
+    append(
+        [
+            {"op": "U", "conv_id": "conv-b", "turn_idx": t, "role": "user",
+             "text": " ".join(f"fresh{i*3+t}" for i in range(40))}
+            for t in range(3)
+        ]
+    )
+    s = view.advance()
+    assert s["touched_convs"] == 1
+    labels = {r["conv_id"]: r for r in view.labels().take_all()}
+    assert not labels["conv-b"]["is_dup"]
+    assert labels["conv-b"]["cluster_id"] != labels["conv-a"]["cluster_id"]
+    assert not labels["conv-a"]["is_dup"]
+
+    # incremental view state equals a from-scratch rebuild
+    fresh = IncrementalMinHash(eng, str(tmp_path / "view2"))
+    fresh.rebuild()
+    pd.testing.assert_frame_equal(
+        view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
+    )
