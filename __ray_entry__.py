@@ -142,20 +142,25 @@ def _cdc_changefeed(sf_dir: str):
     return feed.map_batches(project, batch_format="pyarrow")
 
 
-def _cdc_rollup_incremental(sf_dir: str):
-    """Incrementally-maintained gold rollup (IVM): replay HALF the log,
-    bootstrap the view, replay the rest, advance — only the conversations
-    changed in the second window recompute (pipelines/incremental.py).
-    The final view must equal the full-recompute oracle byte-for-byte."""
+def _half_log_ivm(sf_dir: str, view_cls_name: str, prefix: str, result: str = "read"):
+    """Shared driver for the incremental-view queries: stage HALF the
+    tier's changelog via symlinks, replay + bootstrap the view, stage the
+    rest, replay + advance (touched conversations only), return the
+    view's ``read()`` or ``labels()``. One definition so the staging
+    protocol (partition count, epoch granularity, compaction threshold)
+    cannot drift between the five view kinds."""
+    import importlib
     import tempfile
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalRollup
     from etl_framework_ray.sources.changelog import ChangeLog
 
+    view_cls = getattr(
+        importlib.import_module("etl_framework_ray.pipelines.incremental"), view_cls_name
+    )
     sf = _sf_name(sf_dir)
     src = _ensure_changelog(sf)
-    work = tempfile.mkdtemp(prefix=f"etl_ivm_{sf}_")
+    work = tempfile.mkdtemp(prefix=f"etl_{prefix}_{sf}_")
     staged = os.path.join(work, "log")
     os.makedirs(staged)
     segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
@@ -165,14 +170,22 @@ def _cdc_rollup_incremental(sf_dir: str):
     eng = CDCEngine(
         os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
     )
-    view = IncrementalRollup(eng, os.path.join(work, "view"))
+    view = view_cls(eng, os.path.join(work, "view"))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)
     view.advance()  # bootstrap at the half-log state
     for f in segs[half:]:
         os.symlink(os.path.join(src, f), os.path.join(staged, f))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
     view.advance()  # incremental window: touched conversations only
-    return view.read()
+    return getattr(view, result)()
+
+
+def _cdc_rollup_incremental(sf_dir: str):
+    """Incrementally-maintained gold rollup (IVM): replay HALF the log,
+    bootstrap the view, replay the rest, advance — only the conversations
+    changed in the second window recompute (pipelines/incremental.py).
+    The final view must equal the full-recompute oracle byte-for-byte."""
+    return _half_log_ivm(sf_dir, "IncrementalRollup", "ivm")
 
 
 def _cdc_changefeed_oracle_sql(sf_name: str) -> str:
@@ -233,33 +246,7 @@ def _cdc_corpus_incremental(sf_dir: str):
     advance — only touched conversations re-assemble. Must equal the
     full-assembly oracle byte-for-byte (same string_agg SQL as
     assemble_conversations)."""
-    import tempfile
-
-    from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalCorpus
-    from etl_framework_ray.sources.changelog import ChangeLog
-
-    sf = _sf_name(sf_dir)
-    src = _ensure_changelog(sf)
-    work = tempfile.mkdtemp(prefix=f"etl_ivmc_{sf}_")
-    staged = os.path.join(work, "log")
-    os.makedirs(staged)
-    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
-    half = max(1, len(segs) // 2)
-    for f in segs[:half]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng = CDCEngine(
-        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
-    )
-    view = IncrementalCorpus(eng, os.path.join(work, "corpus"))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()  # bootstrap at the half-log state
-    for f in segs[half:]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
-    view.advance()  # incremental window: touched conversations only
-    return view.read()
-
+    return _half_log_ivm(sf_dir, "IncrementalCorpus", "ivmc")
 
 def _cdc_dedup_incremental(sf_dir: str):
     """Incrementally-maintained EXACT-DEDUP index (IVM over the
@@ -268,33 +255,7 @@ def _cdc_dedup_incremental(sf_dir: str):
     derive from the maintained index with one slim (24 B/row) exchange.
     Must equal the window-function oracle over the LWW-resolved final
     state (min conv_id per assembled dialogue is canonical)."""
-    import tempfile
-
-    from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalDedup
-    from etl_framework_ray.sources.changelog import ChangeLog
-
-    sf = _sf_name(sf_dir)
-    src = _ensure_changelog(sf)
-    work = tempfile.mkdtemp(prefix=f"etl_ivmd_{sf}_")
-    staged = os.path.join(work, "log")
-    os.makedirs(staged)
-    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
-    half = max(1, len(segs) // 2)
-    for f in segs[:half]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng = CDCEngine(
-        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
-    )
-    view = IncrementalDedup(eng, os.path.join(work, "dedup"))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()  # bootstrap at the half-log state
-    for f in segs[half:]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
-    view.advance()  # incremental window: touched conversations only
-    return view.labels()
-
+    return _half_log_ivm(sf_dir, "IncrementalDedup", "ivmd", result="labels")
 
 def _dedup_labels_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
@@ -329,66 +290,14 @@ def _cdc_minhash_incremental(sf_dir: str):
     Rows-only check (MinHash has no SQL oracle); accuracy is
     pytest-verified on planted near-dups
     (tests/test_incremental.py::test_incremental_minhash_near_dup_lifecycle)."""
-    import tempfile
-
-    from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalMinHash
-    from etl_framework_ray.sources.changelog import ChangeLog
-
-    sf = _sf_name(sf_dir)
-    src = _ensure_changelog(sf)
-    work = tempfile.mkdtemp(prefix=f"etl_ivmm_{sf}_")
-    staged = os.path.join(work, "log")
-    os.makedirs(staged)
-    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
-    half = max(1, len(segs) // 2)
-    for f in segs[:half]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng = CDCEngine(
-        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
-    )
-    view = IncrementalMinHash(eng, os.path.join(work, "minhash"))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()  # bootstrap at the half-log state
-    for f in segs[half:]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
-    view.advance()  # incremental window: touched conversations only
-    return view.labels()
-
+    return _half_log_ivm(sf_dir, "IncrementalMinHash", "ivmm", result="labels")
 
 def _cdc_tool_usage_incremental(sf_dir: str):
     """Incrementally-maintained per-(conversation, tool) call counts (IVM
     over the changefeed): bootstrap at half the log, advance over the
     rest — must equal the full-state oracle (group-by over the
     LWW-resolved final table)."""
-    import tempfile
-
-    from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalToolUsage
-    from etl_framework_ray.sources.changelog import ChangeLog
-
-    sf = _sf_name(sf_dir)
-    src = _ensure_changelog(sf)
-    work = tempfile.mkdtemp(prefix=f"etl_ivmt_{sf}_")
-    staged = os.path.join(work, "log")
-    os.makedirs(staged)
-    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
-    half = max(1, len(segs) // 2)
-    for f in segs[:half]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng = CDCEngine(
-        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
-    )
-    view = IncrementalToolUsage(eng, os.path.join(work, "tool_usage"))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()
-    for f in segs[half:]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
-    eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()
-    return view.read()
-
+    return _half_log_ivm(sf_dir, "IncrementalToolUsage", "ivmt")
 
 def _tool_usage_view_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")

@@ -480,30 +480,27 @@ def run_ivm() -> dict:
         "views": {},
     }
 
-    # the small epoch: update 2 turns in ~1% of conversations
-    rng = np.random.default_rng(17)
-    touched = rng.choice(n_convs, size=8, replace=False)  # trickle epoch
-    lsn0 = eng.manifest.applied_lsn + 1
-    rows = []
-    for i, c in enumerate(sorted(touched)):
-        for t in (0, 1):
-            rows.append(
-                {
-                    "lsn": lsn0 + 2 * i + t,
-                    "op": "U",
-                    "ts": None,
-                    "conv_id": f"conv-{c:06d}",
-                    "turn_idx": t,
-                    "role": "user",
-                    "text": f"ivm-bench rev {lsn0 + 2 * i + t}",
-                    "tool": None,
-                }
-            )
+    # the small (trickle) epoch: update 2 turns in 8 conversations
     import datetime
 
     ts = datetime.datetime(2031, 1, 1)
-    for r in rows:
-        r["ts"] = ts
+    rng = np.random.default_rng(17)
+    touched = rng.choice(n_convs, size=8, replace=False)
+    lsn0 = eng.manifest.applied_lsn + 1
+    rows = [
+        {
+            "lsn": lsn0 + 2 * i + t,
+            "op": "U",
+            "ts": ts,
+            "conv_id": f"conv-{c:06d}",
+            "turn_idx": t,
+            "role": "user",
+            "text": f"ivm-bench rev {lsn0 + 2 * i + t}",
+            "tool": None,
+        }
+        for i, c in enumerate(sorted(touched))
+        for t in (0, 1)
+    ]
     small = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
 
     for name, cls in (("rollup", IncrementalRollup), ("dedup", IncrementalDedup)):

@@ -310,6 +310,16 @@ class IncrementalRollup:
         changefeed retention floor."""
         return self._run(full=True)
 
+    def _kernel_fp(self) -> str:
+        """Identity of the kernel (class + config) persisted in the view
+        manifest: advancing a view directory with a DIFFERENT kernel —
+        another ``ivm --kind``, or the same kind under another config
+        (e.g. a MinHash view built with num_perm=128 advanced by the
+        CLI's default 64) — would splice incompatible rows next to
+        carried-forward ones. Fail loud instead (rebuild() re-keys)."""
+        extra = getattr(self.kernel, "fingerprint", None)
+        return f"{type(self.kernel).__name__}:{extra() if callable(extra) else ''}"
+
     def advance(self) -> dict:
         """Bring the view up to the engine's current committed LSN.
         Raises (fail-loud, from the changefeed horizon validation) when
@@ -318,6 +328,13 @@ class IncrementalRollup:
         state = self._load_state()
         if state is None:
             return self._run(full=True)
+        stored_fp = state.get("kernel")
+        if stored_fp is not None and stored_fp != self._kernel_fp():
+            raise RuntimeError(
+                f"view at {self.view_dir!r} was built by kernel {stored_fp!r}; "
+                f"advancing it with {self._kernel_fp()!r} would mix incompatible "
+                "rows — use the original kernel/config or rebuild()"
+            )
         view_p = state.get("num_partitions")
         if view_p is not None and int(view_p) != int(self.engine.manifest.num_partitions):
             # a reshard re-homed every conversation: the view's per-pid
@@ -382,6 +399,7 @@ class IncrementalRollup:
                 "watermark_lsn": cur_lsn,
                 "files": old_files,
                 "num_partitions": num_partitions,
+                "kernel": self._kernel_fp(),
             }
             self._commit_state(new_state)
             return {
@@ -508,6 +526,7 @@ class IncrementalRollup:
             "watermark_lsn": cur_lsn,
             "files": files,
             "num_partitions": num_partitions,
+            "kernel": self._kernel_fp(),
         }
         self._commit_state(new_state)
         return {
@@ -646,6 +665,9 @@ class MinHashSigKernel(CorpusKernel):
 
         self.cfg = cfg if cfg is not None else MinHashConfig()
 
+    def fingerprint(self) -> str:
+        return repr(self.cfg)
+
     @property
     def schema(self) -> pa.Schema:
         return pa.schema(
@@ -742,25 +764,12 @@ class IncrementalMinHash(IncrementalRollup):
             counter.cleanup()
             raise
         _report_truncation(counter, stats_out, "incremental_minhash")
-        nodes = labels_pdf["node"].to_numpy().astype(np.int64)
-        labs = labels_pdf["label"].to_numpy().astype(np.int64)
-        ref = ray.put((nodes, labs))  # O(duplicate conversations)
+        from ..stages.dedup import _assign_clusters
 
-        def mark(batch: pa.Table) -> pa.Table:
-            ns, ls = ray.get(ref)
-            h = batch.column("conv_hash").to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(ns):
-                idx = np.clip(np.searchsorted(ns, h), 0, len(ns) - 1)
-                hit = ns[idx] == h
-                cluster = np.where(hit, ls[idx], h)
-            else:
-                cluster = h
-            return pa.table(
-                {
-                    "conv_id": batch.column("conv_id"),
-                    "cluster_id": pa.array(cluster.astype(np.int64)),
-                    "is_dup": pa.array(cluster != h),
-                }
-            )
-
-        return view.map_batches(mark, batch_format="pyarrow")
+        # broadcast-and-mark is the dedup family's shared kernel: labels_pdf
+        # is O(duplicate conversations); conv_id passes through beside its
+        # int64 hash node, which is dropped from the output
+        return _assign_clusters(
+            view, labels_pdf, "conv_hash",
+            keep_cols=("conv_id",), flag="is_dup", include_id=False,
+        )

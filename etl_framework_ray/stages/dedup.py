@@ -485,11 +485,22 @@ def components_labels(
 
 
 def _assign_clusters(
-    ids_ds: "ray.data.Dataset", labels_pdf: pd.DataFrame, id_col: str
+    ids_ds: "ray.data.Dataset",
+    labels_pdf: pd.DataFrame,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+    flag: str = "is_kept",
+    include_id: bool = True,
 ) -> "ray.data.Dataset":
     """Label every id with its cluster min via ONE broadcast of the small
     (sorted-node, label) arrays — nodes absent from any edge are their own
-    singleton cluster. Streaming; never materializes the corpus."""
+    singleton cluster. Streaming; never materializes the corpus.
+
+    ``keep_cols`` pass through from the input unchanged (e.g. a string
+    conv_id travelling beside its int64 hash node); ``flag`` selects the
+    emitted marker polarity (``is_kept`` = cluster representative,
+    ``is_dup`` = its negation); ``include_id=False`` drops the int node
+    column from the output when a passthrough column is the real key."""
     nodes = labels_pdf["node"].to_numpy().astype(np.int64)
     labs = labels_pdf["label"].to_numpy().astype(np.int64)
     ref = ray.put((nodes, labs))
@@ -504,13 +515,13 @@ def _assign_clusters(
             cluster = np.where(hit, ls[idx], ids)
         else:
             cluster = ids
-        return pa.table(
-            {
-                id_col: pa.array(ids),
-                "cluster_id": pa.array(cluster.astype(np.int64)),
-                "is_kept": pa.array(cluster == ids),
-            }
-        )
+        cols: dict = {c: batch.column(c) for c in keep_cols}
+        if include_id:
+            cols[id_col] = pa.array(ids)
+        cols["cluster_id"] = pa.array(cluster.astype(np.int64))
+        kept = cluster == ids
+        cols[flag] = pa.array(kept if flag == "is_kept" else ~kept)
+        return pa.table(cols)
 
     return ids_ds.map_batches(mark, batch_format="pyarrow")
 

@@ -585,3 +585,33 @@ def test_incremental_minhash_near_dup_lifecycle(tmp_path):
     pd.testing.assert_frame_equal(
         view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_advance_with_different_kernel_fails_loud(tmp_path):
+    """A view directory remembers which kernel (class + config) built it:
+    advancing with another kind, or the same kind under a different
+    MinHash config, must refuse rather than splice incompatible rows."""
+    from etl_framework_ray.pipelines.incremental import (
+        IncrementalCorpus,
+        IncrementalMinHash,
+    )
+    from etl_framework_ray.stages.dedup import MinHashConfig
+
+    clog, eng = _setup(tmp_path, num_events=500, num_conversations=10)
+    for ep in clog.epochs(10):
+        eng.apply_epoch(ep)
+    view = IncrementalMinHash(eng, str(tmp_path / "view"))
+    view.advance()
+
+    with pytest.raises(RuntimeError, match="kernel"):
+        IncrementalCorpus(eng, str(tmp_path / "view")).advance()
+    with pytest.raises(RuntimeError, match="kernel"):
+        IncrementalMinHash(
+            eng, str(tmp_path / "view"), cfg=MinHashConfig(num_perm=128, bands=32)
+        ).advance()
+    # the original kernel still advances (no-op here) and rebuild re-keys
+    assert view.advance()["rows_written"] == 0
+    other = IncrementalCorpus(eng, str(tmp_path / "view"))
+    other.rebuild()
+    assert other.advance()["rows_written"] == 0
