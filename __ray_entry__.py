@@ -142,7 +142,13 @@ def _cdc_changefeed(sf_dir: str):
     return feed.map_batches(project, batch_format="pyarrow")
 
 
-def _half_log_ivm(sf_dir: str, view_cls_name: str, prefix: str, result: str = "read"):
+def _half_log_ivm(
+    sf_dir: str,
+    view_cls_name: str,
+    prefix: str,
+    result: str = "read",
+    view_kwargs: dict | None = None,
+):
     """Shared driver for the incremental-view queries: stage HALF the
     tier's changelog via symlinks, replay + bootstrap the view, stage the
     rest, replay + advance (touched conversations only), return the
@@ -170,7 +176,7 @@ def _half_log_ivm(sf_dir: str, view_cls_name: str, prefix: str, result: str = "r
     eng = CDCEngine(
         os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
     )
-    view = view_cls(eng, os.path.join(work, "view"))
+    view = view_cls(eng, os.path.join(work, "view"), **(view_kwargs or {}))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)
     view.advance()  # bootstrap at the half-log state
     for f in segs[half:]:
@@ -291,6 +297,73 @@ def _cdc_minhash_incremental(sf_dir: str):
     pytest-verified on planted near-dups
     (tests/test_incremental.py::test_incremental_minhash_near_dup_lifecycle)."""
     return _half_log_ivm(sf_dir, "IncrementalMinHash", "ivmm", result="labels")
+
+def _cdc_curation_incremental(sf_dir: str):
+    """Incrementally-maintained CURATED pretraining corpus (IVM over the
+    changefeed): bootstrap the funnel view (assemble -> PII-redact ->
+    quality gate -> fingerprint) at half the log, advance over the rest
+    (touched conversations only), then derive the kept corpus — quality-
+    passing, exact-deduped on the redacted document. Must equal the
+    full-recompute SQL funnel byte-for-byte. Thresholds are tuned so the
+    quality gate SPLITS the generated corpus (both reject directions
+    exercised); planted dup/redaction/delete lifecycles are pytest-covered
+    (tests/test_incremental.py)."""
+    return _half_log_ivm(
+        sf_dir,
+        "IncrementalCuration",
+        "ivmq",
+        result="corpus",
+        view_kwargs={"min_turns": _CURATION_MIN_TURNS, "min_chars": _CURATION_MIN_CHARS},
+    )
+
+
+#: driver-query thresholds: chosen to SPLIT the generated corpus at the
+#: driver tier (sf0.01 dialogues run 1299-2113 chars, 10-16 turns) so the
+#: quality gate rejects real rows in both directions instead of passing
+#: everything through
+_CURATION_MIN_TURNS = 12
+_CURATION_MIN_CHARS = 1700
+
+
+def _curation_oracle_sql(sf_name: str) -> str:
+    from etl_framework_ray.functions.text import PII_PATTERNS
+
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    red = "dialogue"
+    for _pat, _rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{_pat}', '{_rep}', 'g')"
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        ), d AS (
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   bool_or(role = 'user') AS has_u,
+                   bool_or(role = 'assistant') AS has_a,
+                   string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                              chr(10) ORDER BY turn_idx) AS dialogue
+            FROM snap GROUP BY conv_id
+        ), q AS (
+            SELECT conv_id, n_turns, {red} AS text, has_u, has_a
+            FROM d
+        ), pass AS (
+            SELECT conv_id, n_turns, text FROM q
+            WHERE n_turns >= {_CURATION_MIN_TURNS} AND has_u AND has_a
+              AND length(text) >= {_CURATION_MIN_CHARS}
+        )
+        SELECT conv_id, n_turns, text FROM (
+            SELECT conv_id, n_turns, text,
+                   MIN(conv_id) OVER (PARTITION BY text) AS canon
+            FROM pass
+        ) WHERE conv_id = canon
+    """
+
 
 def _cdc_tool_usage_incremental(sf_dir: str):
     """Incrementally-maintained per-(conversation, tool) call counts (IVM
@@ -1021,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_corpus_incremental": _cdc_corpus_incremental,
         "cdc_dedup_incremental": _cdc_dedup_incremental,
         "cdc_minhash_incremental": _cdc_minhash_incremental,
+        "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
@@ -1122,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
+        "cdc_curation_incremental": _curation_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),

@@ -452,7 +452,11 @@ def run_ivm() -> dict:
 
     ray = _bench_session()
     from etl_framework_ray.pipelines.cdc import CDCEngine
-    from etl_framework_ray.pipelines.incremental import IncrementalDedup, IncrementalRollup
+    from etl_framework_ray.pipelines.incremental import (
+        IncrementalCuration,
+        IncrementalDedup,
+        IncrementalRollup,
+    )
     from etl_framework_ray.sources.changelog import ChangeLog
     from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
 
@@ -502,8 +506,13 @@ def run_ivm() -> dict:
         for t in (0, 1)
     ]
     small = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+    _IVM_VIEWS = (
+        ("rollup", IncrementalRollup),
+        ("dedup", IncrementalDedup),
+        ("curation", IncrementalCuration),
+    )
 
-    for name, cls in (("rollup", IncrementalRollup), ("dedup", IncrementalDedup)):
+    for name, cls in _IVM_VIEWS:
         view = cls(eng, os.path.join(work, f"view_{name}"))
         t0 = time.perf_counter()
         view.rebuild()
@@ -511,7 +520,7 @@ def run_ivm() -> dict:
         out["views"][name] = {"bootstrap_sec": round(boot_sec, 2)}
     clog.write_segments(small, segment_rows=len(rows))
     eng.replay(clog, segments_per_epoch=4)
-    for name, cls in (("rollup", IncrementalRollup), ("dedup", IncrementalDedup)):
+    for name, cls in _IVM_VIEWS:
         view = cls(eng, os.path.join(work, f"view_{name}"))
         t0 = time.perf_counter()
         stats = view.advance()

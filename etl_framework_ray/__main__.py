@@ -136,7 +136,9 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
     pi.add_argument(
-        "--kind", choices=("rollup", "corpus", "tool-usage", "dedup", "minhash"), default="rollup"
+        "--kind",
+        choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
+        default="rollup",
     )
 
     pa_ = sub.add_parser(
@@ -287,6 +289,7 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.incremental import (
             IncrementalCorpus,
+            IncrementalCuration,
             IncrementalDedup,
             IncrementalMinHash,
             IncrementalRollup,
@@ -299,6 +302,7 @@ def main(argv: list[str] | None = None) -> int:
             "tool-usage": IncrementalToolUsage,
             "dedup": IncrementalDedup,
             "minhash": IncrementalMinHash,
+            "curation": IncrementalCuration,
         }.get(args.kind, IncrementalRollup)
         view = cls(eng, args.view)
         stats = view.rebuild() if args.rebuild else view.advance()

@@ -773,3 +773,153 @@ class IncrementalMinHash(IncrementalRollup):
             view, labels_pdf, "conv_hash",
             keep_cols=("conv_id",), flag="is_dup", include_id=False,
         )
+
+
+class CurationKernel(CorpusKernel):
+    """View kernel for the incrementally-maintained CURATED corpus: per
+    conversation, the full pretraining-prep funnel run inside the
+    partition task — assemble (the ``string_agg ORDER BY turn_idx``
+    rendering), PII-redact (the shared :data:`~..functions.text.PII_PATTERNS`
+    RE2 chain, byte-parity with the SQL oracle), quality-gate (turn count,
+    role coverage, redacted length — all SQL-expressible), and a 128-bit
+    fingerprint of the REDACTED dialogue for the dedup step. Raw text
+    never leaves the partition task; the view row carries the redacted
+    document plus five narrow columns."""
+
+    def __init__(self, min_turns: int = 2, min_chars: int = 20):
+        self.min_turns = int(min_turns)
+        self.min_chars = int(min_chars)
+
+    def fingerprint(self) -> str:
+        return f"min_turns={self.min_turns},min_chars={self.min_chars}"
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("quality_ok", pa.bool_()),
+            pa.field("text_hash", pa.int64()),
+            pa.field("text_hash2", pa.int64()),
+            pa.field("text", pa.string()),
+        ]
+    )
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        from .publish import render_turn_lines
+
+        role = live.column("role").to_pandas()
+        return pd.DataFrame(
+            {
+                "conv_id": live.column("conv_id").to_pandas(),
+                "turn_idx": live.column("turn_idx").to_pandas(),
+                "line": render_turn_lines(role, live.column("text").to_pandas()),
+                "role": role,
+            }
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        from ..functions.text import redact_pii
+        from .publish import join_dialogues
+
+        df = pd.concat(partials)
+        t = join_dialogues(df[["conv_id", "turn_idx", "line"]])
+        # role coverage per conversation — grouped sort=True matches
+        # join_dialogues' group ordering, so rows align positionally
+        cov = (
+            df.assign(u=df["role"] == "user", a=df["role"] == "assistant")
+            .groupby("conv_id", sort=True)[["u", "a"]]
+            .any()
+        )
+        red = redact_pii(t, text_col="dialogue").column("dialogue")
+        n_turns = t.column("n_turns").to_numpy()
+        ok = (
+            (n_turns >= self.min_turns)
+            & cov["u"].to_numpy()
+            & cov["a"].to_numpy()
+            & (pc.utf8_length(red).to_numpy() >= self.min_chars)
+        )
+        d = red.to_pandas().to_numpy(dtype=object)
+        h1 = pd.util.hash_array(d, categorize=False).astype(np.int64)
+        h2 = pd.util.hash_array(
+            d, hash_key=DedupHashKernel._HASH_KEY_2, categorize=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": t.column("n_turns"),
+                "quality_ok": pa.array(ok, pa.bool_()),
+                "text_hash": pa.array(h1, pa.int64()),
+                "text_hash2": pa.array(h2, pa.int64()),
+                "text": red.cast(pa.string()),
+            }
+        )
+
+
+class IncrementalCuration(IncrementalRollup):
+    """Incrementally-maintained PRETRAINING CORPUS over the CDC changefeed
+    — the composed curation funnel (assemble → PII-redact → quality gate →
+    exact-dedup) kept continuously fresh at O(changed conversations) per
+    ``advance()`` instead of re-curating the corpus per ingest epoch.
+
+    ``advance()`` maintains the per-conversation funnel state (redacted
+    document, quality verdict, content fingerprint) via the inherited
+    touched-partition recompute. :meth:`corpus` then derives the final
+    kept set: quality-passing documents, exact-deduplicated with the
+    lexicographically smallest ``conv_id`` per fingerprint canonical —
+    duplicate discovery exchanges 24-byte fingerprint rows (never text)
+    and the duplicate-id broadcast is O(duplicates), so a trickle epoch
+    costs the touched conversations plus one slim exchange, not a corpus
+    re-read.
+
+    Same durable-state, rebuild, reshard, retention-floor and
+    kernel-fingerprint contracts as :class:`IncrementalRollup`."""
+
+    def __init__(self, engine, view_dir: str, min_turns: int = 2, min_chars: int = 20):
+        super().__init__(
+            engine, view_dir, kernel=CurationKernel(min_turns, min_chars)
+        )
+
+    def corpus(self, stats_out: dict | None = None) -> "ray.data.Dataset":
+        """The curated corpus ``(conv_id, n_turns, text)`` derived from
+        the maintained view: quality-passing, exact-deduped (min conv_id
+        canonical among quality-passing documents, matching the funnel
+        order quality→dedup)."""
+        from ..stages.joins import _direct_grouped_apply
+
+        view = self.read().materialize()  # consumed by dup discovery AND emit
+        slim = view.map_batches(
+            lambda b: b.filter(b.column("quality_ok")).select(
+                ["conv_id", "text_hash", "text_hash2"]
+            ),
+            batch_format="pyarrow",
+        )
+
+        def dups_kern(df: pd.DataFrame) -> pa.Table:
+            if not len(df):
+                return pa.table({"conv_id": pa.array([], pa.string())})
+            canon = df.groupby(["text_hash", "text_hash2"], sort=False)[
+                "conv_id"
+            ].transform("min")
+            return pa.table(
+                {"conv_id": pa.array(df["conv_id"][df["conv_id"] != canon], pa.string())}
+            )
+
+        dup_ids = [
+            r["conv_id"]
+            for r in _direct_grouped_apply(slim, "text_hash", dups_kern).take_all()
+        ]  # O(duplicate conversations) — the documented broadcast bound
+        if stats_out is not None:
+            stats_out["dup_convs"] = len(dup_ids)
+        ref = ray.put(pa.array(sorted(dup_ids), pa.string()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+            mask = pc.and_(
+                batch.column("quality_ok"),
+                pc.invert(pc.is_in(batch.column("conv_id"), value_set=dup)),
+            )
+            return batch.filter(mask).select(["conv_id", "n_turns", "text"])
+
+        return view.map_batches(keep, batch_format="pyarrow")

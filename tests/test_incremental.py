@@ -615,3 +615,99 @@ def test_advance_with_different_kernel_fails_loud(tmp_path):
     other = IncrementalCorpus(eng, str(tmp_path / "view"))
     other.rebuild()
     assert other.advance()["rows_written"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_curation_funnel_lifecycle(tmp_path):
+    """Curated-corpus view over the changefeed: the composed funnel
+    (assemble -> PII-redact -> quality gate -> exact-dedup) maintained
+    incrementally. Planted cases: quality rejects (too few turns, no
+    assistant turn, too short), PII redacted in the kept text, a pair
+    whose texts become IDENTICAL only after redaction dedups (min conv_id
+    canonical), deleting the canonical promotes the survivor, and
+    advance() always equals rebuild()."""
+    from etl_framework_ray.pipelines.incremental import IncrementalCuration
+
+    clog = ChangeLog(str(tmp_path / "log"))
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=1_000_000)
+
+    ts0 = datetime.datetime(2025, 1, 1)
+    lsn = 0
+
+    def append(rows):
+        nonlocal lsn
+        full = [
+            {
+                "lsn": (lsn := lsn + 1),
+                "ts": ts0 + datetime.timedelta(seconds=lsn),
+                "role": None,
+                "text": None,
+                "tool": None,
+                **r,
+            }
+            for r in rows
+        ]
+        clog.write_segments(
+            pa.Table.from_pylist(full, schema=CHANGELOG_SCHEMA), segment_rows=len(full)
+        )
+        eng.replay(clog, segments_per_epoch=100)
+
+    def dialogue(conv, texts, roles=None):
+        roles = roles or ["user", "assistant"] * ((len(texts) + 1) // 2)
+        return [
+            {"op": "U", "conv_id": conv, "turn_idx": i, "role": roles[i], "text": t}
+            for i, t in enumerate(texts)
+        ]
+
+    long = "a sufficiently long message body " * 3
+    append(
+        dialogue("conv-good", [long, long])
+        + dialogue("conv-short", [long])  # 1 turn -> quality fail
+        + dialogue("conv-norole", [long, long], roles=["system", "tool"])  # no user/assistant
+        + dialogue("conv-tiny", ["hi", "yo"])  # too short -> quality fail
+        + dialogue("conv-pii", ["mail me at alice@example.com " + long, long])
+    )
+    view = IncrementalCuration(eng, str(tmp_path / "view"), min_turns=2, min_chars=50)
+    view.advance()
+    corpus = {r["conv_id"]: r for r in view.corpus().take_all()}
+    assert set(corpus) == {"conv-good", "conv-pii"}
+    assert "<EMAIL>" in corpus["conv-pii"]["text"]
+    assert "alice@example.com" not in corpus["conv-pii"]["text"]
+
+    # window 2: two convs that differ ONLY in their PII become identical
+    # after redaction -> exact dups post-redaction; min conv_id canonical
+    append(
+        dialogue("conv-dup-a", ["reach bob@corp.example " + long, long])
+        + dialogue("conv-dup-b", ["reach carol@other.example " + long, long])
+    )
+    s = view.advance()
+    assert s["touched_convs"] == 2
+    stats = {}
+    corpus = {r["conv_id"]: r for r in view.corpus(stats_out=stats).take_all()}
+    assert stats["dup_convs"] == 1
+    assert set(corpus) == {"conv-good", "conv-pii", "conv-dup-a"}
+
+    # delete the canonical copy: the survivor is promoted on next advance
+    append([{"op": "D", "conv_id": "conv-dup-a", "turn_idx": i} for i in range(2)])
+    view.advance()
+    corpus = {r["conv_id"]: r for r in view.corpus().take_all()}
+    assert set(corpus) == {"conv-good", "conv-pii", "conv-dup-b"}
+
+    # quality gate is edit-sensitive: conv-short grows a second (distinct)
+    # turn and now passes — an edit to the SAME text as conv-good would
+    # instead be swallowed by the dedup step, also by design
+    append(dialogue("conv-short", [long, "a different closing answer " + long]))
+    view.advance()
+    corpus = {r["conv_id"]: r for r in view.corpus().take_all()}
+    assert set(corpus) == {"conv-good", "conv-pii", "conv-dup-b", "conv-short"}
+
+    # incremental result must equal a from-scratch rebuild
+    fresh = IncrementalCuration(eng, str(tmp_path / "view2"), min_turns=2, min_chars=50)
+    fresh.rebuild()
+    pd.testing.assert_frame_equal(
+        view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
+    )
+
+    # kernel fingerprint covers the thresholds: a different config refuses
+    with pytest.raises(RuntimeError, match="kernel"):
+        IncrementalCuration(eng, str(tmp_path / "view"), min_turns=3, min_chars=50).advance()
