@@ -154,7 +154,7 @@ def _half_log_ivm(
     rest, replay + advance (touched conversations only), return the
     view's ``read()`` or ``labels()``. One definition so the staging
     protocol (partition count, epoch granularity, compaction threshold)
-    cannot drift between the five view kinds."""
+    cannot drift between the view kinds."""
     import importlib
     import tempfile
 

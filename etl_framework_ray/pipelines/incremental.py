@@ -559,18 +559,37 @@ class IncrementalToolUsage(IncrementalRollup):
         super().__init__(engine, view_dir, kernel=ToolUsageKernel())
 
 
+#: second-key for the independent 64-bit hash (hash_array wants 16 chars)
+_HASH_KEY_2 = "etl-dedup-hash-2"
+
+
+def _fingerprint128(docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content fingerprint (two independent 64-bit SipHashes) of
+    each document — the single definition the dedup-family kernels
+    (:class:`DedupHashKernel`, :class:`CurationKernel`) share, so their
+    views can never diverge on the hashing scheme."""
+    h1 = pd.util.hash_array(docs, categorize=False).astype(np.int64)
+    h2 = pd.util.hash_array(docs, hash_key=_HASH_KEY_2, categorize=False).astype(np.int64)
+    return h1, h2
+
+
+def _canonical_min(df: pd.DataFrame) -> pd.Series:
+    """Canonical member per fingerprint group: the lexicographically
+    smallest ``conv_id`` among rows sharing the (text_hash, text_hash2)
+    pair — the one dedup rule, shared by every consumer so canonical
+    selection cannot drift between views."""
+    return df.groupby(["text_hash", "text_hash2"], sort=False)["conv_id"].transform("min")
+
+
 class DedupHashKernel(CorpusKernel):
     """View kernel for the incremental exact-dedup index: per
-    conversation, a 128-bit content fingerprint (two independent 64-bit
-    SipHashes) of its assembled dialogue — the same rendering as
+    conversation, a 128-bit content fingerprint (:func:`_fingerprint128`)
+    of its assembled dialogue — the same rendering as
     :class:`CorpusKernel` / the ``string_agg ORDER BY turn_idx`` oracle,
     so two conversations fingerprint equal iff their dialogues are
     byte-equal. The view row is three narrow columns: the TEXT never
     leaves the partition task, and each ``advance()`` re-fingerprints
     only the touched conversations."""
-
-    #: second-key for the independent hash (pandas hash_array wants 16 chars)
-    _HASH_KEY_2 = "etl-dedup-hash-2"
 
     schema = pa.schema(
         [
@@ -584,11 +603,7 @@ class DedupHashKernel(CorpusKernel):
         if not partials:  # e.g. every touched conv in this partition died
             return self.schema.empty_table()
         t = super().combine(partials)  # (conv_id, n_turns, dialogue)
-        d = t.column("dialogue").to_pandas().to_numpy(dtype=object)
-        h1 = pd.util.hash_array(d, categorize=False).astype(np.int64)
-        h2 = pd.util.hash_array(d, hash_key=self._HASH_KEY_2, categorize=False).astype(
-            np.int64
-        )
+        h1, h2 = _fingerprint128(t.column("dialogue").to_pandas().to_numpy(dtype=object))
         return pa.table(
             {
                 "conv_id": t.column("conv_id"),
@@ -632,9 +647,7 @@ class IncrementalDedup(IncrementalRollup):
 
         def kern(df: pd.DataFrame) -> pa.Table:
             if len(df):
-                canon = df.groupby(["text_hash", "text_hash2"], sort=False)[
-                    "conv_id"
-                ].transform("min")
+                canon = _canonical_min(df)
                 dup = (df["conv_id"] != canon).to_numpy()
             else:
                 canon = df["conv_id"]
@@ -805,17 +818,9 @@ class CurationKernel(CorpusKernel):
     )
 
     def partial(self, live: pa.Table) -> pd.DataFrame:
-        from .publish import render_turn_lines
-
-        role = live.column("role").to_pandas()
-        return pd.DataFrame(
-            {
-                "conv_id": live.column("conv_id").to_pandas(),
-                "turn_idx": live.column("turn_idx").to_pandas(),
-                "line": render_turn_lines(role, live.column("text").to_pandas()),
-                "role": role,
-            }
-        )
+        df = super().partial(live)
+        df["role"] = live.column("role").to_pandas()
+        return df
 
     def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
         if not partials:
@@ -825,12 +830,14 @@ class CurationKernel(CorpusKernel):
 
         df = pd.concat(partials)
         t = join_dialogues(df[["conv_id", "turn_idx", "line"]])
-        # role coverage per conversation — grouped sort=True matches
-        # join_dialogues' group ordering, so rows align positionally
+        # role coverage per conversation, realigned to join_dialogues'
+        # output rows BY KEY (never by positional agreement between two
+        # independent groupby orderings)
         cov = (
             df.assign(u=df["role"] == "user", a=df["role"] == "assistant")
-            .groupby("conv_id", sort=True)[["u", "a"]]
+            .groupby("conv_id", sort=False)[["u", "a"]]
             .any()
+            .reindex(t.column("conv_id").to_pandas())
         )
         red = redact_pii(t, text_col="dialogue").column("dialogue")
         n_turns = t.column("n_turns").to_numpy()
@@ -840,11 +847,7 @@ class CurationKernel(CorpusKernel):
             & cov["a"].to_numpy()
             & (pc.utf8_length(red).to_numpy() >= self.min_chars)
         )
-        d = red.to_pandas().to_numpy(dtype=object)
-        h1 = pd.util.hash_array(d, categorize=False).astype(np.int64)
-        h2 = pd.util.hash_array(
-            d, hash_key=DedupHashKernel._HASH_KEY_2, categorize=False
-        ).astype(np.int64)
+        h1, h2 = _fingerprint128(red.to_pandas().to_numpy(dtype=object))
         return pa.table(
             {
                 "conv_id": t.column("conv_id"),
@@ -888,8 +891,10 @@ class IncrementalCuration(IncrementalRollup):
         order quality→dedup)."""
         from ..stages.joins import _direct_grouped_apply
 
-        view = self.read().materialize()  # consumed by dup discovery AND emit
-        slim = view.map_batches(
+        # two independent lazy scans of the view's parquet files: dup
+        # discovery reads only the three narrow columns, the emit pass
+        # streams the text — the corpus is never pinned in the object store
+        slim = self.read().map_batches(
             lambda b: b.filter(b.column("quality_ok")).select(
                 ["conv_id", "text_hash", "text_hash2"]
             ),
@@ -899,9 +904,7 @@ class IncrementalCuration(IncrementalRollup):
         def dups_kern(df: pd.DataFrame) -> pa.Table:
             if not len(df):
                 return pa.table({"conv_id": pa.array([], pa.string())})
-            canon = df.groupby(["text_hash", "text_hash2"], sort=False)[
-                "conv_id"
-            ].transform("min")
+            canon = _canonical_min(df)
             return pa.table(
                 {"conv_id": pa.array(df["conv_id"][df["conv_id"] != canon], pa.string())}
             )
@@ -922,4 +925,4 @@ class IncrementalCuration(IncrementalRollup):
             )
             return batch.filter(mask).select(["conv_id", "n_turns", "text"])
 
-        return view.map_batches(keep, batch_format="pyarrow")
+        return self.read().map_batches(keep, batch_format="pyarrow")
