@@ -183,6 +183,8 @@ def _half_log_ivm(
         os.symlink(os.path.join(src, f), os.path.join(staged, f))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
     view.advance()  # incremental window: touched conversations only
+    if result == "__view__":
+        return view
     return getattr(view, result)()
 
 
@@ -362,6 +364,85 @@ def _curation_oracle_sql(sf_name: str) -> str:
                    MIN(conv_id) OVER (PARTITION BY text) AS canon
             FROM pass
         ) WHERE conv_id = canon
+    """
+
+
+def _split_segments(sf_name: str) -> tuple[list, list]:
+    """The half-log split shared by the IVM queries and their oracles:
+    first half bootstraps, the rest is the incremental window."""
+    src = _changelog_dir(sf_name)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
+    half = max(1, len(segs) // 2)
+    return (
+        [os.path.join(src, f) for f in segs[:half]],
+        [os.path.join(src, f) for f in segs[half:]],
+    )
+
+
+def _cdc_view_changes(sf_dir: str):
+    """The VIEW's own changefeed (views as CDC sources): bootstrap the
+    rollup view at half the log (version 1), advance over the rest with
+    emit_changes=True (version 2), and return the row-level delta the
+    advance emitted — per-conversation REPLACE semantics: one U row per
+    recomputed view row of each touched conversation, one null-payload D
+    row per conversation that left the view. Must equal the SQL oracle
+    computed from the two half-states."""
+    view = _half_log_ivm(
+        sf_dir,
+        "IncrementalRollup",
+        "ivmvc",
+        result="__view__",
+        view_kwargs={"emit_changes": True},
+    )
+    return view.changes(1).map_batches(
+        lambda b: b.drop_columns(["version"]), batch_format="pyarrow"
+    )
+
+
+def _view_changes_oracle_sql(sf_name: str) -> str:
+    first, rest = _split_segments(sf_name)
+    first_l = "[" + ", ".join(f"'{f}'" for f in first) + "]"
+    rest_l = "[" + ", ".join(f"'{f}'" for f in rest) + "]"
+    return f"""
+        WITH ranked_half AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet({first_l})
+        ), half_live AS (
+            SELECT DISTINCT conv_id FROM ranked_half WHERE rn = 1 AND op <> 'D'
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet({first_l} || {rest_l})
+        ), snap AS (
+            SELECT conv_id, turn_idx, role, text, ts
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        ), full_roll AS (
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_assistant_turns,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+                   MAX(ts) AS last_ts
+            FROM snap GROUP BY conv_id
+        ), touched AS (
+            SELECT DISTINCT conv_id FROM read_parquet({rest_l})
+        )
+        SELECT 'U' AS op, f.conv_id, f.n_turns, f.n_assistant_turns,
+               f.total_chars, f.last_ts
+        FROM full_roll f JOIN touched USING (conv_id)
+        UNION ALL
+        SELECT 'D' AS op, t.conv_id,
+               CAST(NULL AS BIGINT) AS n_turns,
+               CAST(NULL AS BIGINT) AS n_assistant_turns,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(NULL AS TIMESTAMP) AS last_ts
+        FROM touched t
+        JOIN half_live h USING (conv_id)
+        LEFT JOIN full_roll f USING (conv_id)
+        WHERE f.conv_id IS NULL
     """
 
 
@@ -1095,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_incremental": _cdc_dedup_incremental,
         "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_curation_incremental": _cdc_curation_incremental,
+        "cdc_view_changes": _cdc_view_changes,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
@@ -1197,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
         "cdc_curation_incremental": _curation_oracle_sql(sf),
+        "cdc_view_changes": _view_changes_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),

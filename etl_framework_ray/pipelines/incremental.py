@@ -69,6 +69,7 @@ VIEW_SCHEMA = pa.schema(
 )
 
 _MANIFEST = "_view_manifest.json"
+_CHANGES_DIR = "_changes"
 
 
 def _conv_hashes(t_or_col) -> np.ndarray:
@@ -254,10 +255,15 @@ class IncrementalRollup:
     ``advance()`` calls on the same view directory are not supported
     (matching the engine's own single-committer contract)."""
 
-    def __init__(self, engine, view_dir: str, kernel=None):
+    def __init__(self, engine, view_dir: str, kernel=None, emit_changes: bool = False):
         self.engine = engine
         self.view_dir = view_dir
         self.kernel = kernel if kernel is not None else RollupKernel()
+        #: when True, every advance() also writes a row-level VIEW
+        #: CHANGEFEED (see :meth:`changes`) — computed inside the partition
+        #: task where the old and new rows are already in hand, so the
+        #: delta costs one extra small parquet write per touched partition
+        self.emit_changes = bool(emit_changes)
         os.makedirs(view_dir, exist_ok=True)
 
     # -- durable state -------------------------------------------------
@@ -279,12 +285,94 @@ class IncrementalRollup:
         for name in os.listdir(self.view_dir):
             if name not in live and name.endswith(".parquet"):
                 os.remove(os.path.join(self.view_dir, name))
+        ch_dir = os.path.join(self.view_dir, _CHANGES_DIR)
+        if os.path.isdir(ch_dir):
+            live_d = {
+                os.path.basename(p)
+                for ps in (state.get("deltas") or {}).values()
+                for p in ps
+            }
+            for name in os.listdir(ch_dir):
+                if name not in live_d and name.endswith(".parquet"):
+                    os.remove(os.path.join(ch_dir, name))
 
     # -- public API ----------------------------------------------------
     @property
     def watermark(self) -> int:
         state = self._load_state()
         return int(state["watermark_lsn"]) if state else 0
+
+    @property
+    def version(self) -> int:
+        """The view's committed version (0 before the first run) — the
+        cursor :meth:`changes` consumes."""
+        state = self._load_state()
+        return int(state["version"]) if state else 0
+
+    def _delta_schema(self) -> pa.Schema:
+        return pa.schema(
+            [pa.field("op", pa.string()), pa.field("version", pa.int64())]
+            + list(self.kernel.schema)
+        )
+
+    def changes(self, since_version: int) -> "ray.data.Dataset":
+        """The VIEW's own changefeed: every row-level delta committed by
+        advances after ``since_version`` (exclusive) up to the current
+        version — so maintained views compose: a downstream consumer
+        keeps its derived state fresh from the view's deltas without ever
+        rescanning the view, exactly as the view itself consumes the
+        lake's changefeed.
+
+        Delta semantics are per-conversation REPLACE, mirroring the
+        engine's own no-before-image changefeed: for each conversation
+        touched by an advance, one ``op='U'`` row per CURRENT view row
+        (delete-then-insert the conversation downstream) and one
+        ``op='D'`` row (payload columns null) per conversation that left
+        the view. Requires the view to run with ``emit_changes=True``;
+        fails loud when ``since_version`` predates the continuity floor —
+        a rebuild, or any non-emitting advance, resets it (resync from
+        :meth:`read`, like a consumer that lagged past the lake's
+        changefeed retention)."""
+        state = self._load_state()
+        if state is None:
+            raise RuntimeError("view has never run; nothing to consume")
+        cur = int(state["version"])
+        floor = int(state.get("delta_floor", cur))
+        if since_version > cur:
+            raise ValueError(f"since_version {since_version} is ahead of the view ({cur})")
+        if since_version < floor:
+            raise RuntimeError(
+                f"view changefeed is only continuous since version {floor} "
+                "(a rebuild or a non-emitting advance reset it); resync from "
+                "read() and resume from the current version"
+            )
+        paths = [
+            p
+            for v, ps in (state.get("deltas") or {}).items()
+            if int(v) > since_version
+            for p in ps
+        ]
+        if not paths:
+            return ray.data.from_arrow(self._delta_schema().empty_table())
+        return ray.data.read_parquet(sorted(paths))
+
+    def prune_changes(self, before_version: int) -> int:
+        """Garbage-collect delta files for versions ``<= before_version``
+        (a downstream consumer's committed cursor) and raise the
+        continuity floor to match — the view-changefeed analogue of the
+        engine's ``changefeed_retention_lsn``. Returns the number of
+        files dropped. Single-writer, like :meth:`advance`."""
+        state = self._load_state()
+        if state is None:
+            return 0
+        deltas = dict(state.get("deltas") or {})
+        dropped = [p for v, ps in deltas.items() if int(v) <= before_version for p in ps]
+        state["deltas"] = {v: ps for v, ps in deltas.items() if int(v) > before_version}
+        state["delta_floor"] = max(
+            int(state.get("delta_floor", state["version"])), int(before_version)
+        )
+        self._commit_state(state)  # prunes the dropped files from _changes/
+        return len(dropped)
 
     def read(self) -> "ray.data.Dataset":
         """The maintained view as a Dataset (one read task per partition
@@ -365,6 +453,19 @@ class IncrementalRollup:
         cur_lsn = int(man.applied_lsn)
         old_files: dict[str, str] = dict(state["files"]) if state and not full else {}
         version = int(state["version"]) + 1 if state else 1
+        emit = self.emit_changes and not full
+        # changefeed continuity: a rebuild, or any advance that recomputes
+        # rows WITHOUT emitting them, breaks the delta chain — the floor
+        # moves to this version and superseded deltas are pruned. A view
+        # state written before the floor existed is treated as a break.
+        deltas: dict[str, list[str]] = (
+            dict(state.get("deltas") or {}) if state and not full else {}
+        )
+        delta_floor = (
+            int(state["delta_floor"])
+            if state and not full and state.get("delta_floor") is not None
+            else version
+        )
 
         if full:
             # a rebuild starts from scratch: carrying forward view files for
@@ -394,12 +495,16 @@ class IncrementalRollup:
                     int(p) for p in np.unique(touched % np.uint64(num_partitions))
                 )
         if not touched_pids:
+            # an advance that touched nothing is an (empty) delta under
+            # either flag value — continuity carries forward
             new_state = {
                 "version": version,
                 "watermark_lsn": cur_lsn,
                 "files": old_files,
                 "num_partitions": num_partitions,
                 "kernel": self._kernel_fp(),
+                "delta_floor": delta_floor,
+                "deltas": deltas,
             }
             self._commit_state(new_state)
             return {
@@ -408,6 +513,8 @@ class IncrementalRollup:
                 "touched_partitions": 0,
                 "rows_written": 0,
             }
+        if not emit:
+            delta_floor, deltas = version, {}
 
         # salted hot conversations fan out across (hash+s) % P — the view
         # task owning the conv's HOME partition must read the fanout
@@ -438,6 +545,8 @@ class IncrementalRollup:
         key_cols = eng.key_cols
         view_dir = self.view_dir
         kernel = self.kernel  # stateless; pickled into the partition tasks
+        if emit:
+            os.makedirs(os.path.join(view_dir, _CHANGES_DIR), exist_ok=True)
         items = []
         for pid in touched_pids:
             files = list(man.partitions[pid].files) if pid in man.partitions else []
@@ -450,6 +559,13 @@ class IncrementalRollup:
                     "out": os.path.join(
                         view_dir, f"part-{pid:05d}-v{version:06d}-{uuid.uuid4().hex[:8]}.parquet"
                     ),
+                    "delta_out": os.path.join(
+                        view_dir,
+                        _CHANGES_DIR,
+                        f"delta-v{version:06d}-p{pid:05d}-{uuid.uuid4().hex[:8]}.parquet",
+                    )
+                    if emit
+                    else None,
                 }
             )
 
@@ -493,17 +609,59 @@ class IncrementalRollup:
                 fresh = kernel.combine(partials)
 
                 pieces = [fresh]
+                gone = pa.array([], pa.string())
                 if touched_local is not None and row["old_file"]:
                     old = pq.read_table(row["old_file"])
-                    keep_old = ~in_sorted(_conv_hashes(old), touched_local)
-                    old_kept = old.filter(pa.array(keep_old))
+                    touched_mask = in_sorted(_conv_hashes(old), touched_local)
+                    old_kept = old.filter(pa.array(~touched_mask))
                     if old_kept.num_rows:
                         pieces.append(old_kept)
+                    if row["delta_out"]:
+                        # conversations that left the view this advance:
+                        # touched in the old file, absent from the recompute
+                        old_touched = pc.unique(
+                            old.filter(pa.array(touched_mask)).column("conv_id")
+                        )
+                        gone = old_touched.filter(
+                            pc.invert(
+                                pc.is_in(
+                                    old_touched,
+                                    value_set=pc.unique(fresh.column("conv_id")),
+                                )
+                            )
+                        ).cast(pa.string())
                 out = pa.concat_tables(pieces).sort_by("conv_id")
                 tmp = f"{row['out']}.tmp-{os.getpid()}"
                 pq.write_table(out, tmp)
                 os.replace(tmp, row["out"])
-                out_meta.append({"pid": pid, "rows": out.num_rows, "path": row["out"]})
+                delta_path = None
+                if row["delta_out"] and (fresh.num_rows or len(gone)):
+                    sch = fresh.schema
+                    u_t = pa.table(
+                        {
+                            "op": pa.array(["U"] * fresh.num_rows, pa.string()),
+                            "version": pa.array([version] * fresh.num_rows, pa.int64()),
+                            **{c: fresh.column(c) for c in fresh.column_names},
+                        }
+                    )
+                    d_t = pa.table(
+                        {
+                            "op": pa.array(["D"] * len(gone), pa.string()),
+                            "version": pa.array([version] * len(gone), pa.int64()),
+                            **{
+                                f.name: gone if f.name == "conv_id" else pa.nulls(len(gone), f.type)
+                                for f in sch
+                            },
+                        }
+                    )
+                    delta = pa.concat_tables([u_t, d_t]).sort_by("conv_id")
+                    dtmp = f"{row['delta_out']}.tmp-{os.getpid()}"
+                    pq.write_table(delta, dtmp)
+                    os.replace(dtmp, row["delta_out"])
+                    delta_path = row["delta_out"]
+                out_meta.append(
+                    {"pid": pid, "rows": out.num_rows, "path": row["out"], "delta_path": delta_path}
+                )
             return pa.Table.from_pylist(out_meta)
 
         results = (
@@ -514,6 +672,7 @@ class IncrementalRollup:
 
         files = dict(old_files)
         rows_written = 0
+        new_delta_files = []
         for r in results:
             rows_written += int(r["rows"])
             if r["rows"]:
@@ -521,12 +680,18 @@ class IncrementalRollup:
             else:
                 files.pop(str(r["pid"]), None)
                 os.remove(r["path"])
+            if r.get("delta_path"):
+                new_delta_files.append(r["delta_path"])
+        if new_delta_files:
+            deltas[str(version)] = sorted(new_delta_files)
         new_state = {
             "version": version,
             "watermark_lsn": cur_lsn,
             "files": files,
             "num_partitions": num_partitions,
             "kernel": self._kernel_fp(),
+            "delta_floor": delta_floor,
+            "deltas": deltas,
         }
         self._commit_state(new_state)
         return {
@@ -545,8 +710,8 @@ class IncrementalCorpus(IncrementalRollup):
     re-assembly. Same durable-state, rebuild, and retention-floor
     contracts as :class:`IncrementalRollup`."""
 
-    def __init__(self, engine, view_dir: str):
-        super().__init__(engine, view_dir, kernel=CorpusKernel())
+    def __init__(self, engine, view_dir: str, emit_changes: bool = False):
+        super().__init__(engine, view_dir, kernel=CorpusKernel(), emit_changes=emit_changes)
 
 
 class IncrementalToolUsage(IncrementalRollup):
@@ -555,8 +720,8 @@ class IncrementalToolUsage(IncrementalRollup):
     Same durable-state, rebuild, and retention-floor contracts as
     :class:`IncrementalRollup`."""
 
-    def __init__(self, engine, view_dir: str):
-        super().__init__(engine, view_dir, kernel=ToolUsageKernel())
+    def __init__(self, engine, view_dir: str, emit_changes: bool = False):
+        super().__init__(engine, view_dir, kernel=ToolUsageKernel(), emit_changes=emit_changes)
 
 
 #: second-key for the independent 64-bit hash (hash_array wants 16 chars)
@@ -636,8 +801,8 @@ class IncrementalDedup(IncrementalRollup):
     (tiny) duplicate set against the lake with :meth:`CDCEngine.lookup`.
     """
 
-    def __init__(self, engine, view_dir: str):
-        super().__init__(engine, view_dir, kernel=DedupHashKernel())
+    def __init__(self, engine, view_dir: str, emit_changes: bool = False):
+        super().__init__(engine, view_dir, kernel=DedupHashKernel(), emit_changes=emit_changes)
 
     def labels(self) -> "ray.data.Dataset":
         """``(conv_id, canonical_conv_id, is_dup)`` for every live
@@ -733,9 +898,9 @@ class IncrementalMinHash(IncrementalRollup):
     Same durable-state, rebuild, reshard and retention-floor contracts
     as :class:`IncrementalRollup`."""
 
-    def __init__(self, engine, view_dir: str, cfg=None):
+    def __init__(self, engine, view_dir: str, cfg=None, emit_changes: bool = False):
         kernel = MinHashSigKernel(cfg)
-        super().__init__(engine, view_dir, kernel=kernel)
+        super().__init__(engine, view_dir, kernel=kernel, emit_changes=emit_changes)
         self.cfg = kernel.cfg
 
     def labels(
@@ -879,9 +1044,19 @@ class IncrementalCuration(IncrementalRollup):
     Same durable-state, rebuild, reshard, retention-floor and
     kernel-fingerprint contracts as :class:`IncrementalRollup`."""
 
-    def __init__(self, engine, view_dir: str, min_turns: int = 2, min_chars: int = 20):
+    def __init__(
+        self,
+        engine,
+        view_dir: str,
+        min_turns: int = 2,
+        min_chars: int = 20,
+        emit_changes: bool = False,
+    ):
         super().__init__(
-            engine, view_dir, kernel=CurationKernel(min_turns, min_chars)
+            engine,
+            view_dir,
+            kernel=CurationKernel(min_turns, min_chars),
+            emit_changes=emit_changes,
         )
 
     def corpus(self, stats_out: dict | None = None) -> "ray.data.Dataset":

@@ -711,3 +711,99 @@ def test_incremental_curation_funnel_lifecycle(tmp_path):
     # kernel fingerprint covers the thresholds: a different config refuses
     with pytest.raises(RuntimeError, match="kernel"):
         IncrementalCuration(eng, str(tmp_path / "view"), min_turns=3, min_chars=50).advance()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_view_changefeed_composes_downstream(tmp_path):
+    """Views are themselves CDC sources: with emit_changes=True every
+    advance writes per-conversation REPLACE deltas (U rows for recomputed
+    view rows, D rows for conversations that left). A consumer that
+    applies changes(since) to a replica must stay byte-equal to read()
+    without ever rescanning the view; continuity breaks (rebuild or a
+    non-emitting advance) fail loud; prune_changes raises the floor."""
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    clog, eng = _setup(tmp_path, num_events=4000, num_conversations=40)
+    epochs = clog.epochs(1)
+    for ep in epochs[:3]:
+        eng.apply_epoch(ep)
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
+    view.advance()  # bootstrap = full run: no deltas, floor at v1
+    assert view.version == 1
+    assert view.changes(1).count() == 0
+    with pytest.raises(RuntimeError, match="continuous since"):
+        view.changes(0)
+
+    replica = view.read_arrow().to_pandas()
+    cursor = view.version
+
+    def apply_delta(replica, delta: pd.DataFrame):
+        if not len(delta):
+            return replica
+        # per-conversation replace: drop every replicated row of any conv
+        # in the delta, then insert the U rows
+        replica = replica[~replica["conv_id"].isin(set(delta["conv_id"]))]
+        ins = delta[delta["op"] == "U"].drop(columns=["op", "version"])
+        # D rows' null payloads upcast the delta frame to float; restore
+        # the view dtypes on the inserted rows
+        return pd.concat([replica, ins.astype(replica.dtypes)], ignore_index=True)
+
+    # two incremental windows, applied delta-by-delta
+    for ep in epochs[3:5]:
+        eng.apply_epoch(ep)
+        view.advance()
+        delta = view.changes(cursor).to_pandas()
+        assert set(delta["op"]) <= {"U", "D"}
+        assert (delta["version"] > cursor).all()
+        replica = apply_delta(replica, delta)
+        cursor = view.version
+        got = (
+            replica.sort_values("conv_id").reset_index(drop=True)[replica.columns]
+        )
+        want = view.read_arrow().to_pandas()
+        pd.testing.assert_frame_equal(got, want.reindex(columns=replica.columns))
+
+    # D rows appear when a conversation leaves the view entirely
+    victim = replica["conv_id"].iloc[0]
+    n = int(replica[replica["conv_id"] == victim]["n_turns"].iloc[0])
+    _manual_rows(
+        eng, clog, [{"op": "D", "conv_id": victim, "turn_idx": t} for t in range(n)]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    delta = view.changes(cursor).to_pandas()
+    drow = delta[(delta["conv_id"] == victim) & (delta["op"] == "D")]
+    assert len(drow) == 1 and pd.isna(drow["n_turns"].iloc[0])
+    replica = apply_delta(replica, delta)
+    cursor = view.version
+    assert victim not in set(replica["conv_id"])
+    pd.testing.assert_frame_equal(
+        replica.sort_values("conv_id").reset_index(drop=True),
+        view.read_arrow().to_pandas().reindex(columns=replica.columns),
+    )
+
+    # no-op advance (nothing new committed): version and continuity hold
+    view.advance()
+    assert view.version == cursor and view.changes(cursor).count() == 0
+
+    # prune: consumer committed its cursor -> older files GCed, floor up
+    assert view.prune_changes(cursor) > 0
+    with pytest.raises(RuntimeError, match="continuous since"):
+        view.changes(1)
+
+    # a non-emitting advance over real changes breaks continuity loudly
+    _manual_rows(
+        eng, clog,
+        [{"op": "U", "conv_id": replica["conv_id"].iloc[1], "turn_idx": 0,
+          "role": "user", "text": "edited"}],
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=False).advance()
+    with pytest.raises(RuntimeError, match="continuous since"):
+        view.changes(cursor)
+
+    # rebuild also resets the floor
+    view.rebuild()
+    with pytest.raises(RuntimeError, match="continuous since"):
+        view.changes(view.version - 1)
+    assert view.changes(view.version).count() == 0
