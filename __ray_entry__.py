@@ -165,22 +165,21 @@ def _half_log_ivm(
         importlib.import_module("etl_framework_ray.pipelines.incremental"), view_cls_name
     )
     sf = _sf_name(sf_dir)
-    src = _ensure_changelog(sf)
+    _ensure_changelog(sf)
     work = tempfile.mkdtemp(prefix=f"etl_{prefix}_{sf}_")
     staged = os.path.join(work, "log")
     os.makedirs(staged)
-    segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
-    half = max(1, len(segs) // 2)
-    for f in segs[:half]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    first, rest = _split_segments(sf)  # the SAME split the oracles embed
+    for f in first:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
     eng = CDCEngine(
         os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
     )
     view = view_cls(eng, os.path.join(work, "view"), **(view_kwargs or {}))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)
     view.advance()  # bootstrap at the half-log state
-    for f in segs[half:]:
-        os.symlink(os.path.join(src, f), os.path.join(staged, f))
+    for f in rest:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
     view.advance()  # incremental window: touched conversations only
     if result == "__view__":

@@ -315,8 +315,8 @@ class IncrementalRollup:
             + list(self.kernel.schema)
         )
 
-    def changes(self, since_version: int) -> "ray.data.Dataset":
-        """The VIEW's own changefeed: every row-level delta committed by
+    def changes(self, since_version: int, net: bool = True) -> "ray.data.Dataset":
+        """The VIEW's own changefeed: the row-level deltas committed by
         advances after ``since_version`` (exclusive) up to the current
         version — so maintained views compose: a downstream consumer
         keeps its derived state fresh from the view's deltas without ever
@@ -324,15 +324,24 @@ class IncrementalRollup:
         lake's changefeed.
 
         Delta semantics are per-conversation REPLACE, mirroring the
-        engine's own no-before-image changefeed: for each conversation
-        touched by an advance, one ``op='U'`` row per CURRENT view row
+        engine's own no-before-image changefeed: for each touched
+        conversation, one ``op='U'`` row per CURRENT view row
         (delete-then-insert the conversation downstream) and one
         ``op='D'`` row (payload columns null) per conversation that left
-        the view. Requires the view to run with ``emit_changes=True``;
-        fails loud when ``since_version`` predates the continuity floor —
-        a rebuild, or any non-emitting advance, resets it (resync from
-        :meth:`read`, like a consumer that lagged past the lake's
-        changefeed retention)."""
+        the view. With ``net=True`` (default) a conversation touched by
+        SEVERAL advances in the window is collapsed to its latest
+        version's rows, so one delete-then-insert pass per conversation
+        applies the whole window; ``net=False`` returns the raw stream —
+        a consumer must then apply versions in ascending order per
+        conversation (Datasets carry no row order).
+
+        Requires the view to run with ``emit_changes=True``; fails loud
+        when ``since_version`` predates the continuity floor — a rebuild,
+        or any non-emitting advance, resets it (resync from :meth:`read`,
+        like a consumer that lagged past the lake's changefeed
+        retention). The returned Dataset reads the delta files lazily:
+        consume (or materialize) it before :meth:`prune_changes`, a
+        rebuild, or a non-emitting advance deletes them."""
         state = self._load_state()
         if state is None:
             raise RuntimeError("view has never run; nothing to consume")
@@ -346,15 +355,26 @@ class IncrementalRollup:
                 "(a rebuild or a non-emitting advance reset it); resync from "
                 "read() and resume from the current version"
             )
-        paths = [
-            p
-            for v, ps in (state.get("deltas") or {}).items()
-            if int(v) > since_version
-            for p in ps
-        ]
+        by_version = {
+            int(v): ps for v, ps in (state.get("deltas") or {}).items() if int(v) > since_version
+        }
+        paths = [p for ps in by_version.values() for p in ps]
         if not paths:
             return ray.data.from_arrow(self._delta_schema().empty_table())
-        return ray.data.read_parquet(sorted(paths))
+        ds = ray.data.read_parquet(sorted(paths))
+        if not net or len(by_version) <= 1:
+            return ds
+        from ..stages.joins import _direct_grouped_apply
+
+        sch = self._delta_schema()  # capture the schema, not the view/engine
+
+        def latest(df: pd.DataFrame) -> pa.Table:
+            # per conversation keep only its highest version's rows — the
+            # net window effect under REPLACE semantics
+            keep = df["version"] == df.groupby("conv_id", sort=False)["version"].transform("max")
+            return pa.Table.from_pandas(df[keep], preserve_index=False).cast(sch)
+
+        return _direct_grouped_apply(ds, "conv_id", latest)
 
     def prune_changes(self, before_version: int) -> int:
         """Garbage-collect delta files for versions ``<= before_version``
@@ -365,6 +385,11 @@ class IncrementalRollup:
         state = self._load_state()
         if state is None:
             return 0
+        if before_version > int(state["version"]):
+            raise ValueError(
+                f"before_version {before_version} is ahead of the view "
+                f"({state['version']}); pruning past the head would wedge the feed"
+            )
         deltas = dict(state.get("deltas") or {})
         dropped = [p for v, ps in deltas.items() if int(v) <= before_version for p in ps]
         state["deltas"] = {v: ps for v, ps in deltas.items() if int(v) > before_version}

@@ -763,11 +763,13 @@ def test_view_changefeed_composes_downstream(tmp_path):
         want = view.read_arrow().to_pandas()
         pd.testing.assert_frame_equal(got, want.reindex(columns=replica.columns))
 
-    # D rows appear when a conversation leaves the view entirely
+    # D rows appear when a conversation leaves the view entirely (delete
+    # its ACTUAL live turn indices — the generator's are sparse)
     victim = replica["conv_id"].iloc[0]
-    n = int(replica[replica["conv_id"] == victim]["n_turns"].iloc[0])
+    snap = eng.snapshot_arrow().to_pandas()
+    turns = snap.loc[snap["conv_id"] == victim, "turn_idx"].tolist()
     _manual_rows(
-        eng, clog, [{"op": "D", "conv_id": victim, "turn_idx": t} for t in range(n)]
+        eng, clog, [{"op": "D", "conv_id": victim, "turn_idx": int(t)} for t in turns]
     )
     eng.replay(clog, segments_per_epoch=1)
     view.advance()
@@ -786,10 +788,41 @@ def test_view_changefeed_composes_downstream(tmp_path):
     view.advance()
     assert view.version == cursor and view.changes(cursor).count() == 0
 
+    # a window spanning SEVERAL advances: net=True collapses each
+    # conversation to its latest version (edit then full-delete must net
+    # to one D row, not a stale U + D pair), net=False keeps the stream
+    victim2 = replica["conv_id"].iloc[0]
+    _manual_rows(
+        eng, clog,
+        [{"op": "U", "conv_id": victim2, "turn_idx": 0, "role": "user", "text": "edit"}],
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    snap = eng.snapshot_arrow().to_pandas()
+    turns = snap.loc[snap["conv_id"] == victim2, "turn_idx"].tolist()
+    _manual_rows(
+        eng, clog, [{"op": "D", "conv_id": victim2, "turn_idx": int(t)} for t in turns]
+    )
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    raw = view.changes(cursor, net=False).to_pandas()
+    assert len(raw[raw["conv_id"] == victim2]) == 2  # U@v then D@v+1
+    netted = view.changes(cursor).to_pandas()
+    vrows = netted[netted["conv_id"] == victim2]
+    assert list(vrows["op"]) == ["D"]
+    replica = apply_delta(replica, netted)
+    cursor = view.version
+    pd.testing.assert_frame_equal(
+        replica.sort_values("conv_id").reset_index(drop=True),
+        view.read_arrow().to_pandas().reindex(columns=replica.columns),
+    )
+
     # prune: consumer committed its cursor -> older files GCed, floor up
     assert view.prune_changes(cursor) > 0
     with pytest.raises(RuntimeError, match="continuous since"):
         view.changes(1)
+    with pytest.raises(ValueError, match="ahead of the view"):
+        view.prune_changes(cursor + 1)
 
     # a non-emitting advance over real changes breaks continuity loudly
     _manual_rows(
