@@ -12,6 +12,7 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray ivm      --table DIR --view DIR [--rebuild]
     python -m etl_framework_ray assemble --table DIR --out DIR [--format parquet|jsonl]
     python -m etl_framework_ray export-changes --table DIR --out DIR [--seed-snapshot]
+    python -m etl_framework_ray view-changes --table DIR --view DIR --since N --out DIR
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -136,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
     pi.add_argument(
+        "--emit-changes", action="store_true",
+        help="also write the view's own changefeed per advance (see view-changes)",
+    )
+    pi.add_argument(
         "--kind",
         choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
         default="rollup",
@@ -164,6 +169,26 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument(
         "--seed-snapshot", action="store_true",
         help="bootstrap/recover: export the full committed state as the seed window",
+    )
+
+    pv = sub.add_parser(
+        "view-changes",
+        help="export a maintained view's own changefeed (deltas committed by "
+        "advances after --since, netted per conversation) as parquet",
+    )
+    pv.add_argument("--table", required=True)
+    pv.add_argument("--view", required=True)
+    pv.add_argument("--since", type=int, required=True, help="consumer's committed view version")
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--raw", action="store_true", help="per-version stream instead of netted")
+    pv.add_argument(
+        "--kind",
+        choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
+        default="rollup",
+    )
+    pv.add_argument(
+        "--prune", action="store_true",
+        help="after a successful export, GC deltas up to the view's current version",
     )
 
     args = p.parse_args(argv)
@@ -304,7 +329,7 @@ def main(argv: list[str] | None = None) -> int:
             "minhash": IncrementalMinHash,
             "curation": IncrementalCuration,
         }.get(args.kind, IncrementalRollup)
-        view = cls(eng, args.view)
+        view = cls(eng, args.view, emit_changes=args.emit_changes)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))
     elif args.cmd == "assemble":
@@ -339,6 +364,34 @@ def main(argv: list[str] | None = None) -> int:
             corpus.write_parquet(args.out)
             n = corpus.count()
         print(json.dumps({"conversations": n, "out": args.out, "format": args.format}))
+    elif args.cmd == "view-changes":
+        started_ray = _init_ray(args.num_cpus)
+        from .pipelines.incremental import (
+            IncrementalCorpus,
+            IncrementalCuration,
+            IncrementalDedup,
+            IncrementalMinHash,
+            IncrementalRollup,
+            IncrementalToolUsage,
+        )
+
+        eng = _existing_engine(args.table)
+        cls = {
+            "corpus": IncrementalCorpus,
+            "tool-usage": IncrementalToolUsage,
+            "dedup": IncrementalDedup,
+            "minhash": IncrementalMinHash,
+            "curation": IncrementalCuration,
+        }.get(args.kind, IncrementalRollup)
+        view = cls(eng, args.view)
+        ds = view.changes(args.since, net=not args.raw)
+        n = ds.count()
+        if n:
+            ds.write_parquet(args.out)
+        cur = view.version
+        if args.prune:
+            view.prune_changes(cur)
+        print(json.dumps({"rows": n, "since": args.since, "version": cur}))
     elif args.cmd == "export-changes":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.consumer import ChangefeedConsumer
