@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         "--idle-stop", type=int, default=None,
         help="exit after this many consecutive empty polls (drain-then-exit)",
     )
+    pt.add_argument(
+        "--view", action="append", default=[], metavar="KIND:DIR",
+        help="maintained view(s) to advance after every applying poll, e.g. "
+        "rollup:/lake/views/rollup (kinds as in the ivm subcommand; append "
+        "+changes to also emit the view's changefeed: rollup+changes:DIR)",
+    )
 
     ps = sub.add_parser("snapshot", help="row count / export of the committed state")
     ps.add_argument("--table", required=True)
@@ -246,6 +252,32 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tail":
         started_ray = _init_ray(args.num_cpus)
         eng = CDCEngine(args.table, num_partitions=args.partitions)
+        views = []
+        if args.view:
+            from .pipelines.incremental import (
+                IncrementalCorpus,
+                IncrementalCuration,
+                IncrementalDedup,
+                IncrementalMinHash,
+                IncrementalRollup,
+                IncrementalToolUsage,
+            )
+
+            kinds = {
+                "rollup": IncrementalRollup,
+                "corpus": IncrementalCorpus,
+                "tool-usage": IncrementalToolUsage,
+                "dedup": IncrementalDedup,
+                "minhash": IncrementalMinHash,
+                "curation": IncrementalCuration,
+            }
+            for spec in args.view:
+                kind, _, vdir = spec.partition(":")
+                kind, _, mod = kind.partition("+")
+                if not vdir or kind not in kinds or mod not in ("", "changes"):
+                    print(json.dumps({"error": f"bad --view spec {spec!r}"}), file=sys.stderr)
+                    raise SystemExit(2)
+                views.append(kinds[kind](eng, vdir, emit_changes=mod == "changes"))
         stats = eng.tail(
             ChangeLog(args.log),
             poll_s=args.poll_s,
@@ -253,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
             idle_stop_polls=args.idle_stop,
             segments_per_epoch=args.epoch_segments,
             pipelined=args.pipelined,
+            views=views,
         )
         print(
             json.dumps(

@@ -1116,6 +1116,7 @@ class CDCEngine:
         poll_s: float = 2.0,
         max_polls: int | None = None,
         idle_stop_polls: int | None = None,
+        views: list | None = None,
         **replay_kw,
     ) -> ReplayStats:
         """Continuously FOLLOW the changelog: poll for segments past the
@@ -1123,6 +1124,18 @@ class CDCEngine:
         binlog" deployment shape (the north-star's continuous ingester;
         each poll is one exactly-once :meth:`replay`, so a killed tailer
         resumes from the last committed epoch like any other run).
+
+        ``views``: maintained views (``pipelines.incremental``) to
+        ``advance()`` after every poll that applied epochs — the one-call
+        "live binlog → fresh materialized views" loop. Advancing inside
+        the poll keeps each view within the changefeed retention horizon
+        by construction (it can never lag more than one poll of epochs),
+        which is the deployment shape the horizon contract assumes. A
+        view advance failure propagates (fail-loud: the tailer's owner
+        must decide between ``rebuild()`` and dropping the view) —
+        the LAKE epochs it follows are already durably committed, so a
+        restarted tailer resumes and the view recovers on its next
+        advance.
 
         Stop conditions (both optional; pass neither to follow forever):
         ``max_polls`` bounds total polls, ``idle_stop_polls`` stops after
@@ -1139,6 +1152,9 @@ class CDCEngine:
             total.events += stats.events
             total.seconds += stats.seconds
             total.schema_changes.extend(stats.schema_changes)
+            if stats.epochs_applied and views:
+                for v in views:
+                    v.advance()
             polls += 1
             idle = 0 if stats.epochs_applied else idle + 1
             if max_polls is not None and polls >= max_polls:

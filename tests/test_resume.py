@@ -218,3 +218,42 @@ def test_racing_duplicate_tailer_is_harmless(tmp_path):
     eng3.store.commit(m)  # version bump without advancing applied_lsn
     with pytest.raises(CommitConflict):
         eng4.apply_epoch(clog2.epochs(1)[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_keeps_views_fresh(tmp_path):
+    """tail(views=[...]) advances maintained views after every applying
+    poll: at drain the views equal a from-scratch recompute, the view
+    never lags the lake, and the view's changefeed saw every window."""
+    from etl_framework_ray.pipelines.incremental import (
+        IncrementalCorpus,
+        IncrementalRollup,
+    )
+
+    log = generate_changelog(GenConfig(num_events=4000, seed=78))
+    half = log.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, half), segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    roll = IncrementalRollup(eng, str(tmp_path / "roll"), emit_changes=True)
+    corp = IncrementalCorpus(eng, str(tmp_path / "corp"))
+
+    eng.tail(clog, poll_s=0, max_polls=1, segments_per_epoch=1, views=[roll, corp])
+    assert roll.watermark == eng.manifest.applied_lsn == corp.watermark
+    v1 = roll.version
+
+    clog.write_segments(log.slice(half), segment_rows=1000)
+    eng.tail(clog, poll_s=0, idle_stop_polls=2, segments_per_epoch=1, views=[roll, corp])
+    assert roll.watermark == eng.manifest.applied_lsn == corp.watermark
+    assert roll.version > v1
+
+    # views equal a from-scratch recompute of the same lake state
+    fresh = IncrementalRollup(eng, str(tmp_path / "roll2"))
+    fresh.rebuild()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        roll.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
+    )
+    # and the emitting view's changefeed covered the incremental window
+    assert roll.changes(v1).count() > 0
