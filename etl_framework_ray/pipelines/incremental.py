@@ -264,6 +264,15 @@ class IncrementalRollup:
         #: task where the old and new rows are already in hand, so the
         #: delta costs one extra small parquet write per touched partition
         self.emit_changes = bool(emit_changes)
+        #: grace (seconds) before a SUPERSEDED view/delta file is pruned
+        #: after the commit that replaced it — the view analogue of the
+        #: lake's ``vacuum(grace_s=...)``: ``read()``/``changes()`` return
+        #: LAZY datasets over the manifest's files, so a reader that
+        #: overlaps a concurrent advance needs its file list to outlive
+        #: the swap. 0 (default) prunes immediately (single-process
+        #: pipelines, tests); long-running deployments with concurrent
+        #: readers should set it to their slowest reader's budget.
+        self.prune_grace_s: float = 0.0
         os.makedirs(view_dir, exist_ok=True)
 
     # -- durable state -------------------------------------------------
@@ -280,21 +289,39 @@ class IncrementalRollup:
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, path)
-        # prune AFTER the swap: superseded versions and crash orphans
-        live = {os.path.basename(p) for p in state["files"].values()} | {_MANIFEST}
-        for name in os.listdir(self.view_dir):
-            if name not in live and name.endswith(".parquet"):
-                os.remove(os.path.join(self.view_dir, name))
+
+        def _prune(dirpath: str, live: set[str]) -> None:
+            # superseded versions and crash orphans, graced so lazy
+            # readers of the PREVIOUS version finish their file lists
+            # (prune_grace_s doc on __init__); survivors go on a later
+            # commit's pass
+            import time as _time
+
+            cutoff = _time.time() - self.prune_grace_s
+            for name in os.listdir(dirpath):
+                if name in live or not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                except FileNotFoundError:
+                    pass  # another committer's prune won the race
+
+        _prune(
+            self.view_dir,
+            {os.path.basename(p) for p in state["files"].values()} | {_MANIFEST},
+        )
         ch_dir = os.path.join(self.view_dir, _CHANGES_DIR)
         if os.path.isdir(ch_dir):
-            live_d = {
-                os.path.basename(p)
-                for ps in (state.get("deltas") or {}).values()
-                for p in ps
-            }
-            for name in os.listdir(ch_dir):
-                if name not in live_d and name.endswith(".parquet"):
-                    os.remove(os.path.join(ch_dir, name))
+            _prune(
+                ch_dir,
+                {
+                    os.path.basename(p)
+                    for ps in (state.get("deltas") or {}).values()
+                    for p in ps
+                },
+            )
 
     # -- public API ----------------------------------------------------
     @property

@@ -840,3 +840,38 @@ def test_view_changefeed_composes_downstream(tmp_path):
     with pytest.raises(RuntimeError, match="continuous since"):
         view.changes(view.version - 1)
     assert view.changes(view.version).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_view_prune_grace_protects_lazy_readers(tmp_path):
+    """With prune_grace_s set, a superseded view file outlives the commit
+    that replaced it (lazy read() datasets built before the advance still
+    resolve); once past the grace a later commit removes it."""
+    import time
+
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    clog, eng = _setup(tmp_path, num_events=3000, num_conversations=20)
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.prune_grace_s = 3600.0
+    view.advance()
+    old_files = sorted(view._load_state()["files"].values())
+    reader = view.read()  # lazy: holds the v1 file list
+
+    eng.apply_epoch(epochs[1])
+    view.advance()  # supersedes every touched partition's file
+    new_files = sorted(view._load_state()["files"].values())
+    assert new_files != old_files
+    # graced: the v1 files are still on disk and the lazy reader resolves
+    assert all(os.path.exists(f) for f in old_files)
+    assert reader.count() > 0  # the lazy v1 file list still resolves
+
+    # age the superseded files past the grace: the next commit prunes them
+    for f in old_files:
+        if f not in new_files:
+            os.utime(f, (time.time() - 7200, time.time() - 7200))
+    eng.apply_epoch(epochs[2])
+    view.advance()
+    assert not any(os.path.exists(f) for f in old_files if f not in new_files)
