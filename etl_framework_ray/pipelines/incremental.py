@@ -216,10 +216,19 @@ class ToolUsageKernel:
     )
 
     def partial(self, live: pa.Table) -> pd.DataFrame:
+        # `tool` is an EVOLVED column: a view bootstrapped before the
+        # schema evolution that adds it reads pre-evolution chunks where
+        # the field does not exist yet — absent means all-null, exactly
+        # like the lake's own read of pre-evolution files
+        tool = (
+            live.column("tool").to_pandas()
+            if "tool" in live.schema.names
+            else pd.Series([None] * live.num_rows, dtype=object)
+        )
         df = pd.DataFrame(
             {
                 "conv_id": live.column("conv_id").to_pandas(),
-                "tool": live.column("tool").to_pandas(),
+                "tool": tool,
             }
         )
         df = df[df["tool"].notna()]

@@ -91,3 +91,46 @@ def test_pre_evolution_files_read_under_new_schema(tmp_path):
     rows = snap.take_all()
     assert "tool" in rows[0]
     assert len(old_files) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivm_views_advance_across_schema_evolution(tmp_path):
+    """Maintained views survive a mid-stream schema evolution: bootstrap
+    before the `tool` column exists, advance across the epoch that adds
+    it — kernels reading the evolved column (tool usage) see nulls for
+    pre-evolution rows, and every view equals a from-scratch rebuild."""
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.incremental import (
+        IncrementalRollup,
+        IncrementalToolUsage,
+    )
+
+    log, clog = _split_log(tmp_path)
+    eng = CDCEngine(
+        str(tmp_path / "tbl"), spec=SPEC_V1, num_partitions=4, compact_every=1_000_000
+    )
+    epochs = clog.epochs(1)
+    for ep in epochs[:2]:  # pre-evolution window (no tool column yet)
+        eng.apply_epoch(ep)
+    roll = IncrementalRollup(eng, str(tmp_path / "roll"), emit_changes=True)
+    tools = IncrementalToolUsage(eng, str(tmp_path / "tools"))
+    roll.advance()
+    tools.advance()
+    assert tools.read_arrow().num_rows == 0  # column absent -> no usage rows
+    v1 = roll.version
+
+    for ep in epochs[2:]:  # crosses the add-tool evolution epoch
+        eng.apply_epoch(ep)
+    roll.advance()
+    tools.advance()
+    assert eng.manifest.schema_version == 2
+
+    for view, cls in ((roll, IncrementalRollup), (tools, IncrementalToolUsage)):
+        fresh = cls(eng, str(tmp_path / f"fresh_{cls.__name__}"))
+        fresh.rebuild()
+        pd.testing.assert_frame_equal(
+            view.read_arrow().to_pandas(), fresh.read_arrow().to_pandas()
+        )
+    assert tools.read_arrow().num_rows > 0  # evolved column now feeds the view
+    assert roll.changes(v1).count() > 0  # the delta stream crossed the evolution
