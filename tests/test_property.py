@@ -66,3 +66,51 @@ def test_replay_always_matches_oracle(tmp_path_factory, events, segment_rows, nu
         exp = oracle[(r["conv_id"], r["turn_idx"])]
         assert r["text"] == exp["text"]
         assert r["ts"] == exp["ts"]
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    windows=st.lists(st.lists(_EVENT, min_size=1, max_size=25), min_size=2, max_size=4),
+)
+def test_view_changefeed_replica_always_matches_view(tmp_path_factory, windows):
+    """For ANY sequence of edit/delete windows, a downstream replica
+    maintained ONLY from the rollup view's changefeed equals read() after
+    every advance — the delta stream's REPLACE semantics stated as a
+    property (net=True collapses multi-advance windows; here each window
+    is consumed as emitted)."""
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    tmp = tmp_path_factory.mktemp("vprop")
+    clog = ChangeLog(str(tmp / "log"))
+    eng = CDCEngine(str(tmp / "tbl"), num_partitions=3, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp / "view"), emit_changes=True)
+
+    lsn0 = 0
+    replica = None
+    cursor = 0
+    for events in windows:
+        t = _to_table(events)
+        t = t.set_column(
+            0, "lsn", pa.array(range(lsn0 + 1, lsn0 + t.num_rows + 1), pa.int64())
+        )
+        lsn0 += t.num_rows
+        clog.write_segments(t, segment_rows=max(1, t.num_rows // 2))
+        eng.replay(clog, segments_per_epoch=2)
+        view.advance()
+        want = view.read_arrow().to_pandas()
+        if replica is None:  # bootstrap: full resync, cursor at floor
+            replica = want.copy()
+        else:
+            delta = view.changes(cursor).to_pandas()
+            if len(delta):
+                replica = replica[~replica["conv_id"].isin(set(delta["conv_id"]))]
+                ins = delta[delta["op"] == "U"].drop(columns=["op", "version"])
+                replica = pd.concat(
+                    [replica, ins.astype(replica.dtypes)], ignore_index=True
+                )
+        cursor = view.version
+        got = replica.sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.reindex(columns=got.columns))
