@@ -151,6 +151,15 @@ def main(argv: list[str] | None = None) -> int:
         choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
         default="rollup",
     )
+    pi.add_argument(
+        "--min-turns", type=int, default=2,
+        help="curation kind only: quality gate's minimum turn count "
+        "(part of the view's kernel fingerprint)",
+    )
+    pi.add_argument(
+        "--min-chars", type=int, default=20,
+        help="curation kind only: quality gate's minimum redacted length",
+    )
 
     pa_ = sub.add_parser(
         "assemble",
@@ -362,7 +371,10 @@ def main(argv: list[str] | None = None) -> int:
             "minhash": IncrementalMinHash,
             "curation": IncrementalCuration,
         }.get(args.kind, IncrementalRollup)
-        view = cls(eng, args.view, emit_changes=args.emit_changes)
+        kw = {"emit_changes": args.emit_changes}
+        if args.kind == "curation":
+            kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
+        view = cls(eng, args.view, **kw)
         stats = view.rebuild() if args.rebuild else view.advance()
         print(json.dumps(stats))
     elif args.cmd == "assemble":

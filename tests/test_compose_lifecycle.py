@@ -171,3 +171,30 @@ def test_cli_assemble_exports_sft_corpus(tmp_path, ray_session):
         == 0
     )
     assert pq.read_table(out_pq).num_rows == 40
+
+
+def test_cli_ivm_curation_thresholds(tmp_path, ray_session):
+    """`ivm --kind curation --min-turns/--min-chars`: the thresholds are
+    part of the kernel fingerprint, so a CLI advance with the same flags
+    succeeds and a mismatched config refuses (rebuild re-keys)."""
+    import pytest as _pytest
+
+    from etl_framework_ray.__main__ import main as cli_main
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    log = generate_changelog(GenConfig(num_events=1500, num_conversations=30, seed=13))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    eng.replay(clog)
+
+    view = str(tmp_path / "view")
+    args = ["ivm", "--kind", "curation", "--table", str(tmp_path / "tbl"),
+            "--view", view, "--min-turns", "3", "--min-chars", "40"]
+    assert cli_main(args) == 0
+    assert cli_main(args) == 0  # same config: no-op advance
+    with _pytest.raises(RuntimeError, match="kernel"):
+        cli_main(["ivm", "--kind", "curation", "--table", str(tmp_path / "tbl"),
+                  "--view", view])  # default thresholds != built-with
