@@ -145,3 +145,105 @@ class ChangefeedConsumer:
             pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
         ]
         return pa.concat_tables(parts) if parts else pa.table({})
+
+
+class ViewDeltaConsumer:
+    """Exactly-once delivery of a maintained VIEW's changefeed — the
+    downstream half of view composition, mirroring
+    :class:`ChangefeedConsumer` with the view VERSION as the cursor.
+
+    Each ``poll()`` exports ``view.changes(cursor)`` (netted
+    per-conversation REPLACE deltas) into a window directory named by its
+    version range, then atomically commits the directory AND the advanced
+    cursor; the same sweep invariant as the lake consumer makes a crash
+    between rename and commit safe. When the view's continuity floor has
+    passed the cursor (a rebuild or a non-emitting advance), ``poll()``
+    propagates the view's fail-loud error — recover with
+    :meth:`seed_from_view`, which exports the full view state as a seed
+    window ("replace everything" downstream) and restarts the cursor at
+    the current version.
+
+    The consumer only READS the view; delta GC (``prune_changes``) stays
+    with the view's single writer, which can prune up to the consumer's
+    committed :attr:`cursor`."""
+
+    _STATE = "_consumer_state.json"
+
+    def __init__(self, view, out_dir: str):
+        self.view = view
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- durable state -------------------------------------------------
+    @property
+    def cursor(self) -> int:
+        path = os.path.join(self.out_dir, self._STATE)
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(json.load(f)["version"])
+
+    def _commit(self, version: int, window: str | None, rows: int) -> None:
+        path = os.path.join(self.out_dir, self._STATE)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "last_window": window, "last_rows": rows}, f)
+        os.replace(tmp, path)
+
+    def _sweep_uncommitted(self, cur: int) -> None:
+        """Same invariant as the lake consumer: every committed window's
+        end version is ≤ the cursor, so end > cursor (and any .tmp) is
+        crash residue that would double-deliver its range."""
+        for d in os.listdir(self.out_dir):
+            m = _WINDOW_RE.match(d)
+            if m and (int(m.group(2)) > cur or m.group(4)):
+                shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+
+    # -- public API ----------------------------------------------------
+    def poll(self) -> dict:
+        """Export one window of view deltas ``(cursor, view.version]``.
+        Returns ``{"window": dir_or_None, "rows": n, "version": v}``; a
+        no-op poll writes nothing. Raises the view's continuity error when
+        the cursor lagged past the delta floor — re-seed with
+        :meth:`seed_from_view`."""
+        cur = self.cursor
+        self._sweep_uncommitted(cur)
+        head = self.view.version
+        if head <= cur:
+            return {"window": None, "rows": 0, "version": cur}
+        ds = self.view.changes(cur)  # validates the continuity floor
+        name = f"window-{cur + 1:012d}-{head:012d}"
+        final = os.path.join(self.out_dir, name)
+        tmp = final + ".tmp"
+        ds.write_parquet(tmp)
+        rows = _dir_rows(tmp)
+        os.replace(tmp, final)
+        self._commit(head, name, rows)
+        return {"window": name, "rows": rows, "version": head}
+
+    def seed_from_view(self) -> dict:
+        """Bootstrap / floor-recovery: export the CURRENT view state as a
+        seed window (downstream: replace everything) and restart the
+        cursor at the view's version."""
+        self._sweep_uncommitted(self.cursor)
+        head = self.view.version
+        name = f"window-{0:012d}-{head:012d}-seed"
+        final = os.path.join(self.out_dir, name)
+        tmp = final + ".tmp"
+        self.view.read().write_parquet(tmp)
+        rows = _dir_rows(tmp)
+        shutil.rmtree(final, ignore_errors=True)  # idempotent re-seed
+        os.replace(tmp, final)
+        self._commit(head, name, rows)
+        return {"window": name, "rows": rows, "version": head}
+
+    def read_window(self, window: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.out_dir, window)
+        parts = [
+            pq.read_table(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        return pa.concat_tables(parts) if parts else pa.table({})

@@ -513,7 +513,11 @@ class IncrementalRollup:
         num_partitions = int(man.num_partitions)
         cur_lsn = int(man.applied_lsn)
         old_files: dict[str, str] = dict(state["files"]) if state and not full else {}
-        version = int(state["version"]) + 1 if state else 1
+        # version is MONOTONIC across rebuilds: a rebuild discards files
+        # but must not recycle version numbers, or a delta consumer's
+        # committed cursor would silently alias an unrelated new version
+        prev = state if state is not None else self._load_state()
+        version = int(prev["version"]) + 1 if prev else 1
         emit = self.emit_changes and not full
         # changefeed continuity: a rebuild, or any advance that recomputes
         # rows WITHOUT emitting them, breaks the delta chain — the floor

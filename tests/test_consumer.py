@@ -145,3 +145,80 @@ def test_seed_from_snapshot_is_idempotent_without_advance(tmp_path):
     assert r2["window"] == r1["window"] and r2["rows"] == r1["rows"]
     wins = [d for d in os.listdir(sink) if d.startswith("window-")]
     assert wins == [r1["window"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_view_delta_consumer_exactly_once(tmp_path):
+    """ViewDeltaConsumer: version-range windows cover the view changefeed
+    exactly once; a replica applying the windows in order equals read();
+    crash residue never double-delivers; a rebuild forces seed recovery."""
+    import shutil
+
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=89))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
+    con = ViewDeltaConsumer(view, str(tmp_path / "sink"))
+
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    view.advance()
+    seed = con.seed_from_view()  # bootstrap advance emits no deltas
+    assert seed["rows"] > 0 and con.cursor == view.version
+
+    replica = con.read_window(seed["window"]).to_pandas()
+
+    def apply_window(replica, t):
+        d = t.to_pandas()
+        if not len(d):
+            return replica
+        replica = replica[~replica["conv_id"].isin(set(d["conv_id"]))]
+        ins = d[d["op"] == "U"].drop(columns=["op", "version"])
+        return pd.concat([replica, ins.astype(replica.dtypes)], ignore_index=True)
+
+    for ep in epochs[1:3]:
+        eng.apply_epoch(ep)
+        view.advance()
+        r = con.poll()
+        assert r["rows"] > 0 and r["version"] == view.version
+        replica = apply_window(replica, con.read_window(r["window"]))
+    assert con.poll()["window"] is None  # no-op
+    got = replica.sort_values("conv_id").reset_index(drop=True)
+    want = view.read_arrow().to_pandas()
+    pd.testing.assert_frame_equal(got, want.reindex(columns=got.columns))
+
+    # crash residue: final-named window past the cursor is swept, and the
+    # re-poll regenerates the range exactly once
+    eng.apply_epoch(epochs[3])
+    view.advance()
+    cur = con.cursor
+    ghost = os.path.join(str(tmp_path / "sink"), f"window-{cur + 1:012d}-{view.version:012d}")
+    os.makedirs(ghost)  # simulated rename-before-commit crash
+    r = con.poll()
+    assert r["rows"] > 0
+    names = [d for d in os.listdir(str(tmp_path / "sink")) if d.startswith("window-")]
+    assert len([n for n in names if n.endswith(f"{view.version:012d}")]) == 1
+    replica = apply_window(replica, con.read_window(r["window"]))
+    pd.testing.assert_frame_equal(
+        replica.sort_values("conv_id").reset_index(drop=True),
+        view.read_arrow().to_pandas().reindex(columns=replica.columns),
+    )
+
+    # a rebuild breaks continuity (and must NOT recycle version numbers —
+    # the consumer's cursor would alias an unrelated new version):
+    v_before = view.version
+    view.rebuild()
+    assert view.version == v_before + 1
+    with pytest.raises(RuntimeError, match="continuous since"):
+        con.poll()
+    seed2 = con.seed_from_view()
+    pd.testing.assert_frame_equal(
+        con.read_window(seed2["window"]).to_pandas().sort_values("conv_id").reset_index(drop=True),
+        view.read_arrow().to_pandas(),
+    )
