@@ -1503,11 +1503,17 @@ class CDCEngine:
         staging concurrently (see ``ManifestStore.vacuum``)."""
         return self.store.vacuum(self.manifest, grace_s=grace_s)
 
-    def _changefeed_files(self, since_lsn: int) -> list[tuple[int, str]]:
+    def _changefeed_files(
+        self, since_lsn: int, up_to_lsn: int | None = None
+    ) -> list[tuple[int, str]]:
         """Validate the watermark and list the qualifying delta files as
         ``(pid, path)`` pairs (pid parsed from the engine's file naming) —
         shared by :meth:`changefeed` and :meth:`read_changes`. Raises the
-        retention-floor / compaction-horizon errors; never reads data."""
+        retention-floor / compaction-horizon errors; never reads data.
+        ``up_to_lsn`` bounds the window's upper end (epochs committed
+        after a consumer read its head are excluded, so the window
+        matches the range its name claims even under a concurrent
+        committer)."""
         import re
 
         man = self.manifest
@@ -1532,6 +1538,8 @@ class CDCEngine:
                 mode, epoch_id = m.group(1), int(m.group(3))
                 if epoch_id <= since_lsn:
                     continue
+                if up_to_lsn is not None and epoch_id > up_to_lsn:
+                    continue
                 if mode == "base":
                     retention_since = man.properties.get("retention_since_lsn")
                     if (
@@ -1551,6 +1559,8 @@ class CDCEngine:
                 delta_files.append((pid, f))
         if retention_on:
             for e in man.properties.get("retained_deltas", []):
+                if up_to_lsn is not None and int(e["epoch_id"]) > up_to_lsn:
+                    continue
                 if int(e["epoch_id"]) > since_lsn:
                     m = cdc_name.match(os.path.basename(e["path"]))
                     delta_files.append((int(m.group(2)) if m else -1, e["path"]))
@@ -1568,7 +1578,9 @@ class CDCEngine:
         wm = 0 if v is None else int(self.store.load(v).applied_lsn)
         return self.changefeed(since_lsn=wm)
 
-    def changefeed(self, since_lsn: int) -> "ray.data.Dataset":
+    def changefeed(
+        self, since_lsn: int, up_to_lsn: int | None = None
+    ) -> "ray.data.Dataset":
         """Changefeed for downstream consumers as a STREAMING Dataset: the
         net row-level changes committed after ``since_lsn`` (delta files
         with epoch > watermark), LWW-reduced per key, tombstones INCLUDED
@@ -1593,7 +1605,7 @@ class CDCEngine:
         ``since_lsn`` raises immediately."""
         lake = self.manifest.schema
         by_pid: dict[int, list[str]] = {}
-        for pid, f in self._changefeed_files(since_lsn):
+        for pid, f in self._changefeed_files(since_lsn, up_to_lsn):
             by_pid.setdefault(pid, []).append(f)
         if not by_pid:
             return ray.data.from_arrow(lake.empty_table())

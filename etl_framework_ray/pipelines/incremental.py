@@ -351,7 +351,9 @@ class IncrementalRollup:
             + list(self.kernel.schema)
         )
 
-    def changes(self, since_version: int, net: bool = True) -> "ray.data.Dataset":
+    def changes(
+        self, since_version: int, net: bool = True, up_to: int | None = None
+    ) -> "ray.data.Dataset":
         """The VIEW's own changefeed: the row-level deltas committed by
         advances after ``since_version`` (exclusive) up to the current
         version — so maintained views compose: a downstream consumer
@@ -377,7 +379,10 @@ class IncrementalRollup:
         like a consumer that lagged past the lake's changefeed
         retention). The returned Dataset reads the delta files lazily:
         consume (or materialize) it before :meth:`prune_changes`, a
-        rebuild, or a non-emitting advance deletes them."""
+        rebuild, or a non-emitting advance deletes them. ``up_to``
+        bounds the window's upper end — an exactly-once consumer anchors
+        it to the head version it committed, so an advance racing the
+        read cannot leak later versions into the window."""
         state = self._load_state()
         if state is None:
             raise RuntimeError("view has never run; nothing to consume")
@@ -391,8 +396,11 @@ class IncrementalRollup:
                 "(a rebuild or a non-emitting advance reset it); resync from "
                 "read() and resume from the current version"
             )
+        hi = cur if up_to is None else min(cur, int(up_to))
         by_version = {
-            int(v): ps for v, ps in (state.get("deltas") or {}).items() if int(v) > since_version
+            int(v): ps
+            for v, ps in (state.get("deltas") or {}).items()
+            if since_version < int(v) <= hi
         }
         paths = [p for ps in by_version.values() for p in ps]
         if not paths:

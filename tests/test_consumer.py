@@ -152,8 +152,6 @@ def test_view_delta_consumer_exactly_once(tmp_path):
     """ViewDeltaConsumer: version-range windows cover the view changefeed
     exactly once; a replica applying the windows in order equals read();
     crash residue never double-delivers; a rebuild forces seed recovery."""
-    import shutil
-
     import pandas as pd
 
     from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
@@ -222,3 +220,42 @@ def test_view_delta_consumer_exactly_once(tmp_path):
         con.read_window(seed2["window"]).to_pandas().sort_values("conv_id").reset_index(drop=True),
         view.read_arrow().to_pandas(),
     )
+
+    # an advance that bumps the version WITHOUT emitting rows (e.g. a
+    # touched-nothing window) still advances the cursor, writing no dir
+    IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=False).advance()
+    # (no new lake data: version unchanged -> plain no-op is also fine)
+    r = con.poll()
+    assert r["rows"] == 0
+
+    # a sink directory refuses the OTHER consumer kind instead of
+    # mis-sweeping its committed windows
+    from etl_framework_ray.pipelines.consumer import ChangefeedConsumer
+
+    with pytest.raises(RuntimeError, match="belongs to a"):
+        ChangefeedConsumer(eng, str(tmp_path / "sink")).poll()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_window_commits_cursor_without_directory(tmp_path):
+    """A head advance whose feed nets to ZERO rows must advance the
+    cursor without writing (or crashing on) a window directory — Ray's
+    write_parquet of an empty dataset creates no files."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+
+    class _StubView:
+        version = 5
+
+        def changes(self, cur, net=True, up_to=None):
+            return _ray.data.from_arrow(
+                pa.schema([("op", pa.string()), ("version", pa.int64())]).empty_table()
+            )
+
+    con = ViewDeltaConsumer(_StubView(), str(tmp_path / "sink"))
+    r = con.poll()
+    assert r["window"] is None and r["rows"] == 0 and con.cursor == 5
+    assert not [d for d in os.listdir(str(tmp_path / "sink")) if d.startswith("window-")]
+    assert con.poll()["window"] is None  # now a plain no-op at the head
