@@ -506,8 +506,14 @@ def run_ivm() -> dict:
         for t in (0, 1)
     ]
     small = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+    import functools
+
     _IVM_VIEWS = (
         ("rollup", IncrementalRollup),
+        # same kernel WITH the view changefeed on: the delta column
+        # quantifies emit_changes' cost (one small parquet write per
+        # touched partition) against the plain advance
+        ("rollup+changes", functools.partial(IncrementalRollup, emit_changes=True)),
         ("dedup", IncrementalDedup),
         ("curation", IncrementalCuration),
     )
