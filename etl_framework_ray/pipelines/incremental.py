@@ -515,7 +515,33 @@ class IncrementalRollup:
         return self._run(full=False, state=state, wm=wm)
 
     # -- core ----------------------------------------------------------
+    def _metrics_append(self, row: dict) -> None:
+        """Append one advance's lineage row to ``_view_metrics.jsonl`` —
+        the view analogue of the lake's per-epoch metrics (advisory:
+        written after the commit, so a crash in between loses at most the
+        row, never the state)."""
+        import time as _time
+
+        row = {"ts": _time.time(), **row}
+        with open(os.path.join(self.view_dir, "_view_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def metrics(self) -> pa.Table:
+        """Per-advance lineage history: one row per committed run
+        (version, watermark, touched counts, rows, wall seconds, whether
+        it was a rebuild, delta files emitted). Driver-side by contract —
+        the file grows one small line per advance."""
+        path = os.path.join(self.view_dir, "_view_metrics.jsonl")
+        if not os.path.exists(path):
+            return pa.table({})
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+        return pa.Table.from_pylist(rows)
+
     def _run(self, full: bool, state: dict | None = None, wm: int = 0) -> dict:
+        import time as _time
+
+        t0 = _time.perf_counter()
         eng = self.engine
         man = eng.manifest
         num_partitions = int(man.num_partitions)
@@ -580,12 +606,22 @@ class IncrementalRollup:
                 "deltas": deltas,
             }
             self._commit_state(new_state)
-            return {
+            out = {
                 "watermark_lsn": cur_lsn,
                 "touched_convs": 0,
                 "touched_partitions": 0,
                 "rows_written": 0,
             }
+            self._metrics_append(
+                {
+                    "version": version,
+                    "full": full,
+                    "delta_files": 0,
+                    "seconds": round(_time.perf_counter() - t0, 4),
+                    **out,
+                }
+            )
+            return out
         if not emit:
             delta_floor, deltas = version, {}
 
@@ -767,12 +803,22 @@ class IncrementalRollup:
             "deltas": deltas,
         }
         self._commit_state(new_state)
-        return {
+        out = {
             "watermark_lsn": cur_lsn,
             "touched_convs": -1 if touched is None else int(len(touched)),
             "touched_partitions": len(touched_pids),
             "rows_written": rows_written,
         }
+        self._metrics_append(
+            {
+                "version": version,
+                "full": full,
+                "delta_files": len(new_delta_files),
+                "seconds": round(_time.perf_counter() - t0, 4),
+                **out,
+            }
+        )
+        return out
 
 
 class IncrementalCorpus(IncrementalRollup):

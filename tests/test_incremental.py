@@ -875,3 +875,29 @@ def test_view_prune_grace_protects_lazy_readers(tmp_path):
     eng.apply_epoch(epochs[2])
     view.advance()
     assert not any(os.path.exists(f) for f in old_files if f not in new_files)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_view_metrics_record_every_advance(tmp_path):
+    """Each committed run appends one lineage row (version, watermark,
+    touched counts, rows, wall seconds, rebuild flag, delta files) —
+    the view analogue of the lake's per-epoch metrics."""
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    clog, eng = _setup(tmp_path, num_events=2000, num_conversations=20)
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
+    view.advance()  # bootstrap (full)
+    eng.apply_epoch(epochs[1])
+    view.advance()  # incremental, emits deltas
+    view.advance()  # no-op at the head: no commit, no metrics row
+    view.rebuild()
+
+    m = view.metrics().to_pandas().sort_values("version").reset_index(drop=True)
+    assert list(m["version"]) == [1, 2, 3]
+    assert list(m["full"]) == [True, False, True]
+    assert m["delta_files"].iloc[1] > 0 and m["delta_files"].iloc[2] == 0
+    assert (m["seconds"] > 0).all()
+    assert m["watermark_lsn"].iloc[1] == eng.manifest.applied_lsn
+    assert m["touched_convs"].iloc[1] > 0
