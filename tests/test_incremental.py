@@ -179,9 +179,10 @@ def test_salted_hot_conversation(tmp_path):
     eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=100)
     eng.replay(clog, segments_per_epoch=2, auto_mitigate_skew=True)
     assert eng.salt_map  # the hot conv fans out across partitions
-    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
     view.advance()
     _assert_view_equals(view, eng)
+    v1 = view.version
 
     # incremental touch of the SALTED conv: its view task must pull the
     # fanout partitions' files to see every turn
@@ -192,6 +193,18 @@ def test_salted_hot_conversation(tmp_path):
     s = view.advance()
     assert s["touched_convs"] == 1
     _assert_view_equals(view, eng)
+
+    # the view changefeed sees the salted conv ONCE, with the rollup
+    # recomputed over the FULL fanout (not just the home partition)
+    delta = view.changes(v1).to_pandas()
+    hot = delta[delta["conv_id"] == "conv-000000"]
+    assert len(hot) == 1 and hot["op"].iloc[0] == "U"
+    exp = _expected(eng)
+    assert (
+        int(hot["n_turns"].iloc[0])
+        == int(exp.loc[exp["conv_id"] == "conv-000000", "n_turns"].iloc[0])
+        > 1
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
