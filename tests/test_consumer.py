@@ -259,3 +259,81 @@ def test_empty_window_commits_cursor_without_directory(tmp_path):
     assert r["window"] is None and r["rows"] == 0 and con.cursor == 5
     assert not [d for d in os.listdir(str(tmp_path / "sink")) if d.startswith("window-")]
     assert con.poll()["window"] is None  # now a plain no-op at the head
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replica_follows_view_through_windows(tmp_path):
+    """End-to-end replication: view emits deltas, ViewDeltaConsumer
+    transports exactly-once windows, ReplicaTable applies them — the
+    replica equals the view after every drain, deletes included, and
+    re-draining (duplicate delivery) is a no-op."""
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+
+    log = generate_changelog(
+        GenConfig(num_events=5000, num_conversations=50, seed=91, delete_frac=0.1)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
+    con = ViewDeltaConsumer(view, str(tmp_path / "sink"))
+    rep = ReplicaTable(str(tmp_path / "replica"), num_partitions=4)
+
+    epochs = clog.epochs(1)
+    eng.apply_epoch(epochs[0])
+    view.advance()
+    con.seed_from_view()
+    rep.follow(con)
+    pd.testing.assert_frame_equal(
+        rep.read_arrow().to_pandas(), view.read_arrow().to_pandas()
+    )
+
+    # applying a delta before any seed fails loud on a FRESH replica
+    import pyarrow as pa
+
+    with pytest.raises(RuntimeError, match="no seed"):
+        ReplicaTable(str(tmp_path / "rep2")).apply(pa.table({}), 99)
+
+    # drain ALL remaining epochs first (later segments carry later event
+    # times — a delete stamped before they apply would lose LWW to them),
+    # then a window containing a full-conversation delete
+    for ep in epochs[1:]:
+        eng.apply_epoch(ep)
+        view.advance()
+        con.poll()
+    victim = view.read_arrow().to_pandas()["conv_id"].iloc[0]
+    snap = eng.snapshot_arrow().to_pandas()
+    turns = snap.loc[snap["conv_id"] == victim, "turn_idx"].tolist()
+    import datetime
+
+    from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
+
+    _lsn0 = eng.manifest.applied_lsn + 1
+    _ts = snap["ts"].max() + datetime.timedelta(seconds=5)
+    rows = pa.Table.from_pylist(
+        [
+            {"lsn": int(_lsn0 + i), "ts": _ts, "op": "D", "conv_id": victim,
+             "turn_idx": int(t), "role": None, "text": None, "tool": None}
+            for i, t in enumerate(turns)
+        ],
+        schema=CHANGELOG_SCHEMA,
+    )
+    clog.write_segments(rows, segment_rows=len(turns))
+    eng.replay(clog, segments_per_epoch=1)
+    view.advance()
+    con.poll()
+
+    r = rep.follow(con)
+    assert r["windows_applied"] >= 1 and rep.version == view.version
+    got = rep.read_arrow().to_pandas()
+    want = view.read_arrow().to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert victim not in set(got["conv_id"])
+
+    # duplicate drain: nothing re-applies, state unchanged
+    assert rep.follow(con)["windows_applied"] == 0
+    pd.testing.assert_frame_equal(rep.read_arrow().to_pandas(), want)
