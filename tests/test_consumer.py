@@ -337,3 +337,48 @@ def test_replica_follows_view_through_windows(tmp_path):
     # duplicate drain: nothing re-applies, state unchanged
     assert rep.follow(con)["windows_applied"] == 0
     pd.testing.assert_frame_equal(rep.read_arrow().to_pandas(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replica_guards_and_empty_states(tmp_path):
+    """Re-creating a replica with a different partition count fails loud
+    (mis-routing guard); an empty seed resyncs to an empty replica that
+    keeps its schema; deleting every conversation leaves a readable
+    empty replica."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.incremental import VIEW_SCHEMA
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+
+    rep = ReplicaTable(str(tmp_path / "rep"), num_partitions=4)
+    seed_rows = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "n_turns": pa.array([1, 2], pa.int64()),
+        }
+    )
+    rep.seed(seed_rows, 1)
+    with pytest.raises(RuntimeError, match="partitions"):
+        ReplicaTable(str(tmp_path / "rep"), num_partitions=8)
+    assert ReplicaTable(str(tmp_path / "rep"), num_partitions=4).version == 1
+
+    # a delta deleting every conversation leaves a schema-preserving empty
+    delta = pa.table(
+        {
+            "op": pa.array(["D", "D"], pa.string()),
+            "version": pa.array([2, 2], pa.int64()),
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "n_turns": pa.array([None, None], pa.int64()),
+        }
+    )
+    rep.apply(delta, 2)
+    t = rep.read_arrow()
+    assert t.num_rows == 0 and t.schema.names == ["conv_id", "n_turns"]
+    assert rep.read().count() == 0
+
+    # an EMPTY seed window is valid (never-advanced view): schema from arg
+    rep2 = ReplicaTable(str(tmp_path / "rep2"), num_partitions=4)
+    rep2.seed(pa.table({}), 1, schema=VIEW_SCHEMA)
+    assert rep2.read_arrow().schema.names == VIEW_SCHEMA.names
+    assert rep2.version == 1
