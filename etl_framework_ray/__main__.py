@@ -13,6 +13,7 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray assemble --table DIR --out DIR [--format parquet|jsonl]
     python -m etl_framework_ray export-changes --table DIR --out DIR [--seed-snapshot]
     python -m etl_framework_ray view-changes --table DIR --view DIR --since N --out DIR
+    python -m etl_framework_ray replica-follow --sink DIR --replica DIR
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -21,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -205,6 +207,15 @@ def main(argv: list[str] | None = None) -> int:
         "--prune", action="store_true",
         help="after a successful export, GC deltas up to the view's current version",
     )
+
+    pr = sub.add_parser(
+        "replica-follow",
+        help="drain a view-changefeed sink (view-changes / ViewDeltaConsumer "
+        "windows) into a durable hash-partitioned replica table",
+    )
+    pr.add_argument("--sink", required=True, help="the consumer's window directory")
+    pr.add_argument("--replica", required=True)
+    pr.add_argument("--partitions", type=int, default=16)
 
     args = p.parse_args(argv)
 
@@ -437,6 +448,31 @@ def main(argv: list[str] | None = None) -> int:
         if args.prune:
             view.prune_changes(cur)
         print(json.dumps({"rows": n, "since": args.since, "version": cur}))
+    elif args.cmd == "replica-follow":
+        started_ray = _init_ray(args.num_cpus)
+        from .pipelines.replica import ReplicaTable
+
+        class _SinkOnly:
+            """follow() needs only the sink path + read_window."""
+
+            def __init__(self, out_dir):
+                self.out_dir = out_dir
+
+            def read_window(self, window):
+                import pyarrow.parquet as _pq
+
+                d = os.path.join(self.out_dir, window)
+                parts = [
+                    _pq.read_table(os.path.join(d, f))
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                import pyarrow as _pa
+
+                return _pa.concat_tables(parts) if parts else _pa.table({})
+
+        rep = ReplicaTable(args.replica, num_partitions=args.partitions)
+        print(json.dumps(rep.follow(_SinkOnly(args.sink))))
     elif args.cmd == "export-changes":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.consumer import ChangefeedConsumer
