@@ -541,6 +541,36 @@ def run_ivm() -> dict:
             }
         )
 
+    # the full replication chain on the SAME trickle epoch: emitting view
+    # -> exactly-once window export -> replica apply (one task per
+    # touched partition). Chain cost should track the trickle, not the
+    # corpus.
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+
+    ev = IncrementalRollup(eng, os.path.join(work, "view_rollup+changes"), emit_changes=True)
+    con = ViewDeltaConsumer(ev, os.path.join(work, "sink"))
+    rep = ReplicaTable(os.path.join(work, "replica"), num_partitions=64)
+    t0 = time.perf_counter()
+    con.seed_from_view()
+    rep.follow(con)
+    seed_sec = time.perf_counter() - t0
+    # one more trickle epoch so the chain has a delta window to move
+    rows2 = [dict(r, lsn=r["lsn"] + len(rows), text=f"chain {r['lsn']}") for r in rows]
+    clog.write_segments(pa.Table.from_pylist(rows2, schema=CHANGELOG_SCHEMA), segment_rows=len(rows2))
+    eng.replay(clog, segments_per_epoch=4)
+    t0 = time.perf_counter()
+    ev.advance()
+    con.poll()
+    rep.follow(con)
+    chain_sec = time.perf_counter() - t0
+    out["replication_chain"] = {
+        "seed_sec": round(seed_sec, 2),
+        "trickle_chain_sec": round(chain_sec, 2),
+        "replica_version": rep.version,
+        "replica_rows": rep.read_arrow().num_rows,
+    }
+
     ray.shutdown()
     _sh.rmtree(work, ignore_errors=True)
     return out
