@@ -445,6 +445,48 @@ def _view_changes_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _cdc_replica(sf_dir: str):
+    """The FULL view-replication chain, oracle-checked: bootstrap the
+    rollup view at half the log and seed a downstream replica from its
+    exactly-once window export; advance over the rest, export the delta
+    window, apply it to the replica (one task per touched partition,
+    idempotent by version). The REPLICA — which never reads the view or
+    the lake — must equal the full-recompute rollup SQL byte-for-byte."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    _ensure_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_repl_{sf}_")
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    first, rest = _split_segments(sf)
+    for f in first:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    view = IncrementalRollup(eng, os.path.join(work, "view"), emit_changes=True)
+    con = ViewDeltaConsumer(view, os.path.join(work, "sink"))
+    rep = ReplicaTable(os.path.join(work, "replica"), num_partitions=32)
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()
+    con.seed_from_view()
+    rep.follow(con)
+    for f in rest:
+        os.symlink(f, os.path.join(staged, os.path.basename(f)))
+    eng.replay(ChangeLog(staged), segments_per_epoch=1)
+    view.advance()  # touched conversations only
+    con.poll()  # one exactly-once delta window
+    rep.follow(con)  # replica applies it, never reading the view
+    return rep.read()
+
+
 def _cdc_tool_usage_incremental(sf_dir: str):
     """Incrementally-maintained per-(conversation, tool) call counts (IVM
     over the changefeed): bootstrap at half the log, advance over the
@@ -1176,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_view_changes": _cdc_view_changes,
+        "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
@@ -1279,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
         "cdc_curation_incremental": _curation_oracle_sql(sf),
         "cdc_view_changes": _view_changes_oracle_sql(sf),
+        "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),
