@@ -114,3 +114,48 @@ def test_view_changefeed_replica_always_matches_view(tmp_path_factory, windows):
         cursor = view.version
         got = replica.sort_values("conv_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want.reindex(columns=got.columns))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    windows=st.lists(st.lists(_EVENT, min_size=1, max_size=20), min_size=2, max_size=4),
+)
+def test_replication_chain_always_matches_view(tmp_path_factory, windows):
+    """For ANY edit/delete sequence, the PRODUCT chain (emitting view →
+    ViewDeltaConsumer windows → ReplicaTable.follow) keeps the replica
+    byte-equal to the view after every window — the replica never reads
+    the view or the lake."""
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+
+    tmp = tmp_path_factory.mktemp("rprop")
+    clog = ChangeLog(str(tmp / "log"))
+    eng = CDCEngine(str(tmp / "tbl"), num_partitions=3, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp / "view"), emit_changes=True)
+    con = ViewDeltaConsumer(view, str(tmp / "sink"))
+    rep = ReplicaTable(str(tmp / "replica"), num_partitions=3)
+
+    lsn0 = 0
+    seeded = False
+    for events in windows:
+        t = _to_table(events)
+        t = t.set_column(
+            0, "lsn", pa.array(range(lsn0 + 1, lsn0 + t.num_rows + 1), pa.int64())
+        )
+        lsn0 += t.num_rows
+        clog.write_segments(t, segment_rows=max(1, t.num_rows // 2))
+        eng.replay(clog, segments_per_epoch=2)
+        view.advance()
+        if not seeded:
+            con.seed_from_view()
+            seeded = True
+        else:
+            con.poll()
+        rep.follow(con)
+        got = rep.read_arrow().to_pandas()
+        want = view.read_arrow().to_pandas()
+        pd.testing.assert_frame_equal(got, want.reindex(columns=got.columns))
