@@ -26,6 +26,31 @@ import os
 import sys
 
 
+def _view_kinds() -> dict:
+    """kind name -> incremental view class (single definition for the
+    ivm / tail / view-changes subcommands — one place to add a kind)."""
+    from .pipelines.incremental import (
+        IncrementalCorpus,
+        IncrementalCuration,
+        IncrementalDedup,
+        IncrementalMinHash,
+        IncrementalRollup,
+        IncrementalToolUsage,
+    )
+
+    return {
+        "rollup": IncrementalRollup,
+        "corpus": IncrementalCorpus,
+        "tool-usage": IncrementalToolUsage,
+        "dedup": IncrementalDedup,
+        "minhash": IncrementalMinHash,
+        "curation": IncrementalCuration,
+    }
+
+
+_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation")
+
+
 def _init_ray(num_cpus: int | None) -> bool:
     """Returns True if THIS call started Ray (the caller then owns the
     shutdown; an embedding process's session is left untouched)."""
@@ -85,6 +110,15 @@ def main(argv: list[str] | None = None) -> int:
         help="maintained view(s) to advance after every applying poll, e.g. "
         "rollup:/lake/views/rollup (kinds as in the ivm subcommand; append "
         "+changes to also emit the view's changefeed: rollup+changes:DIR)",
+    )
+    pt.add_argument(
+        "--min-turns", type=int, default=2,
+        help="curation-kind views only: quality gate's minimum turn count "
+        "(must match the view's kernel fingerprint)",
+    )
+    pt.add_argument(
+        "--min-chars", type=int, default=20,
+        help="curation-kind views only: quality gate's minimum redacted length",
     )
 
     ps = sub.add_parser("snapshot", help="row count / export of the committed state")
@@ -150,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pi.add_argument(
         "--kind",
-        choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
+        choices=_VIEW_KIND_CHOICES,
         default="rollup",
     )
     pi.add_argument(
@@ -200,7 +234,7 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--raw", action="store_true", help="per-version stream instead of netted")
     pv.add_argument(
         "--kind",
-        choices=("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation"),
+        choices=_VIEW_KIND_CHOICES,
         default="rollup",
     )
     pv.add_argument(
@@ -274,30 +308,17 @@ def main(argv: list[str] | None = None) -> int:
         eng = CDCEngine(args.table, num_partitions=args.partitions)
         views = []
         if args.view:
-            from .pipelines.incremental import (
-                IncrementalCorpus,
-                IncrementalCuration,
-                IncrementalDedup,
-                IncrementalMinHash,
-                IncrementalRollup,
-                IncrementalToolUsage,
-            )
-
-            kinds = {
-                "rollup": IncrementalRollup,
-                "corpus": IncrementalCorpus,
-                "tool-usage": IncrementalToolUsage,
-                "dedup": IncrementalDedup,
-                "minhash": IncrementalMinHash,
-                "curation": IncrementalCuration,
-            }
+            kinds = _view_kinds()
             for spec in args.view:
                 kind, _, vdir = spec.partition(":")
                 kind, _, mod = kind.partition("+")
                 if not vdir or kind not in kinds or mod not in ("", "changes"):
                     print(json.dumps({"error": f"bad --view spec {spec!r}"}), file=sys.stderr)
                     raise SystemExit(2)
-                views.append(kinds[kind](eng, vdir, emit_changes=mod == "changes"))
+                kw = {"emit_changes": mod == "changes"}
+                if kind == "curation":
+                    kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
+                views.append(kinds[kind](eng, vdir, **kw))
         stats = eng.tail(
             ChangeLog(args.log),
             poll_s=args.poll_s,
@@ -365,23 +386,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": t.num_rows, "result": t.to_pylist()}, default=str))
     elif args.cmd == "ivm":
         started_ray = _init_ray(args.num_cpus)
-        from .pipelines.incremental import (
-            IncrementalCorpus,
-            IncrementalCuration,
-            IncrementalDedup,
-            IncrementalMinHash,
-            IncrementalRollup,
-            IncrementalToolUsage,
-        )
-
         eng = _existing_engine(args.table)
-        cls = {
-            "corpus": IncrementalCorpus,
-            "tool-usage": IncrementalToolUsage,
-            "dedup": IncrementalDedup,
-            "minhash": IncrementalMinHash,
-            "curation": IncrementalCuration,
-        }.get(args.kind, IncrementalRollup)
+        cls = _view_kinds()[args.kind]
         kw = {"emit_changes": args.emit_changes}
         if args.kind == "curation":
             kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
@@ -422,28 +428,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"conversations": n, "out": args.out, "format": args.format}))
     elif args.cmd == "view-changes":
         started_ray = _init_ray(args.num_cpus)
-        from .pipelines.incremental import (
-            IncrementalCorpus,
-            IncrementalCuration,
-            IncrementalDedup,
-            IncrementalMinHash,
-            IncrementalRollup,
-            IncrementalToolUsage,
-        )
+        import os as _os
 
         eng = _existing_engine(args.table)
-        cls = {
-            "corpus": IncrementalCorpus,
-            "tool-usage": IncrementalToolUsage,
-            "dedup": IncrementalDedup,
-            "minhash": IncrementalMinHash,
-            "curation": IncrementalCuration,
-        }.get(args.kind, IncrementalRollup)
-        view = cls(eng, args.view)
+        view = _view_kinds()[args.kind](eng, args.view)
         ds = view.changes(args.since, net=not args.raw)
-        n = ds.count()
-        if n:
-            ds.write_parquet(args.out)
+        # single execution: write, then count from the written footers
+        # (an empty feed writes no files — Ray creates no directory)
+        from .pipelines.consumer import _dir_rows
+
+        _os.makedirs(args.out, exist_ok=True)
+        ds.write_parquet(args.out)
+        n = _dir_rows(args.out)
         cur = view.version
         if args.prune:
             view.prune_changes(cur)
@@ -452,6 +448,8 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.replica import ReplicaTable
 
+        from .pipelines.consumer import read_window_dir
+
         class _SinkOnly:
             """follow() needs only the sink path + read_window."""
 
@@ -459,17 +457,7 @@ def main(argv: list[str] | None = None) -> int:
                 self.out_dir = out_dir
 
             def read_window(self, window):
-                import pyarrow.parquet as _pq
-
-                d = os.path.join(self.out_dir, window)
-                parts = [
-                    _pq.read_table(os.path.join(d, f))
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                ]
-                import pyarrow as _pa
-
-                return _pa.concat_tables(parts) if parts else _pa.table({})
+                return read_window_dir(self.out_dir, window)
 
         rep = ReplicaTable(args.replica, num_partitions=args.partitions)
         print(json.dumps(rep.follow(_SinkOnly(args.sink))))

@@ -1538,8 +1538,11 @@ class CDCEngine:
                 mode, epoch_id = m.group(1), int(m.group(3))
                 if epoch_id <= since_lsn:
                     continue
-                if up_to_lsn is not None and epoch_id > up_to_lsn:
-                    continue
+                # NOTE: the up_to bound is applied to DELTA files only,
+                # BELOW the base handling — a base newer than the bound
+                # still means changes inside (since, up_to] were folded
+                # into it, and skipping it here would silently drop them
+                # from the window instead of raising the horizon error
                 if mode == "base":
                     retention_since = man.properties.get("retention_since_lsn")
                     if (
@@ -1556,6 +1559,8 @@ class CDCEngine:
                         f"{os.path.basename(f)}; replay from a snapshot or "
                         "poll within the compaction horizon"
                     )
+                if up_to_lsn is not None and epoch_id > up_to_lsn:
+                    continue
                 delta_files.append((pid, f))
         if retention_on:
             for e in man.properties.get("retained_deltas", []):

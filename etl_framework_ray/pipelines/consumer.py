@@ -41,6 +41,20 @@ import pyarrow as pa
 _WINDOW_RE = re.compile(r"^window-(\d{12,})-(\d{12,})(-seed)?(\.tmp)?$")
 
 
+def read_window_dir(out_dir: str, window: str) -> pa.Table:
+    """Driver-side read of one exported window directory — the single
+    definition behind every consumer's ``read_window`` and the CLI."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, window)
+    parts = [
+        pq.read_table(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
 def _dir_rows(d: str) -> int:
     """Row count of a window directory from parquet FOOTERS only."""
     import pyarrow.parquet as pq
@@ -170,15 +184,7 @@ class _WindowedConsumer:
     def read_window(self, window: str) -> pa.Table:
         """Driver-side convenience read of one exported window (tests /
         small windows)."""
-        import pyarrow.parquet as pq
-
-        d = os.path.join(self.out_dir, window)
-        parts = [
-            pq.read_table(os.path.join(d, f))
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        ]
-        return pa.concat_tables(parts) if parts else pa.table({})
+        return read_window_dir(self.out_dir, window)
 
 
 class ChangefeedConsumer(_WindowedConsumer):

@@ -308,7 +308,11 @@ class IncrementalRollup:
 
             cutoff = _time.time() - self.prune_grace_s
             for name in os.listdir(dirpath):
-                if name in live or not name.endswith(".parquet"):
+                # superseded parquet AND crash-orphaned .tmp residue (a
+                # task killed between write and rename)
+                if name in live or not (
+                    name.endswith(".parquet") or ".parquet.tmp-" in name
+                ):
                     continue
                 full = os.path.join(dirpath, name)
                 try:

@@ -382,3 +382,18 @@ def test_replica_guards_and_empty_states(tmp_path):
     rep2.seed(pa.table({}), 1, schema=VIEW_SCHEMA)
     assert rep2.read_arrow().schema.names == VIEW_SCHEMA.names
     assert rep2.version == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchored_changefeed_still_fails_loud_on_compaction(tmp_path):
+    """The up_to anchor bounds DELTA files only: a base file that folded
+    changes inside the anchored window must still raise the compaction
+    horizon error, never silently shrink the window."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=60, seed=88))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    # compact_every=2 live files -> the 4-epoch replay folds a base
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=2)
+    eng.replay(clog, segments_per_epoch=1)
+    with pytest.raises(RuntimeError, match="compacted"):
+        eng._changefeed_files(0, up_to_lsn=50)  # bound far below the base
