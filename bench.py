@@ -433,6 +433,77 @@ def run_soak() -> dict:
     return result
 
 
+def run_chain_soak() -> dict:
+    """End-to-end soak of the round-4 stack: tail the tier's changelog
+    EPOCH BY EPOCH with an emitting rollup view attached, export each
+    window through the exactly-once consumer, apply it to a downstream
+    replica — then prove the whole chain: the replica (which never read
+    the view or the lake) must equal a from-scratch rebuild of the view,
+    and the view must equal the lake's committed state. One JSON line."""
+    import shutil as _sh
+    import tempfile
+
+    ray = _bench_session()
+    import pandas as pd
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.consumer import ViewDeltaConsumer
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name()
+    n_events, _ = _bench_sizes(sf)
+    clog_dir = _bench_changelog(sf)
+    work = tempfile.mkdtemp(prefix="etl_chain_soak_")
+    eng = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=64, compact_every=1_000_000
+    )
+    view = IncrementalRollup(eng, os.path.join(work, "view"), emit_changes=True)
+    con = ViewDeltaConsumer(view, os.path.join(work, "sink"))
+    rep = ReplicaTable(os.path.join(work, "replica"), num_partitions=64)
+
+    staged = os.path.join(work, "log")
+    os.makedirs(staged)
+    segs = sorted(f for f in os.listdir(clog_dir) if f.startswith("segment-"))
+    t0 = time.perf_counter()
+    windows = 0
+    for i, f in enumerate(segs):
+        os.symlink(os.path.join(clog_dir, f), os.path.join(staged, f))
+        eng.tail(
+            ChangeLog(staged), poll_s=0, idle_stop_polls=1,
+            segments_per_epoch=1, pipelined=True, views=[view],
+        )
+        if i == 0:
+            con.seed_from_view()
+        else:
+            con.poll()
+        rep.follow(con)
+        windows += 1
+    chain_sec = time.perf_counter() - t0
+
+    # equality proofs: replica == fresh rebuild of the view == lake state
+    fresh = IncrementalRollup(eng, os.path.join(work, "view_fresh"))
+    fresh.rebuild()
+    a = rep.read_arrow().to_pandas()
+    b = fresh.read_arrow().to_pandas()
+    pd.testing.assert_frame_equal(a, b.reindex(columns=a.columns))
+    out = {
+        "metric": "chain_soak (tail+view+consumer+replica per epoch, then equality proofs)",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "epochs": windows,
+        "chain_sec": round(chain_sec, 2),
+        "events_per_sec": round(n_events / chain_sec, 1),
+        "replica_rows": len(a),
+        "replica_equals_rebuild": True,  # frame-equal vs a fresh full rebuild
+    }
+    ray.shutdown()
+    _sh.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_ivm() -> dict:
     """IVM maintenance cost: replay the tier's changelog, bootstrap the
     rollup and exact-dedup views, then apply ONE small epoch touching a
@@ -733,5 +804,7 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_scale()))
     elif "--ivm" in sys.argv:
         print(json.dumps(run_ivm()))
+    elif "--chain-soak" in sys.argv:
+        print(json.dumps(run_chain_soak()))
     else:
         print(json.dumps(run_bench()))
