@@ -432,7 +432,10 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = _existing_engine(args.table)
         view = _view_kinds()[args.kind](eng, args.view)
-        ds = view.changes(args.since, net=not args.raw)
+        # anchor export and prune to the SAME head (a concurrent advance
+        # between the reads must not let --prune GC unexported versions)
+        head = view.version
+        ds = view.changes(args.since, net=not args.raw, up_to=head)
         # single execution: write, then count from the written footers
         # (an empty feed writes no files — Ray creates no directory)
         from .pipelines.consumer import _dir_rows
@@ -440,10 +443,9 @@ def main(argv: list[str] | None = None) -> int:
         _os.makedirs(args.out, exist_ok=True)
         ds.write_parquet(args.out)
         n = _dir_rows(args.out)
-        cur = view.version
         if args.prune:
-            view.prune_changes(cur)
-        print(json.dumps({"rows": n, "since": args.since, "version": cur}))
+            view.prune_changes(head)
+        print(json.dumps({"rows": n, "since": args.since, "version": head}))
     elif args.cmd == "replica-follow":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.replica import ReplicaTable
