@@ -466,41 +466,48 @@ def run_chain_soak() -> dict:
     staged = os.path.join(work, "log")
     os.makedirs(staged)
     segs = sorted(f for f in os.listdir(clog_dir) if f.startswith("segment-"))
-    t0 = time.perf_counter()
-    windows = 0
-    for i, f in enumerate(segs):
-        os.symlink(os.path.join(clog_dir, f), os.path.join(staged, f))
-        eng.tail(
-            ChangeLog(staged), poll_s=0, idle_stop_polls=1,
-            segments_per_epoch=1, pipelined=True, views=[view],
-        )
-        if i == 0:
-            con.seed_from_view()
-        else:
-            con.poll()
-        rep.follow(con)
-        windows += 1
-    chain_sec = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        windows = 0
+        for i, f in enumerate(segs):
+            os.symlink(os.path.join(clog_dir, f), os.path.join(staged, f))
+            eng.tail(
+                ChangeLog(staged), poll_s=0, idle_stop_polls=1,
+                segments_per_epoch=1, pipelined=True, views=[view],
+            )
+            if i == 0:
+                con.seed_from_view()
+            else:
+                con.poll()
+            rep.follow(con)
+            windows += 1
+        chain_sec = time.perf_counter() - t0
 
-    # equality proofs: replica == fresh rebuild of the view == lake state
-    fresh = IncrementalRollup(eng, os.path.join(work, "view_fresh"))
-    fresh.rebuild()
-    a = rep.read_arrow().to_pandas()
-    b = fresh.read_arrow().to_pandas()
-    pd.testing.assert_frame_equal(a, b.reindex(columns=a.columns))
-    out = {
-        "metric": "chain_soak (tail+view+consumer+replica per epoch, then equality proofs)",
-        "sf": sf,
-        "num_cpus": NUM_CPUS,
-        "events": n_events,
-        "epochs": windows,
-        "chain_sec": round(chain_sec, 2),
-        "events_per_sec": round(n_events / chain_sec, 1),
-        "replica_rows": len(a),
-        "replica_equals_rebuild": True,  # frame-equal vs a fresh full rebuild
-    }
-    ray.shutdown()
-    _sh.rmtree(work, ignore_errors=True)
+        # equality proofs: the maintained view equals a from-scratch
+        # rebuild of the lake state, AND the replica (built only from the
+        # view's deltas) equals both — same column sets, not a projection
+        fresh = IncrementalRollup(eng, os.path.join(work, "view_fresh"))
+        fresh.rebuild()
+        a = rep.read_arrow().to_pandas()
+        b = fresh.read_arrow().to_pandas()
+        v = view.read_arrow().to_pandas()
+        pd.testing.assert_frame_equal(v, b)
+        pd.testing.assert_frame_equal(a, b, check_like=True)
+        out = {
+            "metric": "chain_soak (tail+view+consumer+replica per epoch, then equality proofs)",
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "events": n_events,
+            "epochs": windows,
+            "chain_sec": round(chain_sec, 2),
+            "events_per_sec": round(n_events / chain_sec, 1),
+            "replica_rows": len(a),
+            "view_equals_rebuild": True,
+            "replica_equals_rebuild": True,
+        }
+    finally:
+        ray.shutdown()
+        _sh.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -440,6 +440,15 @@ def main(argv: list[str] | None = None) -> int:
         # (an empty feed writes no files — Ray creates no directory)
         from .pipelines.consumer import _dir_rows
 
+        if _os.path.isdir(args.out) and _os.listdir(args.out):
+            # Ray part filenames are unique per run: exporting into a
+            # non-empty dir would accumulate the previous export's files
+            # and a consumer would apply its versions twice
+            print(
+                json.dumps({"error": f"output dir {args.out!r} is not empty"}),
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         _os.makedirs(args.out, exist_ok=True)
         ds.write_parquet(args.out)
         n = _dir_rows(args.out)
