@@ -14,6 +14,7 @@ entries (databricks/jobs/*.yml → spark_python_task main()s).
     python -m etl_framework_ray export-changes --table DIR --out DIR [--seed-snapshot]
     python -m etl_framework_ray view-changes --table DIR --view DIR --since N --out DIR
     python -m etl_framework_ray replica-follow --sink DIR --replica DIR
+    python -m etl_framework_ray fsck --table DIR
 
 The CLI owns the Ray session (library code never calls ray.init).
 """
@@ -242,6 +243,12 @@ def main(argv: list[str] | None = None) -> int:
         help="after a successful export, GC deltas up to the view's current version",
     )
 
+    pf = sub.add_parser(
+        "fsck", help="consistency audit: manifest claims vs files on disk "
+        "(existence, footers, partition routing, watermarks)"
+    )
+    pf.add_argument("--table", required=True)
+
     pr = sub.add_parser(
         "replica-follow",
         help="drain a view-changefeed sink (view-changes / ViewDeltaConsumer "
@@ -455,6 +462,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.prune:
             view.prune_changes(head)
         print(json.dumps({"rows": n, "since": args.since, "version": head}))
+    elif args.cmd == "fsck":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        r = eng.fsck()
+        print(json.dumps(r))
+        if not r["ok"]:
+            if started_ray:
+                import ray as _ray
+
+                _ray.shutdown()
+            return 1
     elif args.cmd == "replica-follow":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.replica import ReplicaTable

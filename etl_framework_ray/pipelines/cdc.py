@@ -1503,6 +1503,54 @@ class CDCEngine:
         staging concurrently (see ``ManifestStore.vacuum``)."""
         return self.store.vacuum(self.manifest, grace_s=grace_s)
 
+    def fsck(self) -> dict:
+        """Consistency audit of the committed table — fsck for the lake.
+
+        One Ray task per partition verifies the manifest's claims against
+        the files: every listed file exists with a readable footer, file
+        names carry this partition's id and epoch LSNs at or below the
+        watermarks, and every row's ``hash(conv_id) % P`` routes to the
+        partition holding it (salt fanout respected). Driver-side checks
+        cover the manifest itself: schema decodes, partition ids are in
+        range, per-partition watermarks never exceed the table watermark.
+
+        Returns ``{"ok": bool, "partitions_checked": n, "files_checked":
+        n, "issues": [str, ...]}``; read-only, safe on a live table (a
+        concurrent commit can only surface as a transient missing-file
+        issue — rerun to confirm). Cost is one column-pruned scan of the
+        key column, parallel across partitions."""
+        man = self.manifest
+        issues: list[str] = []
+        try:
+            man.schema  # decodes schema_b64
+        except Exception as e:
+            issues.append(f"manifest schema undecodable: {e}")
+        n_files = 0
+        refs = []
+        salt_json = {str(k): int(v) for k, v in self.salt_map.items()}
+        for pid, part in man.partitions.items():
+            if not (0 <= int(pid) < int(man.num_partitions)):
+                issues.append(f"partition id {pid} out of range 0..{man.num_partitions - 1}")
+            n_files += len(part.files)
+            refs.append(
+                _fsck_partition_task.remote(
+                    int(pid),
+                    list(part.files),
+                    int(part.applied_lsn),
+                    int(man.applied_lsn),
+                    int(man.num_partitions),
+                    salt_json,
+                )
+            )
+        for r in ray.get(refs):
+            issues.extend(r)
+        return {
+            "ok": not issues,
+            "partitions_checked": len(man.partitions),
+            "files_checked": n_files,
+            "issues": issues,
+        }
+
     def _changefeed_files(
         self, since_lsn: int, up_to_lsn: int | None = None
     ) -> list[tuple[int, str]]:
@@ -1753,3 +1801,66 @@ class CDCEngine:
         if not self.key_cols:
             return t  # PK-less table: no ordering contract
         return t.sort_by([(k, "ascending") for k in self.key_cols])
+
+
+@ray.remote
+def _fsck_partition_task(
+    pid: int,
+    files: list,
+    part_lsn: int,
+    table_lsn: int,
+    num_partitions: int,
+    salt_json: dict,
+) -> list:
+    """Audit ONE partition's manifest-listed files: existence, readable
+    footer, row-level partition routing (every row's conv hash must map
+    to this pid — directly or via its salt fanout), and per-file epoch
+    LSNs at or below the watermarks. Returns a list of issue strings."""
+    import re as _re
+
+    import numpy as np
+
+    _single_threaded_arrow()
+    issues: list[str] = []
+    cdc_name = _re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
+    for f in files:
+        base = os.path.basename(f)
+        if not os.path.exists(f):
+            issues.append(f"pid {pid}: missing file {base}")
+            continue
+        try:
+            t = pq.read_table(f, columns=["conv_id"])
+        except Exception as e:  # unreadable footer/corruption
+            issues.append(f"pid {pid}: unreadable {base}: {e}")
+            continue
+        m = cdc_name.match(base)
+        if m:
+            epoch_id = int(m.group(3))
+            if epoch_id > table_lsn:
+                issues.append(
+                    f"pid {pid}: {base} epoch {epoch_id} above table watermark {table_lsn}"
+                )
+            if int(m.group(2)) != pid:
+                issues.append(f"pid {pid}: {base} names partition {m.group(2)}")
+        if t.num_rows:
+            h = stable_hash_array(t.column("conv_id"))
+            home = (h % np.uint64(num_partitions)).astype(np.int64)
+            bad = home != pid
+            if bad.any():
+                # salted conversations legitimately land on fanout pids
+                vals = t.column("conv_id").to_pylist()
+                for i in np.flatnonzero(bad):
+                    v = vals[int(i)]
+                    fan = int(salt_json.get(str(v)) or salt_json.get(v) or 1)
+                    ok = any(
+                        int((h[int(i)] + np.uint64(s)) % np.uint64(num_partitions)) == pid
+                        for s in range(fan)
+                    )
+                    if not ok:
+                        issues.append(
+                            f"pid {pid}: row conv_id={v!r} routed to wrong partition"
+                        )
+                        break  # one example per partition is enough
+    if part_lsn > table_lsn:
+        issues.append(f"pid {pid}: partition watermark {part_lsn} above table {table_lsn}")
+    return issues

@@ -192,3 +192,64 @@ def test_reshard_salted_table(tmp_path):
     assert before.equals(after)
     got = eng.lookup(["conv-000000"])  # the hot, salted conversation
     assert got.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fsck_clean_table_and_detected_corruptions(tmp_path):
+    """fsck passes on a healthy replayed table (salted hot keys included)
+    and pinpoints a deleted file, a corrupted footer, and a mis-routed
+    row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    log = generate_changelog(
+        GenConfig(num_events=4000, num_conversations=40, seed=31,
+                  hot_key_frac=0.4, hot_max_turns=2000)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=100)
+    eng.replay(clog, segments_per_epoch=1, auto_mitigate_skew=True)
+    assert eng.salt_map  # fanout pids must not read as mis-routed
+    r = eng.fsck()
+    assert r["ok"], r["issues"]
+    assert r["files_checked"] > 0 and r["partitions_checked"] == 8
+
+    # corruption 1: silently delete a listed file
+    some_pid = next(p for p in eng.manifest.partitions if eng.manifest.partitions[p].files)
+    victim = eng.manifest.partitions[some_pid].files[0]
+    os.remove(victim)
+    r = eng.fsck()
+    assert not r["ok"] and any("missing file" in i for i in r["issues"])
+
+    # corruption 2: truncate another listed file's footer
+    other_pid = next(
+        p for p in eng.manifest.partitions
+        if p != some_pid and eng.manifest.partitions[p].files
+    )
+    victim2 = eng.manifest.partitions[other_pid].files[0]
+    data = open(victim2, "rb").read()
+    open(victim2, "wb").write(data[: len(data) // 2])
+    r = eng.fsck()
+    assert any("unreadable" in i for i in r["issues"])
+
+    # corruption 3: a row that hashes to the wrong partition
+    third_pid = next(
+        p for p in eng.manifest.partitions
+        if p not in (some_pid, other_pid) and eng.manifest.partitions[p].files
+    )
+    f3 = eng.manifest.partitions[third_pid].files[0]
+    t = pq.read_table(f3)
+    import pyarrow as pa
+
+    wrong = t.set_column(
+        t.schema.get_field_index("conv_id"),
+        "conv_id",
+        pa.array(["conv-misrouted-xyz"] * t.num_rows, t.schema.field("conv_id").type),
+    )
+    pq.write_table(wrong, f3)
+    r = eng.fsck()
+    assert any("wrong partition" in i for i in r["issues"])
