@@ -180,6 +180,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--view", required=True)
     pi.add_argument("--rebuild", action="store_true")
     pi.add_argument(
+        "--fsck", action="store_true",
+        help="audit the view directory instead of advancing (see the fsck subcommand)",
+    )
+    pi.add_argument(
         "--emit-changes", action="store_true",
         help="also write the view's own changefeed per advance (see view-changes)",
     )
@@ -399,8 +403,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.kind == "curation":
             kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
         view = cls(eng, args.view, **kw)
-        stats = view.rebuild() if args.rebuild else view.advance()
-        print(json.dumps(stats))
+        if args.fsck:
+            r = view.fsck()
+            print(json.dumps(r))
+            if not r["ok"]:
+                if started_ray:
+                    import ray as _ray
+
+                    _ray.shutdown()
+                return 1
+        else:
+            print(json.dumps(view.rebuild() if args.rebuild else view.advance()))
     elif args.cmd == "assemble":
         started_ray = _init_ray(args.num_cpus)
         import os as _os

@@ -465,6 +465,52 @@ class IncrementalRollup:
         t = pa.concat_tables([pq.read_table(f) for f in files])
         return t.sort_by("conv_id")
 
+    def fsck(self) -> dict:
+        """Consistency audit of the view directory — the view analogue of
+        :meth:`CDCEngine.fsck`. Driver-side (view manifests are small):
+        every listed partition file exists with a readable footer and its
+        rows hash-route to its partition; delta files exist; the
+        watermark never exceeds the engine's; the continuity floor never
+        exceeds the version; the recorded kernel matches this instance.
+        Returns ``{"ok", "files_checked", "issues"}``."""
+        state = self._load_state()
+        if state is None:
+            return {"ok": True, "files_checked": 0, "issues": []}
+        issues: list[str] = []
+        n = 0
+        P = int(state.get("num_partitions") or self.engine.manifest.num_partitions)
+        for pid_s, f in sorted(state["files"].items()):
+            n += 1
+            if not os.path.exists(f):
+                issues.append(f"pid {pid_s}: missing view file {os.path.basename(f)}")
+                continue
+            try:
+                t = pq.read_table(f, columns=["conv_id"])
+            except Exception as e:
+                issues.append(f"pid {pid_s}: unreadable {os.path.basename(f)}: {e}")
+                continue
+            if t.num_rows:
+                h = _conv_hashes(t.column("conv_id"))
+                if ((h % np.uint64(P)).astype(np.int64) != int(pid_s)).any():
+                    issues.append(f"pid {pid_s}: row routed to wrong view partition")
+        for v, paths in (state.get("deltas") or {}).items():
+            for p_ in paths:
+                n += 1
+                if not os.path.exists(p_):
+                    issues.append(f"delta v{v}: missing {os.path.basename(p_)}")
+        wm = int(state["watermark_lsn"])
+        if wm > int(self.engine.manifest.applied_lsn):
+            issues.append(
+                f"view watermark {wm} above engine {self.engine.manifest.applied_lsn}"
+            )
+        floor = int(state.get("delta_floor", state["version"]))
+        if floor > int(state["version"]):
+            issues.append(f"delta floor {floor} above version {state['version']}")
+        fp = state.get("kernel")
+        if fp is not None and fp != self._kernel_fp():
+            issues.append(f"kernel mismatch: built by {fp!r}, audited by {self._kernel_fp()!r}")
+        return {"ok": not issues, "files_checked": n, "issues": issues}
+
     def rebuild(self) -> dict:
         """Full recompute (bootstrap path) — also the documented recovery
         when ``advance()`` raises because the view lagged past the

@@ -253,3 +253,40 @@ def test_fsck_clean_table_and_detected_corruptions(tmp_path):
     pq.write_table(wrong, f3)
     r = eng.fsck()
     assert any("wrong partition" in i for i in r["issues"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_view_fsck(tmp_path):
+    """View fsck: clean after advances (deltas included), and pinpoints a
+    deleted view file, a missing delta, and a kernel mismatch."""
+    import os
+
+    from etl_framework_ray.pipelines.incremental import (
+        IncrementalCorpus,
+        IncrementalRollup,
+    )
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    log = generate_changelog(GenConfig(num_events=2000, num_conversations=20, seed=41))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp_path / "view"), emit_changes=True)
+    eng.apply_epoch(clog.epochs(1)[0])
+    view.advance()
+    eng.apply_epoch(clog.epochs(1)[1])
+    view.advance()
+    r = view.fsck()
+    assert r["ok"] and r["files_checked"] > 0, r
+
+    # kernel mismatch is an audit finding (not a crash)
+    r = IncrementalCorpus(eng, str(tmp_path / "view")).fsck()
+    assert not r["ok"] and any("kernel mismatch" in i for i in r["issues"])
+
+    # deleted view file and deleted delta file are pinpointed
+    state = view._load_state()
+    os.remove(next(iter(state["files"].values())))
+    os.remove(next(iter((state["deltas"] or {"": [""]}).values()))[0])
+    r = view.fsck()
+    assert any("missing view file" in i for i in r["issues"])
+    assert any("missing" in i and "delta" in i for i in r["issues"])
