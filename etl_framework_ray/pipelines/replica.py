@@ -229,6 +229,33 @@ class ReplicaTable:
             "touched_partitions": len(results),
         }
 
+    def fsck(self) -> dict:
+        """Consistency audit of the replica directory (same shape as
+        :meth:`CDCEngine.fsck` / the view's): listed files exist with
+        readable footers and their rows hash-route to their partition.
+        Driver-side; replica manifests are small."""
+        state = self._load_state()
+        if state is None:
+            return {"ok": True, "files_checked": 0, "issues": []}
+        issues: list[str] = []
+        n = 0
+        P = int(state["num_partitions"])
+        for pid_s, f in sorted(state["files"].items()):
+            n += 1
+            if not os.path.exists(f):
+                issues.append(f"pid {pid_s}: missing file {os.path.basename(f)}")
+                continue
+            try:
+                t = pq.read_table(f, columns=["conv_id"])
+            except Exception as e:
+                issues.append(f"pid {pid_s}: unreadable {os.path.basename(f)}: {e}")
+                continue
+            if t.num_rows:
+                pids = partition_ids(t.column("conv_id"), P)
+                if (pids != int(pid_s)).any():
+                    issues.append(f"pid {pid_s}: row routed to wrong partition")
+        return {"ok": not issues, "files_checked": n, "issues": issues}
+
     def read(self) -> "ray.data.Dataset":
         state = self._load_state()
         files = sorted(state["files"].values()) if state else []

@@ -290,3 +290,23 @@ def test_view_fsck(tmp_path):
     r = view.fsck()
     assert any("missing view file" in i for i in r["issues"])
     assert any("missing" in i and "delta" in i for i in r["issues"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replica_fsck(tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.replica import ReplicaTable
+
+    rep = ReplicaTable(str(tmp_path / "rep"), num_partitions=4)
+    rep.seed(
+        pa.table({"conv_id": pa.array([f"c{i}" for i in range(20)], pa.string()),
+                  "n": pa.array(range(20), pa.int64())}),
+        1,
+    )
+    assert rep.fsck()["ok"]
+    os.remove(next(iter(rep._load_state()["files"].values())))
+    r = rep.fsck()
+    assert not r["ok"] and any("missing file" in i for i in r["issues"])
