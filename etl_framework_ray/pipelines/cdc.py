@@ -1847,13 +1847,18 @@ def _fsck_partition_task(
             home = (h % np.uint64(num_partitions)).astype(np.int64)
             bad = home != pid
             if bad.any():
-                # salted conversations legitimately land on fanout pids
-                vals = t.column("conv_id").to_pylist()
-                for i in np.flatnonzero(bad):
-                    v = vals[int(i)]
+                # salted conversations legitimately land on fanout pids —
+                # validate each UNIQUE off-home value once, not per row (a
+                # hot salted conversation contributes thousands of rows)
+                uniq_vals, first_idx = np.unique(
+                    np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False))[bad],
+                    return_index=True,
+                )
+                bad_h = h[bad][first_idx]
+                for v, hv in zip(uniq_vals, bad_h):
                     fan = int(salt_json.get(str(v)) or salt_json.get(v) or 1)
                     ok = any(
-                        int((h[int(i)] + np.uint64(s)) % np.uint64(num_partitions)) == pid
+                        int((hv + np.uint64(s)) % np.uint64(num_partitions)) == pid
                         for s in range(fan)
                     )
                     if not ok:
