@@ -265,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     started_ray = False
+    rc = 0  # audit subcommands set nonzero on findings
 
     from .pipelines.cdc import CDCEngine
     from .sources.changelog import ChangeLog
@@ -406,12 +407,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.fsck:
             r = view.fsck()
             print(json.dumps(r))
-            if not r["ok"]:
-                if started_ray:
-                    import ray as _ray
-
-                    _ray.shutdown()
-                return 1
+            rc = 0 if r["ok"] else 1
         else:
             print(json.dumps(view.rebuild() if args.rebuild else view.advance()))
     elif args.cmd == "assemble":
@@ -480,12 +476,7 @@ def main(argv: list[str] | None = None) -> int:
         eng = _existing_engine(args.table)
         r = eng.fsck()
         print(json.dumps(r))
-        if not r["ok"]:
-            if started_ray:
-                import ray as _ray
-
-                _ray.shutdown()
-            return 1
+        rc = 0 if r["ok"] else 1
     elif args.cmd == "replica-follow":
         started_ray = _init_ray(args.num_cpus)
         from .pipelines.replica import ReplicaTable
@@ -514,7 +505,7 @@ def main(argv: list[str] | None = None) -> int:
         import ray as _ray
 
         _ray.shutdown()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

@@ -190,18 +190,17 @@ def merge_partition_files(
 
 #: CDC file naming — files written by the engine are LWW-reduced and
 #: key-sorted with UNIQUE keys, which is what the streamed merge relies on
-_CDC_FILE_RE = None  # set lazily (re import kept local to read_changes historically)
+import re as _re_mod
+
+#: CDC data-file naming — THE single pattern (file checks, changefeed
+#: listing, fsck all match against this)
+_CDC_FILE_RE = _re_mod.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
 
 
 def _is_cdc_sorted(files: list[str]) -> bool:
     """True iff every file was written by the CDC apply/compact/salt paths
     (key-sorted, unique keys) — the precondition for the streamed k-way
     merge. Writer overwrite/append staging files are unsorted → full merge."""
-    import re
-
-    global _CDC_FILE_RE
-    if _CDC_FILE_RE is None:
-        _CDC_FILE_RE = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
     return all(_CDC_FILE_RE.match(os.path.basename(f)) for f in files)
 
 
@@ -1525,9 +1524,18 @@ class CDCEngine:
             man.schema  # decodes schema_b64
         except Exception as e:
             issues.append(f"manifest schema undecodable: {e}")
+        # routing key: the leading PK, or the first declared column for
+        # PK-less tables (the same rule reshard uses)
+        key0 = self.key_cols[0] if self.key_cols else man.schema.names[0]
         n_files = 0
         refs = []
         salt_json = {str(k): int(v) for k, v in self.salt_map.items()}
+        # the retention registry's files serve lagging consumers — a
+        # missing one passes silently today and crashes a poll later
+        for e_ in man.properties.get("retained_deltas", []) or []:
+            n_files += 1
+            if not os.path.exists(e_["path"]):
+                issues.append(f"retained delta missing: {os.path.basename(e_['path'])}")
         for pid, part in man.partitions.items():
             if not (0 <= int(pid) < int(man.num_partitions)):
                 issues.append(f"partition id {pid} out of range 0..{man.num_partitions - 1}")
@@ -1540,6 +1548,7 @@ class CDCEngine:
                     int(man.applied_lsn),
                     int(man.num_partitions),
                     salt_json,
+                    key0,
                 )
             )
         for r in ray.get(refs):
@@ -1572,7 +1581,7 @@ class CDCEngine:
                 f"changes since {since_lsn} are past the retention floor "
                 f"({floor}); replay from a snapshot"
             )
-        cdc_name = re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
+        cdc_name = _CDC_FILE_RE
         delta_files: list[tuple[int, str]] = []
         for pid in sorted(man.partitions):
             for f in man.partitions[pid].files:
@@ -1811,25 +1820,25 @@ def _fsck_partition_task(
     table_lsn: int,
     num_partitions: int,
     salt_json: dict,
+    key0: str,
 ) -> list:
     """Audit ONE partition's manifest-listed files: existence, readable
-    footer, row-level partition routing (every row's conv hash must map
-    to this pid — directly or via its salt fanout), and per-file epoch
-    LSNs at or below the watermarks. Returns a list of issue strings."""
-    import re as _re
-
+    footer, row-level partition routing (every row's leading-key hash
+    must map to this pid — directly or via its salt fanout), and
+    per-file epoch LSNs at or below the watermarks. Returns a list of
+    issue strings."""
     import numpy as np
 
     _single_threaded_arrow()
     issues: list[str] = []
-    cdc_name = _re.compile(r"^(delta|base)-(\d+)-(\d+)(-from\d+)?\.parquet$")
+    cdc_name = _CDC_FILE_RE
     for f in files:
         base = os.path.basename(f)
         if not os.path.exists(f):
             issues.append(f"pid {pid}: missing file {base}")
             continue
         try:
-            t = pq.read_table(f, columns=["conv_id"])
+            t = pq.read_table(f, columns=[key0])
         except Exception as e:  # unreadable footer/corruption
             issues.append(f"pid {pid}: unreadable {base}: {e}")
             continue
@@ -1843,7 +1852,7 @@ def _fsck_partition_task(
             if int(m.group(2)) != pid:
                 issues.append(f"pid {pid}: {base} names partition {m.group(2)}")
         if t.num_rows:
-            h = stable_hash_array(t.column("conv_id"))
+            h = stable_hash_array(t.column(key0))
             home = (h % np.uint64(num_partitions)).astype(np.int64)
             bad = home != pid
             if bad.any():
@@ -1851,19 +1860,19 @@ def _fsck_partition_task(
                 # validate each UNIQUE off-home value once, not per row (a
                 # hot salted conversation contributes thousands of rows)
                 uniq_vals, first_idx = np.unique(
-                    np.asarray(t.column("conv_id").to_numpy(zero_copy_only=False))[bad],
+                    np.asarray(t.column(key0).to_numpy(zero_copy_only=False))[bad],
                     return_index=True,
                 )
                 bad_h = h[bad][first_idx]
                 for v, hv in zip(uniq_vals, bad_h):
-                    fan = int(salt_json.get(str(v)) or salt_json.get(v) or 1)
+                    fan = int(salt_json.get(str(v)) or 1)  # keys pre-stringified
                     ok = any(
                         int((hv + np.uint64(s)) % np.uint64(num_partitions)) == pid
                         for s in range(fan)
                     )
                     if not ok:
                         issues.append(
-                            f"pid {pid}: row conv_id={v!r} routed to wrong partition"
+                            f"pid {pid}: row {key0}={v!r} routed to wrong partition"
                         )
                         break  # one example per partition is enough
     if part_lsn > table_lsn:

@@ -475,10 +475,23 @@ class IncrementalRollup:
         Returns ``{"ok", "files_checked", "issues"}``."""
         state = self._load_state()
         if state is None:
-            return {"ok": True, "files_checked": 0, "issues": []}
+            orphans = [f for f in os.listdir(self.view_dir) if f.endswith(".parquet")]
+            issues = (
+                [f"no view manifest but {len(orphans)} data file(s) present"]
+                if orphans
+                else []
+            )
+            return {"ok": not issues, "files_checked": 0, "issues": issues}
         issues: list[str] = []
         n = 0
         P = int(state.get("num_partitions") or self.engine.manifest.num_partitions)
+        if int(P) != int(self.engine.manifest.num_partitions):
+            # the same condition advance() fails loud on (reshard re-homed
+            # every conversation) — an audit must not green-light it
+            issues.append(
+                f"view built at {P} partitions, engine now at "
+                f"{self.engine.manifest.num_partitions} (reshard): rebuild() required"
+            )
         for pid_s, f in sorted(state["files"].items()):
             n += 1
             if not os.path.exists(f):

@@ -236,7 +236,13 @@ class ReplicaTable:
         Driver-side; replica manifests are small."""
         state = self._load_state()
         if state is None:
-            return {"ok": True, "files_checked": 0, "issues": []}
+            orphans = [f for f in os.listdir(self.out_dir) if f.endswith(".parquet")]
+            issues = (
+                [f"no replica manifest but {len(orphans)} data file(s) present"]
+                if orphans
+                else []
+            )
+            return {"ok": not issues, "files_checked": 0, "issues": issues}
         issues: list[str] = []
         n = 0
         P = int(state["num_partitions"])

@@ -310,3 +310,54 @@ def test_replica_fsck(tmp_path):
     os.remove(next(iter(rep._load_state()["files"].values())))
     r = rep.fsck()
     assert not r["ok"] and any("missing file" in i for i in r["issues"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fsck_non_conv_table_and_reshard_and_orphans(tmp_path):
+    """fsck works on tables keyed by something other than conv_id; a
+    resharded engine turns the view audit red; a missing manifest with
+    data files present is a finding, not a silent all-clear."""
+    import os
+
+    import pyarrow as pa
+    import ray as _ray
+
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.pipelines.writer import LakeWriter
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="notes",
+        columns=(
+            ColumnSpec("note_id", pa.int64(), nullable=False),
+            ColumnSpec("body", pa.string()),
+        ),
+        primary_key=("note_id",),
+    )
+    w = LakeWriter(str(tmp_path / "notes"), spec, num_partitions=4)
+    w.overwrite(
+        _ray.data.from_arrow(
+            pa.table({"note_id": pa.array(range(40), pa.int64()),
+                      "body": pa.array([f"n{i}" for i in range(40)])})
+        )
+    )
+    r = w.engine.fsck()
+    assert r["ok"], r["issues"]  # keyed by note_id, not conv_id
+
+    # view audit goes red after a reshard (same condition advance guards)
+    log = generate_changelog(GenConfig(num_events=1000, num_conversations=10, seed=3))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    eng.replay(clog)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    view.advance()
+    eng.reshard(new_num_partitions=2)
+    r = view.fsck()
+    assert not r["ok"] and any("reshard" in i for i in r["issues"])
+
+    # a deleted view manifest with data files on disk is a finding
+    os.remove(os.path.join(str(tmp_path / "view"), "_view_manifest.json"))
+    r = view.fsck()
+    assert not r["ok"] and any("no view manifest" in i for i in r["issues"])
