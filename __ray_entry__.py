@@ -1204,6 +1204,127 @@ def _q_cluster_embeddings(sf_dir: str):
     return cluster_embeddings(ds, k=16)
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-user event sequencing: ROW_NUMBER + inter-event gap (µs) via
+    LAG over (ts, event_id) — the window/analytic family on the direct
+    exchange (stages/analytic.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.stages.analytic import lag, row_number, window
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"]
+    )
+    out = window(ds, "user_id", ["ts", "event_id"], [row_number("seq"), lag("ts", "prev_ts")])
+
+    def gap(batch: pa.Table) -> pa.Table:
+        g = pc.subtract(
+            batch.column("ts").cast(pa.int64()), batch.column("prev_ts").cast(pa.int64())
+        )
+        return batch.drop_columns(["prev_ts"]).append_column("gap_us", g)
+
+    return out.map_batches(gap, batch_format="pyarrow")
+
+
+def _q_customer_order_ranks(sf_dir: str):
+    """Per-customer order analytics in ONE window pass: sequence number,
+    RANK over order date (ties share rank), next order date (LEAD), and
+    exact running spend in integer cents (running SUM — no float drift)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.stages.analytic import (
+        lead,
+        rank,
+        row_number,
+        running_sum,
+        window,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64())
+        return batch.drop_columns(["o_totalprice"]).append_column("price_cents", c)
+
+    return window(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        [
+            row_number("order_seq"),
+            rank("date_rank", on=1),
+            lead("o_orderdate", "next_order_date"),
+            running_sum("price_cents", "spend_to_date_cents"),
+        ],
+    )
+
+
+def _q_turn_gaps(sf_dir: str):
+    """Window functions over the ENGINE's committed snapshot: per
+    conversation (ordered by turn_idx) — sequence position, previous
+    role, and the turn_idx gap left by deletes. Composes the CDC lake
+    with the analytic stage."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.stages.analytic import lag, row_number, window
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_gaps_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    snap = eng.snapshot(columns=["conv_id", "turn_idx", "role"])
+    out = window(
+        snap,
+        "conv_id",
+        ["turn_idx"],
+        [row_number("turn_seq"), lag("role", "prev_role"), lag("turn_idx", "prev_idx")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = pc.subtract(
+            batch.column("turn_idx").cast(pa.int64()),
+            batch.column("prev_idx").cast(pa.int64()),
+        )
+        return batch.drop_columns(["prev_idx"]).append_column("idx_gap", g)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _turn_gaps_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, turn_idx, role
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id, turn_idx, role,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS turn_seq,
+               LAG(role, 1) OVER w AS prev_role,
+               CAST(turn_idx AS BIGINT) - CAST(LAG(turn_idx, 1) OVER w AS BIGINT)
+                   AS idx_gap
+        FROM snap
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_framework_ray.pipelines import medallion as m
 
@@ -1239,6 +1360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_sessions,
         "events_last_order": _q_events_last_order,
         "orders_7d_by_event": _q_orders_7d_by_event,
+        # analytic (window) functions — stages/analytic.py
+        "event_gaps": _q_event_gaps,
+        "customer_order_ranks": _q_customer_order_ranks,
+        "turn_gaps": _q_turn_gaps,
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
@@ -1326,6 +1451,25 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),
+        "turn_gaps": _turn_gaps_oracle_sql(sf),
+        "event_gaps": """
+            SELECT user_id, event_id, ts,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+                   epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "customer_order_ranks": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+                   CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+                        AS BIGINT) AS date_rank,
+                   LEAD(o_orderdate, 1) OVER w AS next_order_date,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS spend_to_date_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
         "repetition_stats": """
             WITH w AS (
                 SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws
