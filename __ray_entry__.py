@@ -1303,6 +1303,49 @@ def _q_turn_gaps(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_order_vs_ship_by_date(sf_dir: str):
+    """FULL OUTER equi-join of two distributed pre-aggregates: daily
+    order counts vs daily shipment counts — dates present on only one
+    side survive with nulls (ship dates extend past order dates by
+    construction). Combiner-style: each block pre-counts locally, only
+    (date, partial) rows shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.joins import _direct_grouped_apply, equi_join
+
+    def counted(path: str, col: str, out: str):
+        ds = ray.data.read_parquet(os.path.join(sf_dir, path), columns=[col])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(col).aggregate([(col, "count")])
+            return pa.table(
+                {"d": g.column(col), out: g.column(f"{col}_count").cast(pa.int64())}
+            )
+
+        def total(df) -> pa.Table:
+            s = df.groupby("d", sort=False)[out].sum().reset_index()
+            return pa.table(
+                {
+                    "d": pa.Array.from_pandas(s["d"], type=pa.timestamp("us")),
+                    out: pa.Array.from_pandas(s[out], type=pa.int64()),
+                }
+            )
+
+        return _direct_grouped_apply(
+            ds.map_batches(partial, batch_format="pyarrow"), "d", total
+        )
+
+    return equi_join(
+        counted("orders.parquet", "o_orderdate", "n_orders"),
+        counted("lineitem.parquet", "l_shipdate", "n_ships"),
+        left_on="d",
+        right_on="d",
+        right_cols=["n_ships"],
+        how="outer",
+    )
+
+
 def _turn_gaps_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     return f"""
@@ -1364,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "customer_order_ranks": _q_customer_order_ranks,
         "turn_gaps": _q_turn_gaps,
+        "order_vs_ship_by_date": _q_order_vs_ship_by_date,
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
@@ -1470,6 +1514,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS spend_to_date_cents
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "order_vs_ship_by_date": """
+            WITH lo AS (
+                SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            ), ls AS (
+                SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
+                FROM lineitem GROUP BY 1
+            )
+            SELECT COALESCE(lo.d, ls.d) AS d, lo.n_orders, ls.n_ships AS r_n_ships
+            FROM lo FULL OUTER JOIN ls ON lo.d = ls.d""",
         "repetition_stats": """
             WITH w AS (
                 SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS ws

@@ -314,8 +314,12 @@ def _direct_keyed_join(
     # 128 split tasks = 16k tiny shuffle objects, scheduling-bound)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nb = resolve_buckets(shuffle_buckets)
-    if not l_refs:
+    if not l_refs and not r_refs:
         return ray.data.from_arrow_refs([_bucket_join_task.remote(kernel, 0)])
+    if not l_refs:
+        # zero left blocks: inner/left/semi/anti kernels emit empty
+        # buckets, but a FULL OUTER kernel must still see the right rows
+        nb = 1
 
     def split(refs, by, on, kc, kt):
         if not refs:
@@ -447,6 +451,10 @@ def equi_join(
     - ``"inner"`` / ``"left"`` — output is all left columns + one
       ``r_<col>`` per entry of ``right_cols``; duplicate right keys
       multiply rows (standard join semantics).
+    - ``"outer"`` — FULL OUTER: additionally keeps right rows with no
+      left match (left payload NULL) — and the LEFT key column carries
+      the COALESCEd key (``COALESCE(l.key, r.key)``) so right-only rows
+      stay addressable; mirror with the same COALESCE in oracle SQL.
     - ``"semi"`` / ``"anti"`` — output is the left rows with at least one
       / no right match, left columns only, never multiplied
       (``right_cols`` must be empty; only the right KEY ships through the
@@ -466,8 +474,8 @@ def equi_join(
 
     Partitioning assumption (as the temporal joins): all rows of one join
     key fit a worker; blocks × buckets refs stay ≲1e5."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'outer', 'semi' or 'anti'")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"{how} join carries no right payload; pass right_cols=[]")
     left, right = _ensure_arrow(left), _ensure_arrow(right)
@@ -476,12 +484,45 @@ def equi_join(
     )
 
     def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pa.Table:
+        if "_key" not in ldf.columns:
+            # a bucket fed zero left blocks arrives as a no-column frame
+            ldf = pd.DataFrame({"_key": pd.Series(dtype=object)})
         if how in ("semi", "anti"):
             rk = rdf["_key"].dropna().unique() if len(rdf) else []
             member = ldf["_key"].isin(rk) & ldf["_key"].notna()
             out = ldf[member if how == "semi" else ~member]
             return _typed_out(out.reset_index(drop=True), l_names, l_types, {})
         ren = {c: f"r_{c}" for c in r_cols}
+        if how == "outer":
+            # FULL OUTER with SQL NULL semantics: null keys never match
+            # (pandas merge would pair NaN with NaN) but BOTH sides' rows
+            # survive unmatched, and the left key column carries the
+            # coalesced key so right-only rows stay addressable.
+            rdf = rdf.rename(columns=ren) if len(rdf) else pd.DataFrame(
+                {"_key": pd.Series(dtype=object)}
+            )
+            out = pd.concat(
+                [
+                    ldf[ldf["_key"].notna()].merge(
+                        rdf[rdf["_key"].notna()], on="_key", how="outer"
+                    ),
+                    ldf[ldf["_key"].isna()],
+                    rdf[rdf["_key"].isna()],
+                ],
+                ignore_index=True,
+                sort=False,
+            )
+            for c in l_names:
+                if c not in out.columns:
+                    out[c] = None
+            out[left_on] = out[left_on].where(out[left_on].notna(), out["_key"])
+            for c in r_cols:
+                if f"r_{c}" not in out.columns:
+                    out[f"r_{c}"] = None
+            return _typed_out(
+                out, l_names, l_types,
+                {f"r_{c}": (out[f"r_{c}"], r_types[c]) for c in r_cols},
+            )
         if len(rdf):
             # drop NULL right keys pre-merge: SQL joins never match NULLs,
             # pandas merge would pair NaN with NaN
