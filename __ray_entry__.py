@@ -1303,6 +1303,22 @@ def _q_turn_gaps(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_heavy_hitter_events(sf_dir: str):
+    """Top event types by count via the Misra–Gries / SpaceSaving
+    mergeable summary (tree-merged counter sets; values never shuffle).
+    capacity=64 ≥ the column's distinct count, so the sketch degrades to
+    EXACT (max_undercount 0) and hash-compares against plain SQL."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import top_frequent
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    )
+    t = top_frequent(ds, "event_type", k=3, capacity=64)
+    return t.select(["event_type", "est_count"]).rename_columns(["event_type", "cnt"])
+
+
 def _q_order_vs_ship_by_date(sf_dir: str):
     """FULL OUTER equi-join of two distributed pre-aggregates: daily
     order counts vs daily shipment counts — dates present on only one
@@ -1408,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_ranks": _q_customer_order_ranks,
         "turn_gaps": _q_turn_gaps,
         "order_vs_ship_by_date": _q_order_vs_ship_by_date,
+        "heavy_hitter_events": _q_heavy_hitter_events,
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
@@ -1514,6 +1531,10 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS spend_to_date_cents
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "heavy_hitter_events": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+            ORDER BY cnt DESC, event_type LIMIT 3""",
         "order_vs_ship_by_date": """
             WITH lo AS (
                 SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -365,3 +365,165 @@ def hll_distinct_by(
     # the merge round at 32 reduce tasks on any cluster (the round-2
     # reduce-parallelism finding the direct exchange exists to avoid)
     return _direct_grouped_apply(partials, group_col, kernel, shuffle_buckets=None)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (SpaceSaving-equivalent mergeable summary)
+# ---------------------------------------------------------------------------
+
+
+def _mg_trim(vs: np.ndarray, cs: np.ndarray, capacity: int):
+    """Trim a counter set to ≤ ``capacity`` entries the Misra–Gries way:
+    subtract the (capacity+1)-th largest count from every counter and
+    drop the non-positive ones. Returns (values, counts, deducted) —
+    ``deducted`` is the per-counter undercount this trim can introduce
+    (0 when nothing was trimmed)."""
+    if len(cs) <= capacity:
+        return vs, cs, 0
+    t = int(np.partition(cs, len(cs) - capacity - 1)[len(cs) - capacity - 1])
+    keep = cs > t
+    return vs[keep], cs[keep] - t, t
+
+
+@ray.remote
+def _mg_merge_task(capacity: int, *tables: pa.Table) -> pa.Table:
+    """One fan-in node of the heavy-hitter tree reduce: pointwise-add the
+    children's counter sets (mergeable-summaries merge, Agarwal et al.
+    2013), trim back to capacity, accumulate the undercount bound."""
+    import pandas as pd
+
+    from .joins import _single_threaded_arrow
+
+    _single_threaded_arrow()
+    vs_parts, cs_parts, d = [], [], 0
+    vtype = None
+    for t in tables:
+        for i in range(t.num_rows):
+            row_vs = t.column("vs")[i].values
+            vtype = vtype or row_vs.type
+            vs_parts.append(row_vs.to_numpy(zero_copy_only=False))
+            cs_parts.append(t.column("cs")[i].values.to_numpy(zero_copy_only=False))
+            d += int(t.column("d")[i].as_py())
+        if vtype is None and t.num_rows == 0:
+            vtype = t.column("vs").type.value_type
+    if not vs_parts:
+        return pa.table(
+            {
+                "vs": pa.array([[]], pa.list_(vtype or pa.null())),
+                "cs": pa.array([[]], pa.list_(pa.int64())),
+                "d": pa.array([0], pa.int64()),
+            }
+        )
+    merged = (
+        pd.DataFrame({"v": np.concatenate(vs_parts), "c": np.concatenate(cs_parts)})
+        .groupby("v", sort=False)["c"]
+        .sum()
+    )
+    vs, cs, t_ded = _mg_trim(
+        merged.index.to_numpy(), merged.to_numpy(dtype=np.int64), capacity
+    )
+    return pa.table(
+        {
+            "vs": pa.array([pa.array(vs, vtype)], pa.list_(vtype)),
+            "cs": pa.array([cs.tolist()], pa.list_(pa.int64())),
+            "d": pa.array([d + t_ded], pa.int64()),
+        }
+    )
+
+
+def top_frequent(
+    ds: "object", col: str, k: int = 10, capacity: int = 256
+) -> pa.Table:
+    """Approximate top-k most frequent values of ``col`` — Misra–Gries /
+    SpaceSaving heavy hitters (Misra & Gries 1982; Metwally et al. 2005;
+    mergeable-summaries merge per Agarwal et al. 2013).
+
+    Per block: exact local counts trimmed to a ``capacity``-entry
+    counter summary; summaries merge in a log-depth task tree (never a
+    per-block driver loop), each node re-trimming to ``capacity``. The
+    driver receives ONE summary of ≤ capacity counters. Exchange volume
+    is O(blocks × capacity) counter rows — the column's values never
+    shuffle, the classic win over an exact GROUP BY for "top event types
+    over 10^10 rows".
+
+    Guarantees (true count N_v, estimate c_v, reported bound d):
+    ``c_v ≤ N_v ≤ c_v + d`` and any value with ``N_v > d`` is PRESENT in
+    the final summary; ``d ≤ n/(capacity+1)`` per merge level. With
+    ``capacity ≥`` the column's distinct count, d = 0 and the result is
+    EXACT (how the oracle-checked query runs it). NULL values are
+    excluded (SQL COUNT(*) GROUP BY parity requires no nulls or a
+    pre-filter).
+
+    Returns a driver-side Arrow table ``(col, est_count, max_undercount)``
+    sorted by est_count desc then value asc, limited to ``k`` rows."""
+    if capacity < 1 or k < 1:
+        raise ValueError("k and capacity must be >= 1")
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).filter(pc.is_valid(batch.column(col)))
+        vtype = t.column(col).type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vs": pa.array([[]], pa.list_(vtype)),
+                    "cs": pa.array([[]], pa.list_(pa.int64())),
+                    "d": pa.array([0], pa.int64()),
+                }
+            )
+        g = t.group_by(col).aggregate([(col, "count")])
+        vs = g.column(col).combine_chunks()
+        cs = g.column(f"{col}_count").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vs_np = vs.to_numpy(zero_copy_only=False)
+        vs_np, cs, d = _mg_trim(vs_np, cs.astype(np.int64), capacity)
+        return pa.table(
+            {
+                "vs": pa.array([pa.array(vs_np, vtype)], pa.list_(vtype)),
+                "cs": pa.array([cs.tolist()], pa.list_(pa.int64())),
+                "d": pa.array([d], pa.int64()),
+            }
+        )
+
+    from .joins import _block_refs, _tree_reduce
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    refs = _block_refs(partials)
+    schema = ds.schema()
+    vtype = dict(zip(schema.names, schema.types))[col] if schema else pa.null()
+    if not refs:
+        return pa.table(
+            {
+                col: pa.array([], vtype),
+                "est_count": pa.array([], pa.int64()),
+                "max_undercount": pa.array([], pa.int64()),
+            }
+        )
+    final = ray.get(
+        _tree_reduce(refs, lambda *rs: _mg_merge_task.remote(capacity, *rs))
+    )
+    if final.num_rows == 0 or len(final.column("vs")[0].values) == 0:
+        return pa.table(
+            {
+                col: pa.array([], vtype),
+                "est_count": pa.array([], pa.int64()),
+                "max_undercount": pa.array([], pa.int64()),
+            }
+        )
+    vs = final.column("vs")[0].values
+    cs = final.column("cs")[0].values.to_numpy(zero_copy_only=False)
+    d = int(final.column("d")[0].as_py())
+    # deterministic top-k: count desc, value asc
+    import pandas as pd
+
+    order = pd.DataFrame(
+        {"v": vs.to_numpy(zero_copy_only=False), "c": cs}
+    ).sort_values(["c", "v"], ascending=[False, True], kind="mergesort")
+    head = order.head(k)
+    return pa.table(
+        {
+            col: pa.Array.from_pandas(head["v"], type=vtype),
+            "est_count": pa.array(head["c"].to_numpy(dtype=np.int64), pa.int64()),
+            "max_undercount": pa.array(
+                np.full(len(head), d, dtype=np.int64), pa.int64()
+            ),
+        }
+    )

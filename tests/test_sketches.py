@@ -1,6 +1,7 @@
 """HyperLogLog distinct-count sketch: accuracy vs exact, merge invariance."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -262,3 +263,65 @@ def test_hll_distinct_by_all_null_group_emits_zero():
     assert set(out) == {"live", "dead"}
     assert out["dead"] == 0.0
     assert abs(out["live"] - 2) / 2 < 0.25
+
+
+# ---------------------------------------------------------------------------
+# top_frequent — Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_frequent_exact_when_capacity_covers_distincts():
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import top_frequent
+
+    rng = np.random.default_rng(7)
+    vals = rng.choice(["a", "b", "c", "d", None], size=5000, p=[0.4, 0.3, 0.2, 0.05, 0.05])
+    t = pa.table({"v": pa.array(vals.tolist(), pa.string())})
+    out = top_frequent(ray.data.from_arrow(t).repartition(6), "v", k=3, capacity=64)
+    s = pd.Series([x for x in vals if x is not None]).value_counts()
+    assert out.column("max_undercount").to_pylist() == [0, 0, 0]  # never trimmed → exact
+    assert out.column("v").to_pylist() == list(s.index[:3])
+    assert out.column("est_count").to_pylist() == s.tolist()[:3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_frequent_mg_guarantee_under_tight_capacity():
+    """With capacity far below the distinct count, every value whose true
+    count exceeds the reported undercount bound must be present, and each
+    estimate must lower-bound the true count within that bound."""
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import top_frequent
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few heavy ids over a long uniform tail
+    heavy = np.repeat([1, 2, 3], [4000, 2500, 1500])
+    tail = rng.integers(100, 3000, size=4000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    out = top_frequent(ray.data.from_arrow(t).repartition(8), "v", k=16, capacity=32)
+    d = out.column("max_undercount")[0].as_py()
+    true = pd.Series(vals).value_counts()
+    got = dict(zip(out.column("v").to_pylist(), out.column("est_count").to_pylist()))
+    for hh in (1, 2, 3):
+        assert true[hh] > d, "test needs true heavy hitters above the bound"
+        assert hh in got, (hh, d)
+        assert got[hh] <= true[hh] <= got[hh] + d
+    # ordering: estimates descending
+    ests = out.column("est_count").to_pylist()
+    assert ests == sorted(ests, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_frequent_empty_and_all_null():
+    import ray.data
+
+    from etl_framework_ray.stages.sketches import top_frequent
+
+    t = pa.table({"v": pa.array([None, None], pa.string())})
+    out = top_frequent(ray.data.from_arrow(t), "v", k=5, capacity=8)
+    assert out.num_rows == 0
+    assert out.column("v").type == pa.string()
