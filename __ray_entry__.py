@@ -1238,6 +1238,8 @@ def _q_customer_order_ranks(sf_dir: str):
 
     from etl_framework_ray.stages.analytic import (
         lead,
+        ntile,
+        percent_rank,
         rank,
         row_number,
         running_sum,
@@ -1262,6 +1264,8 @@ def _q_customer_order_ranks(sf_dir: str):
             rank("date_rank", on=1),
             lead("o_orderdate", "next_order_date"),
             running_sum("price_cents", "spend_to_date_cents"),
+            ntile(4, "time_quartile"),
+            percent_rank("date_pct_rank", on=1),
         ],
     )
 
@@ -1528,7 +1532,10 @@ def oracle_sql() -> dict[str, str]:
                    LEAD(o_orderdate, 1) OVER w AS next_order_date,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS UNBOUNDED PRECEDING) AS spend_to_date_cents
+                       ROWS UNBOUNDED PRECEDING) AS spend_to_date_cents,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS time_quartile,
+                   PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+                       AS date_pct_rank
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
         "heavy_hitter_events": """

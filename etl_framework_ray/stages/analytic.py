@@ -100,6 +100,41 @@ def running_sum(col: str, name: str | None = None) -> WinSpec:
     return WinSpec("running_sum", name or f"sum_{col}", col)
 
 
+def first_value(col: str, name: str | None = None) -> WinSpec:
+    """``col`` at the partition's FIRST row under the full order (SQL
+    FIRST_VALUE with the default frame)."""
+    return WinSpec("first_value", name or f"first_{col}", col)
+
+
+def last_value(col: str, name: str | None = None) -> WinSpec:
+    """``col`` at the partition's LAST row under the full order — SQL
+    LAST_VALUE with an explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING`` frame (the default RANGE frame's
+    end-at-current-peer behavior is a known footgun; mirror oracles with
+    the full frame)."""
+    return WinSpec("last_value", name or f"last_{col}", col)
+
+
+def percent_rank(name: str = "percent_rank", on: int | None = None) -> WinSpec:
+    """SQL PERCENT_RANK = (rank−1)/(partition_rows−1); 0.0 for 1-row
+    partitions. Tie depth as :func:`rank`."""
+    return WinSpec("percent_rank", name, on=on)
+
+
+def cume_dist(name: str = "cume_dist", on: int | None = None) -> WinSpec:
+    """SQL CUME_DIST = rows-≤-current-peer-group / partition_rows.
+    Tie depth as :func:`rank`."""
+    return WinSpec("cume_dist", name, on=on)
+
+
+def ntile(buckets: int, name: str = "ntile") -> WinSpec:
+    """SQL NTILE(buckets): first ``n % buckets`` buckets get one extra
+    row (standard remainder-first sizing)."""
+    if buckets < 1:
+        raise ValueError("ntile buckets must be >= 1")
+    return WinSpec("ntile", name, offset=buckets)
+
+
 def _adjacent_change(arr: pa.Array) -> np.ndarray:
     """Boolean mask, True where row i differs from row i-1 (index 0 is
     always True). Two NULLs compare EQUAL (SQL DISTINCT semantics for
@@ -166,18 +201,21 @@ def window(
         if s.name in seen:
             raise ValueError(f"duplicate/conflicting output column {s.name!r}")
         seen.add(s.name)
-        if s.kind in ("lag", "lead", "running_sum"):
+        if s.kind in ("lag", "lead", "running_sum", "first_value", "last_value"):
             if s.col not in in_types:
                 raise KeyError(f"column {s.col!r} not in dataset schema")
             out_fields[s.name] = (
                 _sum_dtype(in_types[s.col]) if s.kind == "running_sum" else in_types[s.col]
             )
-            if s.kind != "running_sum" and s.offset < 1:
+            if s.kind in ("lag", "lead") and s.offset < 1:
                 raise ValueError("lag/lead offset must be >= 1")
-        elif s.kind in ("row_number", "rank", "dense_rank"):
-            out_fields[s.name] = pa.int64()
-            if s.kind != "row_number" and s.on is not None and not (
-                1 <= s.on <= len(order_by)
+        elif s.kind in ("row_number", "rank", "dense_rank", "ntile",
+                        "percent_rank", "cume_dist"):
+            out_fields[s.name] = (
+                pa.float64() if s.kind in ("percent_rank", "cume_dist") else pa.int64()
+            )
+            if s.kind in ("rank", "dense_rank", "percent_rank", "cume_dist") and (
+                s.on is not None and not (1 <= s.on <= len(order_by))
             ):
                 raise ValueError(f"rank on= must be in 1..{len(order_by)}")
         else:  # pragma: no cover - ctor-guarded
@@ -203,6 +241,16 @@ def window(
         new_part = _adjacent_change(cols[partition_by])
         # index of each row's partition start (first row is always new)
         ps = np.maximum.accumulate(np.where(new_part, arange, 0))
+        _pe: list[np.ndarray] = []  # lazily-built partition-end index
+
+        def part_end() -> np.ndarray:
+            if not _pe:
+                is_end = np.append(new_part[1:], True)
+                _pe.append(
+                    np.minimum.accumulate(np.where(is_end, arange, n)[::-1])[::-1]
+                )
+            return _pe[0]
+
         # tie-group starts per rank depth, computed lazily and cached
         order_changes: list[np.ndarray] = []
 
@@ -218,15 +266,52 @@ def window(
         for s in specs:
             if s.kind == "row_number":
                 result[s.name] = pa.array(arange - ps + 1, type=pa.int64())
-            elif s.kind in ("rank", "dense_rank"):
+            elif s.kind in ("rank", "dense_rank", "percent_rank", "cume_dist"):
                 depth = s.on if s.on is not None else len(order_by)
                 starts = tie_starts(depth)
-                if s.kind == "rank":
-                    rs = np.maximum.accumulate(np.where(starts, arange, 0))
-                    result[s.name] = pa.array(rs - ps + 1, type=pa.int64())
-                else:
+                if s.kind == "dense_rank":
                     d = np.cumsum(starts.astype(np.int64))
                     result[s.name] = pa.array(d - d[ps] + 1, type=pa.int64())
+                elif s.kind in ("rank", "percent_rank"):
+                    rs = np.maximum.accumulate(np.where(starts, arange, 0))
+                    rk = rs - ps + 1
+                    if s.kind == "rank":
+                        result[s.name] = pa.array(rk, type=pa.int64())
+                    else:
+                        size = part_end() - ps + 1
+                        with np.errstate(invalid="ignore"):
+                            pr = np.where(
+                                size > 1, (rk - 1) / np.maximum(size - 1, 1), 0.0
+                            )
+                        result[s.name] = pa.array(pr, type=pa.float64())
+                else:  # cume_dist: end of the current PEER group / size
+                    is_peer_end = np.append(starts[1:], True)
+                    peer_end = np.minimum.accumulate(
+                        np.where(is_peer_end, arange, n)[::-1]
+                    )[::-1]
+                    size = part_end() - ps + 1
+                    result[s.name] = pa.array(
+                        (peer_end - ps + 1) / size, type=pa.float64()
+                    )
+            elif s.kind == "ntile":
+                b = s.offset
+                size = part_end() - ps + 1
+                rn = arange - ps + 1
+                q, r = size // b, size % b
+                big_span = r * (q + 1)
+                in_big = rn <= big_span
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tile = np.where(
+                        in_big,
+                        (rn - 1) // np.maximum(q + 1, 1) + 1,
+                        np.where(
+                            q > 0, r + (rn - big_span - 1) // np.maximum(q, 1) + 1, rn
+                        ),
+                    )
+                result[s.name] = pa.array(tile.astype(np.int64), type=pa.int64())
+            elif s.kind in ("first_value", "last_value"):
+                src = ps if s.kind == "first_value" else part_end()
+                result[s.name] = pc.take(cols[s.col], pa.array(src))
             elif s.kind in ("lag", "lead"):
                 off = s.offset if s.kind == "lag" else -s.offset
                 src = arange - off

@@ -9,9 +9,14 @@ import pyarrow as pa
 import pytest
 
 from etl_framework_ray.stages.analytic import (
+    cume_dist,
     dense_rank,
+    first_value,
     lag,
+    last_value,
     lead,
+    ntile,
+    percent_rank,
     rank,
     row_number,
     running_sum,
@@ -55,7 +60,14 @@ SELECT pid, o, u, v, ts, s,
        LAG(ts, 1) OVER w AS prev_ts,
        LEAD(s, 2) OVER w AS next2_s,
        SUM(v) OVER (PARTITION BY pid ORDER BY o, u
-                    ROWS UNBOUNDED PRECEDING) AS v_sum
+                    ROWS UNBOUNDED PRECEDING) AS v_sum,
+       FIRST_VALUE(s) OVER w AS fs,
+       LAST_VALUE(s) OVER (PARTITION BY pid ORDER BY o, u
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS ls,
+       PERCENT_RANK() OVER (PARTITION BY pid ORDER BY o) AS prk,
+       CUME_DIST() OVER (PARTITION BY pid ORDER BY o) AS cd,
+       CAST(NTILE(3) OVER w AS BIGINT) AS nt
 FROM t
 WINDOW w AS (PARTITION BY pid ORDER BY o, u)
 ORDER BY u
@@ -73,6 +85,11 @@ def test_window_matches_duckdb():
         lag("ts", "prev_ts"),
         lead("s", "next2_s", offset=2),
         running_sum("v", "v_sum"),
+        first_value("s", "fs"),
+        last_value("s", "ls"),
+        percent_rank("prk", on=1),
+        cume_dist("cd", on=1),
+        ntile(3, "nt"),
     ]
     out = (
         window(ray.data.from_arrow(_frame()).repartition(3), "pid", ["o", "u"], specs,
@@ -84,12 +101,13 @@ def test_window_matches_duckdb():
     con = duckdb.connect()
     con.register("t", _frame())
     exp = con.sql(_ORACLE).df()
-    for c in ("seq", "rk", "drk", "v_sum"):
+    for c in ("seq", "rk", "drk", "v_sum", "prk", "cd", "nt"):
         assert out[c].tolist() == pytest.approx(exp[c].tolist(), nan_ok=True), c
     assert out["prev_ts"].tolist() == exp["prev_ts"].tolist()
-    assert [x if pd.notna(x) else None for x in out["next2_s"]] == [
-        x if pd.notna(x) else None for x in exp["next2_s"]
-    ]
+    for c in ("next2_s", "fs", "ls"):
+        assert [x if pd.notna(x) else None for x in out[c]] == [
+            x if pd.notna(x) else None for x in exp[c]
+        ], c
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -159,3 +177,33 @@ def test_window_validation_and_descending():
     # pid=1 descending by o: o=30 is seq 1
     r = out[(out.pid == 1) & (out.o == 30)]
     assert r["seq"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_remainder_sizing_matches_duckdb():
+    import duckdb
+    import ray.data
+
+    # 7 rows, 3 buckets → sizes 3,2,2; also 2 rows, 5 buckets → each its own
+    t = pa.table(
+        {
+            "p": pa.array([1] * 7 + [2] * 2, pa.int64()),
+            "o": pa.array(list(range(7)) + [0, 1], pa.int64()),
+        }
+    )
+    out = (
+        window(ray.data.from_arrow(t).repartition(3), "p", ["o"],
+               [ntile(3, "n3"), ntile(5, "n5")], shuffle_buckets=2)
+        .to_pandas()
+        .sort_values(["p", "o"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """SELECT p, o, CAST(NTILE(3) OVER w AS BIGINT) AS n3,
+                  CAST(NTILE(5) OVER w AS BIGINT) AS n5
+           FROM t WINDOW w AS (PARTITION BY p ORDER BY o) ORDER BY p, o"""
+    ).df()
+    assert out["n3"].tolist() == exp["n3"].tolist()
+    assert out["n5"].tolist() == exp["n5"].tolist()
