@@ -1307,6 +1307,26 @@ def _q_turn_gaps(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_event_type_pivot(sf_dir: str):
+    """Event log → per-user feature row: one count column per event
+    type (stages/pivot.py — combiner pre-aggregate, narrow partials on
+    the direct exchange, wide reshape per bucket)."""
+    import ray.data
+
+    from etl_framework_ray.stages.pivot import pivot
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return pivot(
+        ds,
+        "user_id",
+        "event_type",
+        agg="count",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def _q_heavy_hitter_events(sf_dir: str):
     """Top event types by count via the Misra–Gries / SpaceSaving
     mergeable summary (tree-merged counter sets; values never shuffle).
@@ -1429,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_gaps": _q_turn_gaps,
         "order_vs_ship_by_date": _q_order_vs_ship_by_date,
         "heavy_hitter_events": _q_heavy_hitter_events,
+        "user_event_type_pivot": _q_user_event_type_pivot,
         # training-data extensions
         "text_stats": _q_text_stats,
         "top_tokens": _q_top_tokens,
@@ -1542,6 +1563,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
             ORDER BY cnt DESC, event_type LIMIT 3""",
+        "user_event_type_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+                   CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                   CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+                   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id""",
         "order_vs_ship_by_date": """
             WITH lo AS (
                 SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
