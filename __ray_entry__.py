@@ -86,6 +86,45 @@ def _cdc_replay(sf_dir: str):
     return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
 
 
+#: zone-map pushdown predicate for cdc_snapshot_pruned — the PK-range
+#: conjuncts may prune files inside the merge-on-read stack, the role
+#: conjunct is residual-only (value columns prune whole partitions at
+#: most; see state/zonemap module doc)
+_PRUNE_PREDICATE = [
+    ("conv_id", ">=", "conv-000010"),
+    ("conv_id", "<", "conv-000200"),
+    ("role", "==", "user"),
+]
+
+
+def _cdc_snapshot_pruned(sf_dir: str):
+    """Predicate-pushdown snapshot: replay the changelog, then read with
+    a zone-map predicate (state/zonemap). ``role`` is filtered but NOT
+    projected, exercising the predicate-column retention path in
+    CDCEngine.snapshot; the PK range exercises file-level pruning."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_prune_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    ds = eng.snapshot(
+        columns=["conv_id", "turn_idx", "text", "ts"], predicate=_PRUNE_PREDICATE
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return ds.map_batches(narrow, batch_format="pyarrow")
+
+
 def _cdc_rollup(sf_dir: str):
     """Gold rollup over the committed CDC snapshot (per-conversation)."""
     import tempfile
@@ -222,6 +261,22 @@ def _cdc_oracle_sql(sf_name: str) -> str:
         )
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _cdc_pruned_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        )
+        SELECT conv_id, turn_idx, text, ts
+        FROM ranked
+        WHERE rn = 1 AND op <> 'D' AND role = 'user'
+          AND conv_id >= 'conv-000010' AND conv_id < 'conv-000200'
     """
 
 
@@ -1414,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
+        "cdc_snapshot_pruned": _cdc_snapshot_pruned,
         "cdc_rollup": _cdc_rollup,
         "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
@@ -1525,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
+        "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
         "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),

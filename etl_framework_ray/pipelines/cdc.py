@@ -45,6 +45,7 @@ amortizes the full rewrite across ``compact_every`` epochs.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -60,6 +61,7 @@ from ..sources.changelog import ChangeLog, Epoch
 from ..stages.lww import lww_reduce, lww_survivor_indices
 from ..state.manifest import CommitConflict, Manifest, ManifestStore, PartitionState
 from ..state.planner import plan_evolution
+from ..state import zonemap as zone
 from ..state.schema import (
     DELETED_COL,
     LSN_COL,
@@ -105,8 +107,17 @@ _META_SCHEMA = pa.schema(
         #: set when a compacting apply also persisted the epoch's changes
         #: as a retained changefeed delta
         pa.field("retained_path", pa.string()),
+        #: JSON zone-map stats of the written file (state/zonemap shape)
+        pa.field("zone_stats", pa.string()),
     ]
 )
+
+
+def _zone_cols(lake_sch: pa.Schema) -> list[str]:
+    """Columns tracked by zone-map stats: the public (payload + ts)
+    columns — bookkeeping columns prune by file NAMING (epoch ranges),
+    not stats. Unsupported types are dropped by the stats kernel."""
+    return [n for n in lake_sch.names if n not in (LSN_COL, DELETED_COL)]
 
 #: changelog envelope columns that are not row payload
 _ENVELOPE = ("lsn", "op")
@@ -305,12 +316,13 @@ def _write_merged_stream(
     extra_sorted: pa.Table | None = None,
     epoch_id: int = 0,
     ttl: int | None = None,
-) -> tuple[int, int]:
+) -> tuple[int, int, dict]:
     """Stream the partition merge to ``tmp_path`` — one parquet row group
     per merged chunk, so compaction peak memory is O(chunk × files), not
     O(partition). Applies the tombstone-TTL filter chunk-locally. Returns
-    ``(rows_written, tombstones)``. Wide PKs / non-CDC layouts fall back
-    to the full in-memory merge."""
+    ``(rows_written, tombstones, zone_stats)`` — zone-map column stats
+    accumulated chunk-wise over exactly what was written. Wide PKs /
+    non-CDC layouts fall back to the full in-memory merge."""
 
     def chunks():
         if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(list(files)):
@@ -325,6 +337,8 @@ def _write_merged_stream(
 
     writer = None
     rows = tomb = 0
+    zcols = _zone_cols(lake_sch)
+    stats: dict | None = None
     try:
         for chunk in chunks():
             if ttl is not None:
@@ -339,12 +353,13 @@ def _write_merged_stream(
             writer.write_table(chunk)
             rows += chunk.num_rows
             tomb += pc.sum(chunk.column(DELETED_COL)).as_py() or 0
+            stats = zone.merge_stats(stats, zone.table_stats(chunk, zcols))
         if writer is None:  # empty partition still needs a valid file
             writer = pq.ParquetWriter(tmp_path, lake_sch)
     finally:
         if writer is not None:
             writer.close()
-    return rows, tomb
+    return rows, tomb, stats or {}
 
 
 def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
@@ -382,7 +397,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
             # compaction: STREAM base+deltas+changes into one base file —
             # write volume amortizes to changes + table/compact_every per
             # epoch (LSM merge-on-read), peak memory O(chunk × files)
-            rows, tombstones = _write_merged_stream(
+            rows, tombstones, zstats = _write_merged_stream(
                 tmp,
                 existing,
                 lake_sch,
@@ -406,6 +421,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
             pq.write_table(changes, tmp)
             rows = changes.num_rows
             tombstones = pc.sum(changes.column(DELETED_COL)).as_py() or 0
+            zstats = zone.table_stats(changes, _zone_cols(lake_sch))
         os.replace(tmp, path)  # idempotent under retry: deterministic content+path
 
         return pa.Table.from_pylist(
@@ -419,6 +435,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
                     "bytes": os.path.getsize(path),
                     "events": n_events,
                     "retained_path": retained_path,
+                    "zone_stats": json.dumps(zstats),
                 }
             ],
             schema=_META_SCHEMA,
@@ -532,7 +549,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     retained_path = None
     if compacting:
         # streamed fold (see make_partition_applier): O(chunk) peak memory
-        rows, tombstones = _write_merged_stream(
+        rows, tombstones, zstats = _write_merged_stream(
             tmp,
             existing,
             lake_sch,
@@ -552,6 +569,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
         pq.write_table(changes, tmp)
         rows = changes.num_rows
         tombstones = pc.sum(changes.column(DELETED_COL)).as_py() or 0
+        zstats = zone.table_stats(changes, _zone_cols(lake_sch))
     os.replace(tmp, path)
     return {
         "pid": pid,
@@ -562,6 +580,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
         "bytes": os.path.getsize(path),
         "events": n_events,
         "retained_path": retained_path,
+        "zone_stats": zstats,
     }
 
 
@@ -613,7 +632,7 @@ def _resalt_partition_task(
 
     import numpy as np
 
-    def write_part(t: pa.Table, target: int) -> tuple[str, int, int]:
+    def write_part(t: pa.Table, target: int) -> tuple[str, int, dict]:
         d = os.path.join(table_dir, "data", f"part={target:05d}", f"salt=v{version:08d}")
         os.makedirs(d, exist_ok=True)
         # 'base' prefix: read_changes must not replay migrated (old) rows
@@ -625,20 +644,26 @@ def _resalt_partition_task(
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         live = t.num_rows - (pc.sum(t.column(DELETED_COL)).as_py() or 0)
-        return path, live, t.num_rows
+        return path, live, zone.table_stats(t, _zone_cols(lake_sch))
 
     kept_mask = pid_new == pid
-    moved: dict[int, tuple[str, int]] = {}
+    moved: dict[int, tuple[str, int, dict]] = {}
     for target in np.unique(pid_new[~kept_mask]):
         sub = merged.filter(pa.array(pid_new == target))
-        path, live, _ = write_part(sub, int(target))
-        moved[int(target)] = (path, live)
+        path, live, zstats = write_part(sub, int(target))
+        moved[int(target)] = (path, live, zstats)
     kept = merged.filter(pa.array(kept_mask))
     if kept.num_rows:
-        kept_path, kept_live, _ = write_part(kept, pid)
+        kept_path, kept_live, kept_stats = write_part(kept, pid)
     else:
-        kept_path, kept_live = None, 0
-    return {"pid": pid, "kept_path": kept_path, "kept_live": kept_live, "moved": moved}
+        kept_path, kept_live, kept_stats = None, 0, {}
+    return {
+        "pid": pid,
+        "kept_path": kept_path,
+        "kept_live": kept_live,
+        "kept_stats": kept_stats,
+        "moved": moved,
+    }
 
 
 class CDCEngine:
@@ -980,6 +1005,11 @@ class CDCEngine:
         for m in metas:
             pid = int(m["pid"])
             prev = new_man.partitions.get(pid)
+            # zone-map stats ride the meta row: a dict from the direct
+            # exchange, JSON text from the sort exchange's Arrow meta table
+            zstats = m.get("zone_stats")
+            if isinstance(zstats, str):
+                zstats = json.loads(zstats) if zstats else {}
             if m["mode"] == "base" or prev is None:
                 if prev is not None:
                     self._retire_deltas(new_man, prev.files)
@@ -992,10 +1022,17 @@ class CDCEngine:
                         }
                     )
                 files = [m["path"]]  # compaction replaces the whole stack
+                fstats = {m["path"]: zstats} if zstats else {}
             else:
                 files = [*prev.files, m["path"]]  # delta appends (oldest first)
+                fstats = prev.pruned_stats()
+                if zstats:
+                    fstats[m["path"]] = zstats
             new_man.partitions[pid] = PartitionState(
-                files=files, applied_lsn=epoch.epoch_id, rows=int(m["rows_live"])
+                files=files,
+                applied_lsn=epoch.epoch_id,
+                rows=int(m["rows_live"]),
+                file_stats=fstats,
             )
         new_man.history.append(
             {
@@ -1164,7 +1201,11 @@ class CDCEngine:
                 time.sleep(poll_s)
 
     def snapshot(
-        self, pids: list[int] | None = None, columns: list[str] | None = None
+        self,
+        pids: list[int] | None = None,
+        columns: list[str] | None = None,
+        predicate: list | None = None,
+        prune_stats: dict | None = None,
     ) -> "ray.data.Dataset":
         """Committed live rows as a streaming Dataset.
 
@@ -1184,7 +1225,24 @@ class CDCEngine:
         order follows the argument): only the PK, LWW-order and tombstone
         columns plus the requested payload are decoded from parquet — a
         consumer reading 2 of 6 columns never pulls the wide ``text``
-        bytes through the merge."""
+        bytes through the merge.
+
+        ``predicate`` — conjunction of ``(column, op, value)`` triples
+        (``state/zonemap``) pushed down THREE ways before the residual
+        row filter runs inside the merge tasks:
+
+        1. partition skip via manifest zone maps (always merge-safe:
+           a merged row is a version of some file's row);
+        2. per-file skip on PRIMARY-KEY conjuncts (LWW survivorship is
+           per key, so a file whose key range excludes a key cannot
+           affect it); PK-less append tables file-skip on ANY conjunct
+           (concat, not merge);
+        3. residual ``filter`` on each merged chunk — applied before
+           the public projection, so predicate columns need not be in
+           ``columns``.
+
+        ``prune_stats`` (optional dict) receives the skip counters:
+        ``partitions_total/read``, ``files_total/read``."""
         public = self._public_schema()
         man = self.manifest
         if columns is not None:
@@ -1194,18 +1252,57 @@ class CDCEngine:
                     f"unknown or internal columns {bad}; available: {public.names}"
                 )
             public = pa.schema([public.field(c) for c in columns])
+        predicate = list(predicate or [])
+        if predicate:
+            zone.validate_predicate(predicate)
+            bad = [c[0] for c in predicate if c[0] not in self._public_schema().names]
+            if bad:
+                raise ValueError(
+                    f"predicate on unknown or internal columns {bad}; "
+                    f"available: {self._public_schema().names}"
+                )
+        key_cols = self.key_cols
+        # PK conjuncts may prune FILES under merge-on-read; on a PK-less
+        # (append-only, concat) table every conjunct is file-safe
+        file_cj, _ = (
+            zone.split_key_conjuncts(predicate, key_cols) if key_cols else (predicate, [])
+        )
         want = None if pids is None else set(pids)
-        parts = [
-            {"pid": pid, "files": man.partitions[pid].files}
-            for pid in sorted(man.partitions)
-            if man.partitions[pid].files and (want is None or pid in want)
-        ]
+        counters = {"partitions_total": 0, "partitions_read": 0,
+                    "files_total": 0, "files_read": 0}
+        parts = []
+        for pid in sorted(man.partitions):
+            ps = man.partitions[pid]
+            if not ps.files or (want is not None and pid not in want):
+                continue
+            counters["partitions_total"] += 1
+            counters["files_total"] += len(ps.files)
+            fstats = ps.pruned_stats()
+            if predicate and not zone.partition_can_match(fstats, ps.files, predicate):
+                continue
+            files = ps.files
+            if file_cj:
+                files = [f for f in files if zone.file_can_match(fstats.get(f), file_cj)]
+                if not files:
+                    continue
+            counters["partitions_read"] += 1
+            counters["files_read"] += len(files)
+            parts.append({"pid": pid, "files": files})
+        if prune_stats is not None:
+            prune_stats.update(counters)
         if not parts:
             return ray.data.from_arrow(public.empty_table())
         lake = man.schema
         if columns is not None:
-            lake = pruned_lake_schema(lake, self.key_cols, columns)
-        key_cols = self.key_cols
+            # predicate columns must survive the projected merge even when
+            # the caller's output columns don't include them
+            pred_cols = [c[0] for c in predicate if c[0] not in columns]
+            lake = pruned_lake_schema(lake, self.key_cols, columns + pred_cols)
+
+        def post(t: pa.Table) -> pa.Table:
+            if predicate:
+                t = zone.filter_table(t, predicate)
+            return t.select(public.names)
 
         def resolve(batch: pa.Table):
             _single_threaded_arrow()
@@ -1216,13 +1313,13 @@ class CDCEngine:
                     # streamed row-group merge: peak memory O(chunk × files),
                     # so partition size is not bounded by worker heap
                     for chunk in iter_merged_partition(files, lake, key_cols):
-                        out = chunk.filter(pc.invert(chunk.column(DELETED_COL)))
+                        out = post(chunk.filter(pc.invert(chunk.column(DELETED_COL))))
                         if out.num_rows:
                             yielded = True
-                            yield out.select(public.names)
+                            yield out
                 else:  # writer-staged (unsorted) or wide-PK table: full merge
                     t = merge_partition_files(files, lake, key_cols)
-                    t = t.filter(pc.invert(t.column(DELETED_COL))).select(public.names)
+                    t = post(t.filter(pc.invert(t.column(DELETED_COL))))
                     if t.num_rows:
                         yielded = True
                         yield t
@@ -1262,11 +1359,16 @@ class CDCEngine:
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, f"base-{pid:05d}-{epoch_id:012d}.parquet")
             tmp = f"{path}.tmp-{os.getpid()}"
-            rows, tombstones = _write_merged_stream(
+            rows, tombstones, zstats = _write_merged_stream(
                 tmp, files, lake, key_cols, epoch_id=epoch_id, ttl=ttl
             )
             os.replace(tmp, path)
-            return {"pid": pid, "path": path, "rows_live": rows - tombstones}
+            return {
+                "pid": pid,
+                "path": path,
+                "rows_live": rows - tombstones,
+                "zone_stats": zstats,
+            }
 
         metas = ray.get([fold.remote(pid, man.partitions[pid].files) for pid in targets])
         new_man = Manifest.from_json(man.to_json())
@@ -1274,7 +1376,10 @@ class CDCEngine:
         for m in metas:
             self._retire_deltas(new_man, new_man.partitions[m["pid"]].files)
             new_man.partitions[m["pid"]] = PartitionState(
-                files=[m["path"]], applied_lsn=epoch_id, rows=int(m["rows_live"])
+                files=[m["path"]],
+                applied_lsn=epoch_id,
+                rows=int(m["rows_live"]),
+                file_stats={m["path"]: m["zone_stats"]} if m.get("zone_stats") else {},
             )
         self._prune_retained(new_man)
         self._invalidate_retention_coverage(new_man, folded=bool(metas))
@@ -1374,13 +1479,18 @@ class CDCEngine:
                 files=[m["kept_path"]] if m["kept_path"] else [],
                 applied_lsn=man.applied_lsn,
                 rows=int(m["kept_live"]),
+                file_stats={m["kept_path"]: m["kept_stats"]}
+                if m["kept_path"] and m.get("kept_stats")
+                else {},
             )
         for m in metas:
-            for tpid, (path, live) in m["moved"].items():
+            for tpid, (path, live, zstats) in m["moved"].items():
                 st = new_man.partitions.setdefault(int(tpid), PartitionState())
                 st.files.append(path)
                 st.rows += int(live)
                 st.applied_lsn = man.applied_lsn
+                if zstats:
+                    st.file_stats[path] = zstats
         new_man.history.append(
             {
                 "op": "salt",
@@ -1469,12 +1579,16 @@ class CDCEngine:
                 st.files.append(m["kept_path"])
                 st.rows += int(m["kept_live"])
                 st.applied_lsn = man.applied_lsn
-            for tpid, (path, live) in m["moved"].items():
+                if m.get("kept_stats"):
+                    st.file_stats[m["kept_path"]] = m["kept_stats"]
+            for tpid, (path, live, zstats) in m["moved"].items():
                 st = new_man.partitions.setdefault(int(tpid), PartitionState())
                 st.files.append(path)
                 st.rows += int(live)
                 st.applied_lsn = man.applied_lsn
                 rows_moved += int(live)
+                if zstats:
+                    st.file_stats[path] = zstats
         new_man.history.append(
             {
                 "op": "reshard",
@@ -1762,8 +1876,14 @@ class CDCEngine:
         for pid in sorted(per_pid):
             if pid not in man.partitions:
                 continue
+            ps = man.partitions[pid]
+            fstats = ps.pruned_stats()
             flt = [(key0, "in", sorted(per_pid[pid]))]
-            for f in man.partitions[pid].files:
+            for f in ps.files:
+                # manifest zone maps first (no file open at all), then the
+                # parquet reader's row-group statistics prune within the file
+                if not zone.file_can_match(fstats.get(f), flt):
+                    continue
                 t = normalize_table(pq.read_table(f, filters=flt), lake)
                 if t.num_rows:
                     parts.append(t)
@@ -1774,7 +1894,10 @@ class CDCEngine:
         return t.sort_by([(k, "ascending") for k in self.key_cols])
 
     def snapshot_arrow(
-        self, version: int | None = None, as_of_ts: float | None = None
+        self,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+        predicate: list | None = None,
     ) -> pa.Table:
         """Driver-side committed state (no Ray) — for tests/oracles on small
         tables. Sorted by primary key (stable turn ordering).
@@ -1797,13 +1920,23 @@ class CDCEngine:
         man = self.manifest if version is None else self.store.load(version)
         lake = man.schema
         public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
+        if predicate:
+            zone.validate_predicate(predicate)
         parts = []
         for pid in sorted(man.partitions):
-            files = man.partitions[pid].files
+            ps = man.partitions[pid]
+            files = ps.files
             if not files:
                 continue
+            if predicate and not zone.partition_can_match(
+                ps.pruned_stats(), files, predicate
+            ):
+                continue
             t = merge_partition_files(files, lake, self.key_cols)
-            parts.append(t.filter(pc.invert(t.column(DELETED_COL))).select(public.names))
+            t = t.filter(pc.invert(t.column(DELETED_COL)))
+            if predicate:
+                t = zone.filter_table(t, predicate)
+            parts.append(t.select(public.names))
         if not parts:
             return public.empty_table()
         t = pa.concat_tables(parts)

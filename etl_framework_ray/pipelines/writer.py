@@ -39,6 +39,7 @@ from ..functions.quality import DQGate
 from ..sources.changelog import Epoch, Segment
 from ..state.manifest import Manifest, PartitionState
 from ..state.schema import DELETED_COL, LSN_COL, TableSpec
+from ..state import zonemap as zone
 from .cdc import CDCEngine, _single_threaded_arrow
 
 
@@ -157,9 +158,19 @@ class LakeWriter:
         return w
 
     # ------------------------------------------------------------------
-    def read(self) -> "ray.data.Dataset":
-        """Committed table as a Dataset in declared column order (S2)."""
-        return self.engine.snapshot()
+    def read(
+        self,
+        columns: list[str] | None = None,
+        predicate: list | None = None,
+        prune_stats: dict | None = None,
+    ) -> "ray.data.Dataset":
+        """Committed table as a Dataset in declared column order (S2).
+        ``predicate``/``columns`` push down to the manifest zone maps —
+        on a PK-less append table every conjunct skips FILES, the classic
+        time-range-over-audit-log case (see CDCEngine.snapshot)."""
+        return self.engine.snapshot(
+            columns=columns, predicate=predicate, prune_stats=prune_stats
+        )
 
     def _make_gate(self) -> DQGate:
         audit_dir = os.path.join(self.engine.table_dir, "_metrics", "dq")
@@ -219,6 +230,12 @@ class LakeWriter:
             n = pq.read_metadata(f).num_rows
             st.rows += n
             rows += n
+            # zone maps from the footer the staging task already wrote —
+            # metadata-only read, no data decode (Dataset.write_parquet
+            # cannot hand task-side stats back to the driver)
+            zstats = zone.stats_from_parquet_meta(f, names)
+            if zstats:
+                st.file_stats[f] = zstats
         new_man.history.append(
             {"op": "overwrite", "version": version, "rows": rows, **self.run_context.as_dict()}
         )
@@ -536,12 +553,12 @@ class LakeWriter:
             raise
         gate.finalize(handle)  # DQError propagates pre-commit
 
-        staged: dict[int, list[tuple[str, int]]] = {}
+        staged: dict[int, list[tuple[str, int, dict]]] = {}
         rows = 0
         for f in sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)):
             pid = int(f.split("pid=")[1].split(os.sep)[0])
             n = pq.read_metadata(f).num_rows
-            staged.setdefault(pid, []).append((f, n))
+            staged.setdefault(pid, []).append((f, n, zone.stats_from_parquet_meta(f, names)))
             rows += n
 
         for _attempt in range(10):
@@ -550,9 +567,11 @@ class LakeWriter:
             new_man.version = man.version + 1
             for pid, files in staged.items():
                 st = new_man.partitions.setdefault(pid, PartitionState())
-                for f, n in files:
+                for f, n, zstats in files:
                     st.files.append(f)
                     st.rows += n
+                    if zstats:
+                        st.file_stats[f] = zstats
             new_man.history.append(
                 {
                     "op": "append",

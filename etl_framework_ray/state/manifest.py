@@ -39,18 +39,38 @@ from .schema import schema_from_b64, schema_to_b64
 @dataclass
 class PartitionState:
     """Committed state of one hash partition: its live files and the
-    applied-LSN high-watermark (per-partition lineage, north-rule req)."""
+    applied-LSN high-watermark (per-partition lineage, north-rule req).
+
+    ``file_stats`` maps a live file path to its zone-map column stats
+    (``state/zonemap.table_stats`` shape) — the data-skipping index.
+    Optional and per-file: files written before the stats upgrade simply
+    have no entry and are never pruned."""
 
     files: list[str] = field(default_factory=list)
     applied_lsn: int = 0
     rows: int = 0  # live rows (tombstones excluded)
+    file_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {"files": self.files, "applied_lsn": self.applied_lsn, "rows": self.rows}
+        d = {"files": self.files, "applied_lsn": self.applied_lsn, "rows": self.rows}
+        if self.file_stats:
+            d["file_stats"] = self.file_stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "PartitionState":
-        return PartitionState(list(d["files"]), int(d["applied_lsn"]), int(d["rows"]))
+        return PartitionState(
+            list(d["files"]),
+            int(d["applied_lsn"]),
+            int(d["rows"]),
+            dict(d.get("file_stats", {})),
+        )
+
+    def pruned_stats(self) -> dict:
+        """file_stats restricted to live files (stats of retired files
+        drop out when a new PartitionState is committed)."""
+        live = set(self.files)
+        return {p: s for p, s in self.file_stats.items() if p in live}
 
 
 @dataclass

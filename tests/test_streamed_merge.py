@@ -115,14 +115,21 @@ def test_streamed_with_extra_changes(tmp_path):
 def test_write_merged_stream_file_and_ttl(tmp_path):
     files = _synth_partition(tmp_path)
     out = str(tmp_path / "folded.parquet")
-    rows, tomb = _write_merged_stream(out, files, LAKE, KEYS)
+    rows, tomb, zstats = _write_merged_stream(out, files, LAKE, KEYS)
     folded = pq.read_table(out)
     assert folded.equals(merge_partition_files(files, LAKE, KEYS))
     assert rows == folded.num_rows
     assert tomb == folded.column("_deleted").to_pandas().sum()
+    # zone stats accumulated over the streamed chunks describe the file
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(folded.column("turn_idx"))
+    assert zstats["turn_idx"]["min"] == float(mm["min"].as_py())
+    assert zstats["turn_idx"]["max"] == float(mm["max"].as_py())
+    assert zstats["turn_idx"]["rows"] == folded.num_rows
     # TTL drops old tombstones chunk-locally, identically to the full path
     out2 = str(tmp_path / "folded_ttl.parquet")
-    rows2, tomb2 = _write_merged_stream(out2, files, LAKE, KEYS, epoch_id=3000, ttl=500)
+    rows2, tomb2, _ = _write_merged_stream(out2, files, LAKE, KEYS, epoch_id=3000, ttl=500)
     folded2 = pq.read_table(out2)
     assert rows2 < rows and tomb2 < tomb
     import pyarrow.compute as pc

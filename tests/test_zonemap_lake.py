@@ -1,0 +1,224 @@
+"""Zone-map data skipping end-to-end: stats capture on every lake write
+path, predicate-pushdown snapshots, and the skip counters that prove
+files/partitions were never opened."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.pipelines.writer import LakeWriter
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+from etl_framework_ray.state import zonemap as zm
+from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+EVENTS_SPEC = TableSpec(  # PK-less append-only log table
+    name="evlog",
+    columns=(
+        ColumnSpec("event_id", pa.int64(), nullable=False),
+        ColumnSpec("kind", pa.string()),
+        ColumnSpec("ts", pa.timestamp("us")),
+    ),
+)
+
+
+def _replayed(tmp_path, compact_every=4, **gen_kw):
+    cfg = GenConfig(
+        num_events=gen_kw.pop("num_events", 4000),
+        num_conversations=gen_kw.pop("num_conversations", 40),
+        seed=gen_kw.pop("seed", 77),
+        delete_frac=gen_kw.pop("delete_frac", 0.05),
+        **gen_kw,
+    )
+    log = generate_changelog(cfg)
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=8, compact_every=compact_every)
+    eng.replay(clog, segments_per_epoch=2)
+    return eng
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_records_stats_for_every_live_file(tmp_path):
+    eng = _replayed(tmp_path)
+    man = eng.manifest
+    checked = 0
+    for pid, ps in man.partitions.items():
+        for f in ps.files:
+            st = ps.file_stats.get(f)
+            assert st, f"no zone stats for {f}"
+            # spot-check the bounds against the actual file
+            t = pq.read_table(f, columns=["conv_id", "turn_idx", "ts"])
+            mm = pc.min_max(t.column("turn_idx"))
+            assert st["turn_idx"]["min"] == float(mm["min"].as_py())
+            assert st["turn_idx"]["max"] == float(mm["max"].as_py())
+            assert st["conv_id"]["min"] == pc.min(t.column("conv_id")).as_py()
+            assert st["turn_idx"]["rows"] == t.num_rows
+            checked += 1
+    assert checked > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_and_maintenance_compact_keep_stats(tmp_path):
+    eng = _replayed(tmp_path, compact_every=2)  # force mid-replay compactions
+    for ps in eng.manifest.partitions.values():
+        for f in ps.files:
+            assert f in ps.file_stats
+    eng.compact()  # maintenance fold: one base file per partition
+    for ps in eng.manifest.partitions.values():
+        assert len(ps.files) == 1
+        assert ps.files[0] in ps.file_stats
+        # stats carry no retired-file residue
+        assert set(ps.file_stats) == set(ps.files)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_predicate_matches_post_filter(tmp_path):
+    eng = _replayed(tmp_path)
+    full = eng.snapshot_arrow()
+    mid_ts = sorted(full.column("ts").to_pylist())[len(full) // 2]
+    for predicate in (
+        [("ts", ">=", mid_ts)],
+        [("role", "==", "user")],
+        [("role", "==", "user"), ("ts", "<", mid_ts)],
+        [("turn_idx", "in", [0, 1, 2])],
+    ):
+        got = pa.concat_tables(
+            [ray.get(r) for r in eng.snapshot(predicate=predicate).to_arrow_refs()]
+        ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        exp = zm.filter_table(full, predicate)
+        assert got.equals(exp), predicate
+        # snapshot_arrow takes the same predicate
+        assert eng.snapshot_arrow(predicate=predicate).equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_with_column_projection(tmp_path):
+    eng = _replayed(tmp_path)
+    full = eng.snapshot_arrow()
+    mid_ts = sorted(full.column("ts").to_pylist())[len(full) // 2]
+    # predicate on ts while projecting text only: ts need not be projected
+    got = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in eng.snapshot(
+                columns=["conv_id", "turn_idx", "text"], predicate=[("ts", ">=", mid_ts)]
+            ).to_arrow_refs()
+        ]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    exp = zm.filter_table(full, [("ts", ">=", mid_ts)]).select(
+        ["conv_id", "turn_idx", "text"]
+    )
+    assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pk_conjuncts_prune_partitions_and_files(tmp_path):
+    # few conversations over many partitions: conv_id bounds per partition
+    # are tight enough that a single-key predicate skips most of the table
+    eng = _replayed(tmp_path, num_conversations=6, num_events=3000, compact_every=100)
+    full = eng.snapshot_arrow()
+    conv = full.column("conv_id")[0].as_py()
+    counters: dict = {}
+    got = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in eng.snapshot(
+                predicate=[("conv_id", "==", conv)], prune_stats=counters
+            ).to_arrow_refs()
+        ]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    exp = full.filter(pc.equal(full.column("conv_id"), conv))
+    assert got.equals(exp)
+    assert counters["partitions_read"] < counters["partitions_total"]
+    assert counters["files_read"] < counters["files_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_table_file_skipping_by_time_range(tmp_path):
+    w = LakeWriter(str(tmp_path / "evlog"), EVENTS_SPEC, num_partitions=4)
+    day1 = dt.datetime(2026, 1, 1)
+    day2 = dt.datetime(2026, 2, 1)
+
+    def batch(day, lo):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(lo, lo + 50), pa.int64()),
+                    "kind": ["a" if i % 2 else "b" for i in range(50)],
+                    "ts": pa.array(
+                        [day + dt.timedelta(minutes=i) for i in range(50)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+
+    w.append(batch(day1, 0))
+    w.append(batch(day2, 50))
+    counters: dict = {}
+    got = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in w.read(
+                predicate=[("ts", ">=", day2)], prune_stats=counters
+            ).to_arrow_refs()
+        ]
+    )
+    assert sorted(got.column("event_id").to_pylist()) == list(range(50, 100))
+    # PK-less table: every conjunct prunes FILES — the day-1 files were
+    # never opened even where both days share a partition
+    assert counters["files_read"] < counters["files_total"]
+    assert counters["files_read"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overwrite_records_footer_stats(tmp_path):
+    w = LakeWriter(str(tmp_path / "evlog"), EVENTS_SPEC, num_partitions=4)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(100), pa.int64()),
+            "kind": ["x"] * 100,
+            "ts": pa.array(
+                [dt.datetime(2026, 3, 1) + dt.timedelta(hours=i) for i in range(100)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    w.overwrite(ray.data.from_arrow(t))
+    man = w.engine.manifest
+    seen = 0
+    for ps in man.partitions.values():
+        for f in ps.files:
+            st = ps.file_stats.get(f)
+            assert st and "event_id" in st and "ts" in st
+            seen += 1
+    assert seen > 0
+    # and those stats drive pruning on read
+    counters: dict = {}
+    out = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in w.read(
+                predicate=[("event_id", ">", 1000)], prune_stats=counters
+            ).to_arrow_refs()
+        ]
+    )
+    assert out.num_rows == 0
+    assert counters["partitions_read"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_validation_errors(tmp_path):
+    eng = _replayed(tmp_path, num_events=500, num_conversations=5)
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        eng.snapshot(predicate=[("ts", "like", "x")])
+    with pytest.raises(ValueError, match="unknown or internal"):
+        eng.snapshot(predicate=[("_lsn", ">", 0)])
+    with pytest.raises(ValueError, match="unknown or internal"):
+        eng.snapshot(predicate=[("nope", ">", 0)])
