@@ -52,6 +52,30 @@ def _view_kinds() -> dict:
 _VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation")
 
 
+def _parse_where(exprs: list | None) -> list | None:
+    """``COL:OP:VALUE`` strings -> zone-map predicate conjuncts. VALUE is
+    parsed as JSON when possible (numbers, quoted strings, lists for
+    ``in``), else taken verbatim as a string; null-test ops take no
+    value."""
+    if not exprs:
+        return None
+    out = []
+    for e in exprs:
+        parts = e.split(":", 2)
+        if len(parts) >= 2 and parts[1] in ("is_null", "not_null"):
+            out.append((parts[0], parts[1]))
+            continue
+        if len(parts) != 3:
+            raise SystemExit(f"--where expects COL:OP:VALUE, got {e!r}")
+        col, op, raw = parts
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        out.append((col, op, val))
+    return out
+
+
 def _init_ray(num_cpus: int | None) -> bool:
     """Returns True if THIS call started Ray (the caller then owns the
     shutdown; an embedding process's session is left untouched)."""
@@ -132,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
         help="time travel: newest version committed at or before this unix time",
     )
     ps.add_argument("--out", default=None)
+    ps.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        metavar="COL:OP:VALUE",
+        help="zone-map pushdown conjunct, repeatable (ops: == != < <= > >= "
+        "in is_null not_null; VALUE parses as JSON, else a string; e.g. "
+        "--where 'ts:>=:\"2025-01-03\"' --where conv_id:==:conv-000007)",
+    )
 
     pp = sub.add_parser("publish", help="resumable partitioned export")
     pp.add_argument("--table", required=True)
@@ -352,7 +385,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "snapshot":
         eng = _existing_engine(args.table)
-        t = eng.snapshot_arrow(version=args.version, as_of_ts=args.as_of_ts)
+        t = eng.snapshot_arrow(
+            version=args.version, as_of_ts=args.as_of_ts, predicate=_parse_where(args.where)
+        )
         if args.out:
             import pyarrow.parquet as pq
 

@@ -1623,9 +1623,14 @@ class CDCEngine:
         the files: every listed file exists with a readable footer, file
         names carry this partition's id and epoch LSNs at or below the
         watermarks, and every row's ``hash(conv_id) % P`` routes to the
-        partition holding it (salt fanout respected). Driver-side checks
-        cover the manifest itself: schema decodes, partition ids are in
-        range, per-partition watermarks never exceed the table watermark.
+        partition holding it (salt fanout respected). Files with zone-map
+        stats in the manifest get a containment audit: the recorded
+        bounds must CONTAIN the file's actual values (too-tight bounds
+        are the failure that makes predicate pushdown silently drop
+        rows), and the recorded row/null counts must match exactly.
+        Driver-side checks cover the manifest itself: schema decodes,
+        partition ids are in range, per-partition watermarks never
+        exceed the table watermark.
 
         Returns ``{"ok": bool, "partitions_checked": n, "files_checked":
         n, "issues": [str, ...]}``; read-only, safe on a live table (a
@@ -1654,6 +1659,12 @@ class CDCEngine:
             if not (0 <= int(pid) < int(man.num_partitions)):
                 issues.append(f"partition id {pid} out of range 0..{man.num_partitions - 1}")
             n_files += len(part.files)
+            stale = set(part.file_stats) - set(part.files)
+            if stale:
+                issues.append(
+                    f"pid {pid}: zone stats for retired files "
+                    f"{sorted(os.path.basename(s) for s in stale)[:3]}"
+                )
             refs.append(
                 _fsck_partition_task.remote(
                     int(pid),
@@ -1663,6 +1674,7 @@ class CDCEngine:
                     int(man.num_partitions),
                     salt_json,
                     key0,
+                    part.pruned_stats(),
                 )
             )
         for r in ray.get(refs):
@@ -1954,12 +1966,14 @@ def _fsck_partition_task(
     num_partitions: int,
     salt_json: dict,
     key0: str,
+    file_stats: dict | None = None,
 ) -> list:
     """Audit ONE partition's manifest-listed files: existence, readable
     footer, row-level partition routing (every row's leading-key hash
-    must map to this pid — directly or via its salt fanout), and
-    per-file epoch LSNs at or below the watermarks. Returns a list of
-    issue strings."""
+    must map to this pid — directly or via its salt fanout), per-file
+    epoch LSNs at or below the watermarks, and zone-map stats
+    containment (see :meth:`CDCEngine.fsck`). Returns a list of issue
+    strings."""
     import numpy as np
 
     _single_threaded_arrow()
@@ -1975,6 +1989,7 @@ def _fsck_partition_task(
         except Exception as e:  # unreadable footer/corruption
             issues.append(f"pid {pid}: unreadable {base}: {e}")
             continue
+        issues.extend(_fsck_zone_stats(pid, f, (file_stats or {}).get(f)))
         m = cdc_name.match(base)
         if m:
             epoch_id = int(m.group(3))
@@ -2010,4 +2025,49 @@ def _fsck_partition_task(
                         break  # one example per partition is enough
     if part_lsn > table_lsn:
         issues.append(f"pid {pid}: partition watermark {part_lsn} above table {table_lsn}")
+    return issues
+
+
+def _fsck_zone_stats(pid: int, path: str, recorded: dict | None) -> list:
+    """Containment audit of one file's manifest zone-map stats: recorded
+    bounds must contain the file's recomputed bounds (equal
+    canonicalization on both sides, so ``recorded_min <= actual_min`` and
+    ``actual_max <= recorded_max`` is exact, not heuristic), and row/null
+    counts must match. Reads tracked columns ONE at a time to bound
+    memory. Files without stats pass (written before the upgrade)."""
+    if not recorded:
+        return []
+    issues: list[str] = []
+    base = os.path.basename(path)
+    for col, s in recorded.items():
+        try:
+            keys = {"f", "min", "max", "open", "nulls", "rows"}
+            if not keys <= set(s):
+                issues.append(f"pid {pid}: {base} zone stats for {col!r} malformed")
+                continue
+            try:
+                t = pq.read_table(path, columns=[col])
+            except (KeyError, pa.ArrowInvalid, OSError):
+                issues.append(f"pid {pid}: {base} zone stats for absent column {col!r}")
+                continue
+            actual = zone.table_stats(t, [col]).get(col)
+            if actual is None:  # untrackable type cannot have honest stats
+                issues.append(f"pid {pid}: {base} zone stats for untracked type {col!r}")
+                continue
+            if s["rows"] != actual["rows"] or s["nulls"] != actual["nulls"]:
+                issues.append(
+                    f"pid {pid}: {base} zone stats {col!r} counts "
+                    f"{s['rows']}/{s['nulls']} != actual {actual['rows']}/{actual['nulls']}"
+                )
+            if actual["min"] is not None:
+                if s["min"] is None or s["min"] > actual["min"]:
+                    issues.append(f"pid {pid}: {base} zone stats {col!r} min too tight")
+                if not s["open"] and (
+                    s["max"] is None
+                    or (actual["max"] is not None and s["max"] < actual["max"])
+                    or (actual["max"] is None and actual["open"])
+                ):
+                    issues.append(f"pid {pid}: {base} zone stats {col!r} max too tight")
+        except Exception as e:  # audit must report, never crash
+            issues.append(f"pid {pid}: {base} zone stats {col!r} audit error: {e}")
     return issues

@@ -353,12 +353,21 @@ def predicate_mask(t: pa.Table, conjuncts) -> pa.ChunkedArray | pa.Array:
         else:
             v = c[2]
             if op == "in":
-                m = pc.is_in(arr, value_set=pa.array(list(v), arr.type))
+                try:
+                    vs = pa.array(list(v), arr.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    vs = pa.array(list(v)).cast(arr.type)  # e.g. ISO str → ts
+                m = pc.is_in(arr, value_set=vs)
             else:
                 fn = {"==": pc.equal, "=": pc.equal, "!=": pc.not_equal,
                       "<": pc.less, "<=": pc.less_equal,
                       ">": pc.greater, ">=": pc.greater_equal}[op]
-                m = fn(arr, pa.scalar(v, arr.type) if not isinstance(v, pa.Scalar) else v)
+                if not isinstance(v, pa.Scalar):
+                    try:
+                        v = pa.scalar(v, arr.type)
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        v = pa.scalar(v).cast(arr.type)  # e.g. ISO str → ts
+                m = fn(arr, v)
             m = pc.fill_null(m, False)
         mask = m if mask is None else pc.and_(mask, m)
     if mask is None:

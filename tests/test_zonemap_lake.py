@@ -222,3 +222,41 @@ def test_predicate_validation_errors(tmp_path):
         eng.snapshot(predicate=[("_lsn", ">", 0)])
     with pytest.raises(ValueError, match="unknown or internal"):
         eng.snapshot(predicate=[("nope", ">", 0)])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fsck_audits_zone_stats(tmp_path):
+    """fsck passes on honest stats; flags too-tight bounds (the failure
+    mode that silently drops rows from pushdown reads), count drift, and
+    stats for retired files."""
+    eng = _replayed(tmp_path, num_events=1500, num_conversations=15)
+    r = eng.fsck()
+    assert r["ok"], r["issues"]
+
+    man = eng.manifest
+    pid = next(p for p in sorted(man.partitions) if man.partitions[p].file_stats)
+    ps = man.partitions[pid]
+    f = next(f for f in ps.files if f in ps.file_stats and "turn_idx" in ps.file_stats[f])
+
+    # too-tight min: recorded min above the file's actual minimum
+    good = dict(ps.file_stats[f]["turn_idx"])
+    ps.file_stats[f]["turn_idx"] = {**good, "min": good["max"] + 1, "max": good["max"] + 2}
+    r = eng.fsck()
+    assert not r["ok"] and any("min too tight" in i for i in r["issues"]), r["issues"]
+
+    # count drift
+    ps.file_stats[f]["turn_idx"] = {**good, "rows": good["rows"] + 5}
+    r = eng.fsck()
+    assert any("counts" in i for i in r["issues"]), r["issues"]
+
+    # stats naming a column the file does not have
+    ps.file_stats[f]["turn_idx"] = good  # restore
+    ps.file_stats[f]["no_such_col"] = dict(good)
+    r = eng.fsck()
+    assert any("absent column" in i for i in r["issues"]), r["issues"]
+
+    # stats for a file not in the live list are flagged driver-side
+    del ps.file_stats[f]["no_such_col"]
+    ps.file_stats[f + ".retired"] = {"turn_idx": good}
+    r = eng.fsck()
+    assert any("retired" in i for i in r["issues"]), r["issues"]
