@@ -179,6 +179,16 @@ def main(argv: list[str] | None = None) -> int:
 
     pk = sub.add_parser("compact", help="fold all multi-file partitions (OPTIMIZE)")
     pk.add_argument("--table", required=True)
+    pk.add_argument(
+        "--sort-by",
+        action="append",
+        default=None,
+        metavar="COL",
+        help="cluster a PK-less (append) table by these columns, repeatable; "
+        "rewrites each partition sorted + split into --target-file-rows files "
+        "with tight zone-map ranges",
+    )
+    pk.add_argument("--target-file-rows", type=int, default=None)
 
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
@@ -414,7 +424,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)
-        print(json.dumps({"partitions_compacted": eng.compact()}))
+        n = eng.compact(sort_by=args.sort_by, target_file_rows=args.target_file_rows)
+        print(json.dumps({"partitions_compacted": n, "sort_by": args.sort_by}))
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum(grace_s=args.grace_s)}))

@@ -1330,19 +1330,46 @@ class CDCEngine:
             resolve, batch_format="pyarrow", batch_size=1
         )
 
-    def compact(self, pids: list[int] | None = None) -> int:
+    def compact(
+        self,
+        pids: list[int] | None = None,
+        sort_by: list[str] | None = None,
+        target_file_rows: int | None = None,
+    ) -> int:
         """Maintenance compaction (the OPTIMIZE analogue): fold every
         multi-file partition's base+delta stack into one base file,
         regardless of the automatic threshold. One Ray task per partition;
         commits a single new manifest version. Returns partitions folded.
 
+        ``sort_by`` — clustering for PK-LESS (append-only) tables: each
+        partition is rewritten sorted by these columns and split into
+        files of at most ``target_file_rows`` rows (default: one file),
+        so consecutive files carry tight, non-overlapping zone-map ranges
+        and a range predicate on the cluster column skips whole files
+        (``state/zonemap``: append tables file-skip on ANY conjunct).
+        This is the OPTIMIZE-with-clustering pass an append-heavy audit
+        table needs after many small commits. Refused on keyed tables —
+        their base files must stay PK-sorted for the streamed k-way LWW
+        merge; re-clustering them would break merge-on-read.
+
         Note: folding ends the changefeed availability for watermarks older
         than the current applied LSN (read_changes documents the horizon)."""
         man = self.manifest
+        if sort_by:
+            if self.key_cols:
+                raise ValueError(
+                    "sort_by clustering is only for PK-less (append-only) tables: "
+                    "a keyed table's base files must stay PK-sorted for the "
+                    "streamed LWW merge"
+                )
+            bad = [c for c in sort_by if c not in man.schema.names]
+            if bad:
+                raise ValueError(f"sort_by columns {bad} not in schema {man.schema.names}")
+        min_files = 0 if sort_by else 1  # re-cluster even single-file partitions
         targets = [
             pid
             for pid in sorted(man.partitions)
-            if (pids is None or pid in pids) and len(man.partitions[pid].files) > 1
+            if (pids is None or pid in pids) and len(man.partitions[pid].files) > min_files
         ]
         if not targets:
             return 0
@@ -1351,12 +1378,31 @@ class CDCEngine:
         table_dir = self.table_dir
         epoch_id = man.applied_lsn
         ttl = self.tombstone_ttl_lsn
+        zcols = _zone_cols(lake)
 
         @ray.remote
         def fold(pid: int, files: list[str]) -> dict:
             _single_threaded_arrow()
             out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"epoch={epoch_id:012d}")
             os.makedirs(out_dir, exist_ok=True)
+            if sort_by:
+                # cluster pass: concat (PK-less), sort, split into bounded
+                # files — each slice zero-copies the sorted table
+                t = merge_partition_files(files, lake, key_cols)
+                t = t.sort_by([(c, "ascending") for c in sort_by])
+                per = int(target_file_rows or max(t.num_rows, 1))
+                out = []
+                for i in range(max(1, -(-t.num_rows // per))):
+                    sub = t.slice(i * per, per)
+                    path = os.path.join(
+                        out_dir, f"sorted-{pid:05d}-{epoch_id:012d}-c{i:04d}.parquet"
+                    )
+                    tmp = f"{path}.tmp-{os.getpid()}"
+                    pq.write_table(sub, tmp)
+                    os.replace(tmp, path)
+                    live = sub.num_rows - (pc.sum(sub.column(DELETED_COL)).as_py() or 0)
+                    out.append((path, int(live), zone.table_stats(sub, zcols)))
+                return {"pid": pid, "files": out}
             path = os.path.join(out_dir, f"base-{pid:05d}-{epoch_id:012d}.parquet")
             tmp = f"{path}.tmp-{os.getpid()}"
             rows, tombstones, zstats = _write_merged_stream(
@@ -1365,9 +1411,7 @@ class CDCEngine:
             os.replace(tmp, path)
             return {
                 "pid": pid,
-                "path": path,
-                "rows_live": rows - tombstones,
-                "zone_stats": zstats,
+                "files": [(path, int(rows - tombstones), zstats)],
             }
 
         metas = ray.get([fold.remote(pid, man.partitions[pid].files) for pid in targets])
@@ -1376,15 +1420,21 @@ class CDCEngine:
         for m in metas:
             self._retire_deltas(new_man, new_man.partitions[m["pid"]].files)
             new_man.partitions[m["pid"]] = PartitionState(
-                files=[m["path"]],
+                files=[p for p, _, _ in m["files"]],
                 applied_lsn=epoch_id,
-                rows=int(m["rows_live"]),
-                file_stats={m["path"]: m["zone_stats"]} if m.get("zone_stats") else {},
+                rows=sum(live for _, live, _ in m["files"]),
+                file_stats={p: z for p, _, z in m["files"] if z},
             )
         self._prune_retained(new_man)
         self._invalidate_retention_coverage(new_man, folded=bool(metas))
         new_man.history.append(
-            {"op": "compact", "version": new_man.version, "partitions": len(metas), **self.run_context.as_dict()}
+            {
+                "op": "compact",
+                "version": new_man.version,
+                "partitions": len(metas),
+                **({"sort_by": list(sort_by)} if sort_by else {}),
+                **self.run_context.as_dict(),
+            }
         )
         self.store.commit(new_man)
         self.manifest = new_man

@@ -172,6 +172,17 @@ class LakeWriter:
             columns=columns, predicate=predicate, prune_stats=prune_stats
         )
 
+    def optimize(
+        self, sort_by: list[str] | None = None, target_file_rows: int | None = None
+    ) -> int:
+        """Coalesce small files (OPTIMIZE). With ``sort_by`` on a PK-less
+        append table, each partition is rewritten clustered by those
+        columns and split into ``target_file_rows``-bounded files whose
+        tight zone-map ranges make range predicates skip whole files —
+        run it after many small appends to an audit/time-series table.
+        Returns partitions rewritten."""
+        return self.engine.compact(sort_by=sort_by, target_file_rows=target_file_rows)
+
     def _make_gate(self) -> DQGate:
         audit_dir = os.path.join(self.engine.table_dir, "_metrics", "dq")
         return DQGate(self.spec, audit_dir, self.run_context)

@@ -260,3 +260,67 @@ def test_fsck_audits_zone_stats(tmp_path):
     ps.file_stats[f + ".retired"] = {"turn_idx": good}
     r = eng.fsck()
     assert any("retired" in i for i in r["issues"]), r["issues"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optimize_sort_by_clusters_and_skips(tmp_path):
+    """OPTIMIZE with clustering: interleaved appends leave every file
+    spanning the whole ts range (no skipping possible); optimize(sort_by=
+    ["ts"], target_file_rows=...) rewrites each partition time-sorted into
+    bounded files whose tight ranges let a time predicate skip files."""
+    w = LakeWriter(str(tmp_path / "evlog"), EVENTS_SPEC, num_partitions=2)
+    base = dt.datetime(2026, 1, 1)
+
+    def batch(offsets, lo):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(lo, lo + len(offsets)), pa.int64()),
+                    "kind": ["k"] * len(offsets),
+                    "ts": pa.array(
+                        [base + dt.timedelta(hours=h) for h in offsets],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+
+    # three appends, each spanning the FULL time range (interleaved hours)
+    for j in range(3):
+        w.append(batch(range(j, 300, 3), j * 100))
+    full = pa.concat_tables([ray.get(r) for r in w.read().to_arrow_refs()])
+    cutoff = base + dt.timedelta(hours=250)
+    pred = [("ts", ">=", cutoff)]
+    before: dict = {}
+    pa.concat_tables([ray.get(r) for r in w.read(predicate=pred, prune_stats=before).to_arrow_refs()])
+    assert before["files_read"] == before["files_total"]  # interleaved: no skips
+
+    n = w.optimize(sort_by=["ts"], target_file_rows=40)
+    assert n == 2
+    after: dict = {}
+    got = pa.concat_tables(
+        [ray.get(r) for r in w.read(predicate=pred, prune_stats=after).to_arrow_refs()]
+    )
+    exp = full.filter(pc.greater_equal(full.column("ts"), pa.scalar(cutoff, pa.timestamp("us"))))
+    assert sorted(got.column("event_id").to_pylist()) == sorted(exp.column("event_id").to_pylist())
+    # clustered layout: most files skip; every partition now has multiple
+    # bounded files with recorded stats
+    assert after["files_total"] > 2
+    assert after["files_read"] < after["files_total"] // 2
+    man = w.engine.manifest
+    for ps in man.partitions.values():
+        assert len(ps.files) >= 2
+        assert set(ps.files) == set(ps.file_stats)
+    # full read is unchanged by the rewrite
+    again = pa.concat_tables([ray.get(r) for r in w.read().to_arrow_refs()])
+    assert sorted(again.column("event_id").to_pylist()) == sorted(
+        full.column("event_id").to_pylist()
+    )
+    # audit passes on the clustered layout
+    r = w.engine.fsck()
+    assert r["ok"], r["issues"]
+
+    # keyed tables refuse clustering (base files must stay PK-sorted)
+    eng = _replayed(tmp_path, num_events=400, num_conversations=4)
+    with pytest.raises(ValueError, match="PK-less"):
+        eng.compact(sort_by=["ts"])
