@@ -671,6 +671,102 @@ def run_membench() -> dict:
     return {"metric": "memcpy scaling (BASELINE.md VM bandwidth ceiling)", **out}
 
 
+def run_prune() -> dict:
+    """Zone-map pruning read win on an append-heavy audit table: N
+    interleaved appends (every file spans the full time range — worst
+    case for skipping), then a 1%-tail time-range read measured (a)
+    full scan, (b) predicate before OPTIMIZE (residual filter only — no
+    file skips possible), (c) predicate after ``optimize(sort_by=[ts])``
+    re-clusters each partition into bounded sorted files. The skip
+    counters are in the artifact: at 100 TB the same layout change turns
+    a full-table scan into opening ~1% of files. One JSON line; numbers
+    land in BASELINE.md."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _bench_session()
+    from etl_framework_ray.pipelines.writer import LakeWriter
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    n_rows = int(os.environ.get("BENCH_PRUNE_ROWS", "4000000"))
+    n_appends = 8
+    per = n_rows // n_appends
+    spec = TableSpec(
+        name="audit",
+        columns=(
+            ColumnSpec("event_id", pa.int64()),
+            ColumnSpec("ts", pa.timestamp("us")),
+            ColumnSpec("note", pa.string()),
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="etl_prune_bench_")
+    w = LakeWriter(os.path.join(work, "audit"), spec, num_partitions=32)
+    base = datetime.datetime(2026, 1, 1)
+    base_us = np.datetime64("2026-01-01T00:00:00", "us")
+    t0 = time.perf_counter()
+    for j in range(n_appends):
+        ids = np.arange(j * per, (j + 1) * per, dtype=np.int64)
+        # row i of append j lands at second i*n_appends+j: every append
+        # spans the WHOLE range (interleaved), zero natural clustering
+        secs = (np.arange(per, dtype=np.int64) * n_appends + j) * 1_000_000
+        w.append(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "event_id": pa.array(ids),
+                        "ts": pa.array(base_us + secs.astype("timedelta64[us]")),
+                        "note": pa.array(
+                            np.char.add("payload-note-", ids.astype("U12"))
+                        ),
+                    }
+                )
+            )
+        )
+    build_sec = time.perf_counter() - t0
+
+    span_s = n_rows * 1  # one row per second across the interleave
+    cutoff = base + datetime.timedelta(seconds=int(span_s * 0.99))
+    pred = [("ts", ">=", cutoff)]
+
+    def timed_read(predicate):
+        c: dict = {}
+        t0 = time.perf_counter()
+        n = w.read(predicate=predicate, prune_stats=c if predicate else None).count()
+        return round(time.perf_counter() - t0, 3), n, c
+
+    full_sec, full_rows, _ = timed_read(None)
+    before_sec, before_rows, before_c = timed_read(pred)
+    # ~16 files per partition so the per-file time ranges are selective
+    # (at 100 TB the same ratio holds with multi-GB files — what matters
+    # is files-per-partition, not absolute file size)
+    t0 = time.perf_counter()
+    w.optimize(sort_by=["ts"], target_file_rows=max(n_rows // (32 * 16), 1))
+    optimize_sec = time.perf_counter() - t0
+    after_sec, after_rows, after_c = timed_read(pred)
+    assert before_rows == after_rows, (before_rows, after_rows)
+
+    out = {
+        "metric": "zone_map_pruning (1% time-range read over interleaved appends)",
+        "rows": n_rows,
+        "num_cpus": NUM_CPUS,
+        "build_sec": round(build_sec, 2),
+        "optimize_sec": round(optimize_sec, 2),
+        "full_scan_sec": full_sec,
+        "predicate_before_optimize_sec": before_sec,
+        "predicate_after_optimize_sec": after_sec,
+        "speedup_vs_full": round(full_sec / after_sec, 2) if after_sec else None,
+        "matched_rows": after_rows,
+        "files_before": before_c,
+        "files_after": after_c,
+        "ambient_membench_gbps": _ambient_gbps(),
+    }
+    ray.shutdown()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def run_dedup_scale() -> dict:
     """Scale-tier proof for the dedup family (round-3 verdict #7): a 10×
     synthetic corpus (BENCH_DEDUP_DOCS, default 50 000 docs/vectors = 10×
@@ -813,5 +909,7 @@ if __name__ == "__main__":
         print(json.dumps(run_ivm()))
     elif "--chain-soak" in sys.argv:
         print(json.dumps(run_chain_soak()))
+    elif "--prune" in sys.argv:
+        print(json.dumps(run_prune()))
     else:
         print(json.dumps(run_bench()))
