@@ -190,6 +190,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     pk.add_argument("--target-file-rows", type=int, default=None)
 
+    pb = sub.add_parser(
+        "ingest-binlog",
+        help="convert Debezium-style JSONL change envelopes into changelog segments",
+    )
+    pb.add_argument("--src", required=True, help="directory of .jsonl feed files")
+    pb.add_argument("--out", required=True, help="changelog directory to write")
+    pb.add_argument(
+        "--column",
+        action="append",
+        required=True,
+        metavar="NAME:TYPE",
+        help="payload column, repeatable (types: string large_string int32 "
+        "int64 float64 bool timestamp date)",
+    )
+    pb.add_argument("--ts-field", default="ts_ms")
+    pb.add_argument(
+        "--dense-lsn",
+        action="store_true",
+        help="assign LSNs by (file order, line order) instead of source.lsn",
+    )
+    pb.add_argument("--segment-rows", type=int, default=500_000)
+
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
     pv.add_argument(
@@ -426,6 +448,47 @@ def main(argv: list[str] | None = None) -> int:
         eng = _existing_engine(args.table)
         n = eng.compact(sort_by=args.sort_by, target_file_rows=args.target_file_rows)
         print(json.dumps({"partitions_compacted": n, "sort_by": args.sort_by}))
+    elif args.cmd == "ingest-binlog":
+        import pyarrow as pa
+
+        started_ray = _init_ray(args.num_cpus)
+        from .sources.binlog_json import convert_json_binlog
+
+        types = {
+            "string": pa.string(),
+            "large_string": pa.large_string(),
+            "int32": pa.int32(),
+            "int64": pa.int64(),
+            "float64": pa.float64(),
+            "bool": pa.bool_(),
+            "timestamp": pa.timestamp("us"),
+            "date": pa.date32(),
+        }
+        fields = []
+        for c in args.column:
+            name, _, ty = c.partition(":")
+            if ty not in types:
+                raise SystemExit(f"--column type {ty!r} not in {sorted(types)}")
+            fields.append(pa.field(name, types[ty]))
+        clog = convert_json_binlog(
+            args.src,
+            args.out,
+            pa.schema(fields),
+            ts_field=args.ts_field,
+            lsn_field=None if args.dense_lsn else "lsn",
+            segment_rows=args.segment_rows,
+        )
+        segs = clog.segments()
+        print(
+            json.dumps(
+                {
+                    "segments": len(segs),
+                    "min_lsn": segs[0].min_lsn if segs else None,
+                    "max_lsn": segs[-1].max_lsn if segs else None,
+                    "out": args.out,
+                }
+            )
+        )
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum(grace_s=args.grace_s)}))

@@ -1,0 +1,149 @@
+"""Debezium-style JSON binlog ingestion: envelope parsing, op mapping,
+delete row images from ``before``, LSN assignment, and replay parity
+with the engine's own changelog format."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray
+
+from etl_framework_ray.pipelines.cdc import CDCEngine
+from etl_framework_ray.sources.binlog_json import convert_json_binlog
+from etl_framework_ray.sources.changelog import ChangeLog
+from etl_framework_ray.sources.generator import (
+    GenConfig,
+    generate_changelog,
+    oracle_replay,
+)
+
+PAYLOAD = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.large_string()),
+        pa.field("tool", pa.string()),
+    ]
+)
+
+
+def _to_envelopes(log: pa.Table, with_lsn: bool) -> list[str]:
+    """Engine changelog rows -> Debezium-ish JSONL lines."""
+    lines = []
+    for r in log.to_pylist():
+        row = {k: r[k] for k in PAYLOAD.names}
+        ts_ms = int(r["ts"].timestamp() * 1000)
+        if r["op"] == "D":
+            env = {"op": "d", "ts_ms": ts_ms, "before": row, "after": None}
+        else:
+            env = {
+                "op": "c" if r["op"] == "I" else "u",
+                "ts_ms": ts_ms,
+                "before": None,
+                "after": row,
+            }
+        if with_lsn:
+            env["source"] = {"lsn": r["lsn"]}
+        lines.append(json.dumps(env))
+    return lines
+
+
+def _write_feed(tmp_path, log: pa.Table, with_lsn: bool, n_files: int = 3) -> str:
+    src = tmp_path / "feed"
+    src.mkdir()
+    lines = _to_envelopes(log, with_lsn)
+    per = -(-len(lines) // n_files)
+    for i in range(n_files):
+        chunk = lines[i * per : (i + 1) * per]
+        (src / f"feed-{i:03d}.jsonl").write_text("\n".join(chunk) + "\n")
+    return str(src)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("with_lsn", [True, False], ids=["source-lsn", "dense-lsn"])
+def test_binlog_replay_matches_oracle(tmp_path, with_lsn):
+    """Full path: JSONL envelopes -> segments -> replay -> committed
+    state equals the plain-Python oracle replay of the original log."""
+    log = generate_changelog(
+        GenConfig(num_events=3000, num_conversations=30, seed=11, delete_frac=0.08)
+    )
+    src = _write_feed(tmp_path, log, with_lsn)
+    clog = convert_json_binlog(
+        src,
+        str(tmp_path / "clog"),
+        PAYLOAD,
+        lsn_field="lsn" if with_lsn else None,
+        segment_rows=500,
+    )
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    eng.replay(clog, segments_per_epoch=2)
+    got = eng.snapshot_arrow()
+    # dense LSNs preserve file/line order == the original lsn order, and
+    # the generator's ts tie-break keys match either way
+    oracle = oracle_replay(log)
+    assert got.num_rows == len(oracle)
+    for r in got.to_pylist():
+        o = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == o["text"] and r["role"] == o["role"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_segment_shape_and_ops(tmp_path):
+    env = [
+        {"op": "c", "ts_ms": 1000, "before": None,
+         "after": {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "hi", "tool": None},
+         "source": {"lsn": 1}},
+        {"op": "u", "ts_ms": 2000, "before": None,
+         "after": {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "hi2", "tool": None},
+         "source": {"lsn": 2}},
+        {"op": "d", "ts_ms": 3000,
+         "before": {"conv_id": "a", "turn_idx": 0, "role": None, "text": None, "tool": None},
+         "after": None, "source": {"lsn": 3}},
+        {"op": "r", "ts_ms": 1500, "before": None,
+         "after": {"conv_id": "b", "turn_idx": 1, "role": "assistant", "text": "yo", "tool": "t"},
+         "source": {"lsn": 4}},
+    ]
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "f.jsonl").write_text("\n".join(json.dumps(e) for e in env))
+    clog = convert_json_binlog(str(src), str(tmp_path / "clog"), PAYLOAD)
+    segs = clog.segments()
+    assert len(segs) == 1 and segs[0].min_lsn == 1 and segs[0].max_lsn == 4
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(segs[0].path)
+    by_lsn = {r["lsn"]: r for r in t.to_pylist()}
+    assert [by_lsn[i]["op"] for i in (1, 2, 3, 4)] == ["I", "U", "D", "I"]
+    assert by_lsn[3]["conv_id"] == "a" and by_lsn[3]["text"] is None  # before image
+    assert by_lsn[1]["ts"].timestamp() == 1.0  # ms -> us
+    # replay lands the delete: only conv b survives
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    eng.replay(clog, segments_per_epoch=1)
+    snap = eng.snapshot_arrow()
+    assert snap.column("conv_id").to_pylist() == ["b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_error_paths(tmp_path):
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "bad_op.jsonl").write_text(
+        json.dumps({"op": "x", "ts_ms": 1, "before": None,
+                    "after": {"conv_id": "a", "turn_idx": 0, "role": None,
+                              "text": None, "tool": None},
+                    "source": {"lsn": 1}})
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        convert_json_binlog(str(src), str(tmp_path / "c1"), PAYLOAD)
+    (src / "bad_op.jsonl").unlink()
+    dup = {"op": "c", "ts_ms": 1, "before": None,
+           "after": {"conv_id": "a", "turn_idx": 0, "role": None, "text": None,
+                     "tool": None},
+           "source": {"lsn": 7}}
+    (src / "dup.jsonl").write_text(json.dumps(dup) + "\n" + json.dumps(dup))
+    with pytest.raises(Exception, match="duplicate source"):
+        convert_json_binlog(str(src), str(tmp_path / "c2"), PAYLOAD)
+    with pytest.raises(FileNotFoundError):
+        convert_json_binlog(str(tmp_path / "nope_dir_missing"), str(tmp_path / "c3"), PAYLOAD)
