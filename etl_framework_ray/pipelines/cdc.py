@@ -180,17 +180,28 @@ def pruned_lake_schema(
 
 
 def merge_partition_files(
-    files: list[str], lake_sch: pa.Schema, key_cols: tuple[str, ...]
+    files: list[str],
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    conjuncts=None,
 ) -> pa.Table:
     """Merge-on-read of one partition: concat its base+delta files (oldest
     first), LWW-reduce on the key. Output is key-sorted and still carries
-    tombstones + bookkeeping columns."""
+    tombstones + bookkeeping columns. ``conjuncts`` skip row groups by
+    footer stats (PK-only under merge — see _iter_file_chunks)."""
     if not files:
         return lake_sch.empty_table()
 
     def read_pruned(f: str) -> pa.Table:
-        have = set(pq.read_schema(f).names)
-        return pq.read_table(f, columns=[n for n in lake_sch.names if n in have])
+        pf = pq.ParquetFile(f)
+        have = set(pf.schema_arrow.names)
+        cols = [n for n in lake_sch.names if n in have]
+        keep = zone.qualifying_row_groups(pf, conjuncts) if conjuncts else None
+        if keep == []:
+            return pf.schema_arrow.empty_table().select(cols)
+        if keep is None:
+            return pf.read(columns=cols)
+        return pf.read_row_groups(keep, columns=cols)
 
     tables = [normalize_table(read_pruned(f), lake_sch) for f in files]
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
@@ -215,14 +226,21 @@ def _is_cdc_sorted(files: list[str]) -> bool:
     return all(_CDC_FILE_RE.match(os.path.basename(f)) for f in files)
 
 
-def _iter_file_chunks(path: str, lake_sch: pa.Schema, chunk_rows: int):
+def _iter_file_chunks(path: str, lake_sch: pa.Schema, chunk_rows: int, conjuncts=None):
     # prune at the read: only the target schema's columns leave the file —
     # with a pruned lake schema (column-projected snapshot) the payload
-    # columns a consumer didn't ask for are never decoded
+    # columns a consumer didn't ask for are never decoded. ``conjuncts``
+    # (PK-only under merge-on-read — zonemap.qualifying_row_groups doc)
+    # additionally skip row groups by footer stats: base files are
+    # PK-SORTED, so their groups carry tight disjoint key ranges and a
+    # key predicate decodes only the matching slice of each file
     pf = pq.ParquetFile(path)
     have = set(pf.schema_arrow.names)
     cols = [n for n in lake_sch.names if n in have]
-    for rb in pf.iter_batches(batch_size=chunk_rows, columns=cols):
+    keep = zone.qualifying_row_groups(pf, conjuncts) if conjuncts else None
+    if keep == []:
+        return
+    for rb in pf.iter_batches(batch_size=chunk_rows, columns=cols, row_groups=keep):
         yield normalize_table(pa.Table.from_batches([rb]), lake_sch)
 
 
@@ -241,6 +259,7 @@ def iter_merged_partition(
     key_cols: tuple[str, ...],
     extra_sorted: pa.Table | None = None,
     chunk_rows: int = 65536,
+    conjuncts=None,
 ):
     """STREAMING merge-on-read of one partition: k-way chunk merge over the
     key-sorted base/delta files (plus an optional in-memory key-sorted
@@ -262,7 +281,7 @@ def iter_merged_partition(
 
     order_cols = _lww_order(lake_sch, LSN_COL)
     two = len(key_cols) == 2
-    sources = [_iter_file_chunks(f, lake_sch, chunk_rows) for f in files]
+    sources = [_iter_file_chunks(f, lake_sch, chunk_rows, conjuncts) for f in files]
     if extra_sorted is not None and extra_sorted.num_rows:
         sources.append(_iter_table_chunks(normalize_table(extra_sorted, lake_sch), chunk_rows))
     bufs: list[pa.Table | None] = [None] * len(sources)
@@ -1228,7 +1247,7 @@ class CDCEngine:
         bytes through the merge.
 
         ``predicate`` — conjunction of ``(column, op, value)`` triples
-        (``state/zonemap``) pushed down THREE ways before the residual
+        (``state/zonemap``) pushed down FOUR ways before the residual
         row filter runs inside the merge tasks:
 
         1. partition skip via manifest zone maps (always merge-safe:
@@ -1237,7 +1256,11 @@ class CDCEngine:
            per key, so a file whose key range excludes a key cannot
            affect it); PK-less append tables file-skip on ANY conjunct
            (concat, not merge);
-        3. residual ``filter`` on each merged chunk — applied before
+        3. per-ROW-GROUP skip inside each opened file via footer stats
+           (same conjunct-safety rule as 2) — base files are PK-sorted,
+           so a key predicate decodes only the matching slice of the
+           base even on a hash-spread table where tiers 1-2 can't bite;
+        4. residual ``filter`` on each merged chunk — applied before
            the public projection, so predicate columns need not be in
            ``columns``.
 
@@ -1311,14 +1334,20 @@ class CDCEngine:
                 files = list(row["files"])
                 if key_cols and len(key_cols) <= 2 and _is_cdc_sorted(files):
                     # streamed row-group merge: peak memory O(chunk × files),
-                    # so partition size is not bounded by worker heap
-                    for chunk in iter_merged_partition(files, lake, key_cols):
+                    # so partition size is not bounded by worker heap.
+                    # file_cj (PK conjuncts; ANY conjunct on PK-less) also
+                    # skips row groups INSIDE each file via footer stats —
+                    # base files are PK-sorted, so a key predicate decodes
+                    # only the matching slice of the base
+                    for chunk in iter_merged_partition(
+                        files, lake, key_cols, conjuncts=file_cj
+                    ):
                         out = post(chunk.filter(pc.invert(chunk.column(DELETED_COL))))
                         if out.num_rows:
                             yielded = True
                             yield out
                 else:  # writer-staged (unsorted) or wide-PK table: full merge
-                    t = merge_partition_files(files, lake, key_cols)
+                    t = merge_partition_files(files, lake, key_cols, conjuncts=file_cj)
                     t = post(t.filter(pc.invert(t.column(DELETED_COL))))
                     if t.num_rows:
                         yielded = True
@@ -1984,6 +2013,13 @@ class CDCEngine:
         public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
         if predicate:
             zone.validate_predicate(predicate)
+        # row-group-level pushdown, same safety rule as snapshot(): PK
+        # conjuncts under merge, any conjunct on a PK-less concat table
+        file_cj = (
+            zone.split_key_conjuncts(predicate or [], self.key_cols)[0]
+            if self.key_cols
+            else list(predicate or [])
+        )
         parts = []
         for pid in sorted(man.partitions):
             ps = man.partitions[pid]
@@ -1994,7 +2030,7 @@ class CDCEngine:
                 ps.pruned_stats(), files, predicate
             ):
                 continue
-            t = merge_partition_files(files, lake, self.key_cols)
+            t = merge_partition_files(files, lake, self.key_cols, conjuncts=file_cj)
             t = t.filter(pc.invert(t.column(DELETED_COL)))
             if predicate:
                 t = zone.filter_table(t, predicate)

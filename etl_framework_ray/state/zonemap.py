@@ -162,6 +162,43 @@ def table_stats(t: pa.Table, columns: list[str] | None = None) -> dict:
     return out
 
 
+def _one_row_group_stats(g, sch: pa.Schema, want: set | None) -> dict:
+    """Zone-map stats of ONE parquet row group from footer metadata.
+    Conservative: a column whose stats the group omits or marks inexact
+    (beyond the repairable truncated-string max) is absent."""
+    chunk: dict[str, dict] = {}
+    for ci in range(g.num_columns):
+        col = g.column(ci)
+        name = col.path_in_schema
+        if "." in name or (want is not None and name not in want):
+            continue  # nested leaf or untracked
+        if name not in sch.names:
+            continue
+        fam = _family(sch.field(name).type)
+        if fam is None:
+            continue
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            continue
+        mn, mx = st.min, st.max
+        exact_min = getattr(st, "is_min_value_exact", True)
+        exact_max = getattr(st, "is_max_value_exact", True)
+        if exact_min is False or (exact_max is False and fam != "str"):
+            continue  # truncated bounds we cannot repair
+        try:
+            lo, hi, open_max = _encode_bounds(mn, mx, sch.field(name).type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError, ValueError):
+            continue
+        if exact_max is False:
+            # string max truncated by the parquet writer: bump repairs it
+            hi = _bump_string(str(mx))
+            open_max = hi is None
+        nulls = st.null_count if st.has_null_count else 0
+        chunk[name] = {"f": fam, "min": lo, "max": hi, "open": bool(open_max),
+                      "nulls": int(nulls), "rows": int(g.num_rows)}
+    return chunk
+
+
 def stats_from_parquet_meta(path: str, columns: list[str] | None = None) -> dict:
     """Zone-map stats recovered from a parquet FOOTER (no data read) —
     for files written by ``Dataset.write_parquet`` where the writing task
@@ -178,40 +215,32 @@ def stats_from_parquet_meta(path: str, columns: list[str] | None = None) -> dict
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         total += g.num_rows
-        chunk: dict[str, dict] = {}
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            name = col.path_in_schema
-            if "." in name or (want is not None and name not in want):
-                continue  # nested leaf or untracked
-            if name not in sch.names:
-                continue
-            fam = _family(sch.field(name).type)
-            if fam is None:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            mn, mx = st.min, st.max
-            exact_min = getattr(st, "is_min_value_exact", True)
-            exact_max = getattr(st, "is_max_value_exact", True)
-            if exact_min is False or (exact_max is False and fam != "str"):
-                continue  # truncated bounds we cannot repair
-            try:
-                lo, hi, open_max = _encode_bounds(mn, mx, sch.field(name).type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError, ValueError):
-                continue
-            if exact_max is False:
-                # string max truncated by the parquet writer: bump repairs it
-                hi = _bump_string(str(mx))
-                open_max = hi is None
-            nulls = st.null_count if st.has_null_count else 0
-            chunk[name] = {"f": fam, "min": lo, "max": hi, "open": bool(open_max),
-                          "nulls": int(nulls), "rows": int(g.num_rows)}
-        acc = merge_stats(acc, chunk)
+        acc = merge_stats(acc, _one_row_group_stats(g, sch, want))
     out = acc or {}
     # row-count coverage check: stats must describe every row
     return {k: v for k, v in out.items() if v["rows"] == total}
+
+
+def qualifying_row_groups(pf, conjuncts) -> list | None:
+    """Row-group indices of an open ``pyarrow.parquet.ParquetFile`` whose
+    footer stats could satisfy the conjunction — the within-file tier of
+    data skipping (file → row group → residual row filter). Returns None
+    when nothing can be skipped (read everything, no index list overhead).
+    Safety mirrors file-level pruning: callers must pass PRIMARY-KEY
+    conjuncts under merge-on-read (any key-column conjunct partitions
+    rows consistently by key, so a skipped group cannot hold a different
+    version of a surviving key), or any conjuncts on concat (append)
+    reads."""
+    if not conjuncts:
+        return None
+    md = pf.metadata
+    sch = pf.schema_arrow
+    keep = [
+        rg
+        for rg in range(md.num_row_groups)
+        if file_can_match(_one_row_group_stats(md.row_group(rg), sch, None) or None, conjuncts)
+    ]
+    return keep if len(keep) < md.num_row_groups else None
 
 
 def merge_stats(acc: dict | None, more: dict) -> dict:

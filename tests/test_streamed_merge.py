@@ -178,3 +178,66 @@ def test_streamed_merge_property(tmp_path_factory, n_files, rows_per_file, n_con
         iter_merged_partition(files, LAKE, KEYS, chunk_rows=chunk_rows)
     )
     assert streamed.equals(full)
+
+
+def _multi_group_partition(tmp_path):
+    """One PK-sorted base with many small row groups + one delta, so
+    footer stats give tight per-group key ranges."""
+    rows = []
+    lsn = 0
+    for c in range(40):
+        for t in range(10):
+            lsn += 1
+            rows.append((f"conv-{c:04d}", t, f"v{lsn}", lsn * 1000, lsn, False))
+    base = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.large_string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "_lsn": pa.array([r[4] for r in rows], pa.int64()),
+            "_deleted": pa.array([False] * len(rows), pa.bool_()),
+        }
+    )
+    bp = str(tmp_path / "base-00000-000000000400.parquet")
+    pq.write_table(base, bp, row_group_size=50)  # 8 groups, 5 convs each
+    # a delta updating one conv (sorted, LWW-reduced by construction)
+    drows = [(f"conv-0007", t, f"new{t}", 10_000_000 + t, 500 + t, False) for t in range(10)]
+    dp = _file(tmp_path, "delta-00000-000000000500.parquet", drows)
+    return [bp, dp]
+
+
+def test_row_group_pushdown_streamed(tmp_path):
+    """PK conjuncts skip row groups inside the PK-sorted base; the
+    surviving rows for matching keys are identical to a full merge."""
+    files = _multi_group_partition(tmp_path)
+    cj = [("conv_id", "==", "conv-0007")]
+    full = merge_partition_files(files, LAKE, KEYS)
+    import pyarrow.compute as pc
+
+    exact = full.filter(pc.equal(full.column("conv_id"), "conv-0007"))
+    pushed = pa.concat_tables(list(iter_merged_partition(files, LAKE, KEYS, conjuncts=cj)))
+    # pushdown decoded FAR fewer rows than the table holds...
+    assert pushed.num_rows < full.num_rows // 4
+    # ...but every row of the matching key survives, LWW-correct (delta wins)
+    got = pushed.filter(pc.equal(pushed.column("conv_id"), "conv-0007"))
+    assert got.equals(exact)
+    assert set(got.column("text").to_pylist()) == {f"new{t}" for t in range(10)}
+
+    # full-merge path honors the same conjuncts
+    pushed2 = merge_partition_files(files, LAKE, KEYS, conjuncts=cj)
+    got2 = pushed2.filter(pc.equal(pushed2.column("conv_id"), "conv-0007"))
+    assert got2.equals(exact)
+    assert pushed2.num_rows < full.num_rows // 4
+
+    # a conjunct matching nothing yields nothing from the streamed path
+    none = list(iter_merged_partition(files, LAKE, KEYS, conjuncts=[("conv_id", "==", "zz")]))
+    assert sum(t.num_rows for t in none) == 0
+
+    # range conjunct: correct superset semantics (residual filtering is
+    # the caller's job), full coverage of the matching range
+    rng_cj = [("conv_id", ">=", "conv-0030")]
+    pushed3 = pa.concat_tables(list(iter_merged_partition(files, LAKE, KEYS, conjuncts=rng_cj)))
+    exact3 = full.filter(pc.greater_equal(full.column("conv_id"), "conv-0030"))
+    got3 = pushed3.filter(pc.greater_equal(pushed3.column("conv_id"), "conv-0030"))
+    assert got3.equals(exact3)
