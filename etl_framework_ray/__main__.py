@@ -76,6 +76,31 @@ def _parse_where(exprs: list | None) -> list | None:
     return out
 
 
+def _payload_schema_from_args(columns: list | None):
+    """``NAME:TYPE`` strings -> payload schema for the binlog converter."""
+    import pyarrow as pa
+
+    types = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+        "timestamp": pa.timestamp("us"),
+        "date": pa.date32(),
+    }
+    fields = []
+    for c in columns or []:
+        name, _, ty = c.partition(":")
+        if ty not in types:
+            raise SystemExit(f"--column type {ty!r} not in {sorted(types)}")
+        fields.append(pa.field(name, types[ty]))
+    if not fields:
+        raise SystemExit("at least one --column NAME:TYPE is required")
+    return pa.schema(fields)
+
+
 def _init_ray(num_cpus: int | None) -> bool:
     """Returns True if THIS call started Ray (the caller then owns the
     shutdown; an embedding process's session is left untouched)."""
@@ -125,6 +150,20 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--epoch-segments", type=int, default=4)
     pt.add_argument("--pipelined", action="store_true")
     pt.add_argument("--poll-s", type=float, default=2.0)
+    pt.add_argument(
+        "--binlog-src",
+        default=None,
+        help="follow a directory of Debezium-style JSONL envelopes: each poll "
+        "converts newly arrived feed files into --log segments (marker-"
+        "tracked, crash-idempotent) before applying; requires --column",
+    )
+    pt.add_argument(
+        "--column",
+        action="append",
+        default=None,
+        metavar="NAME:TYPE",
+        help="payload column for --binlog-src (same syntax as ingest-binlog)",
+    )
     pt.add_argument("--max-polls", type=int, default=None)
     pt.add_argument(
         "--idle-stop", type=int, default=None,
@@ -396,8 +435,16 @@ def main(argv: list[str] | None = None) -> int:
                 if kind == "curation":
                     kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
                 views.append(kinds[kind](eng, vdir, **kw))
+        if args.binlog_src:
+            from .sources.binlog_json import JsonBinlogFeed
+
+            src = JsonBinlogFeed(
+                args.binlog_src, args.log, _payload_schema_from_args(args.column)
+            )
+        else:
+            src = ChangeLog(args.log)
         stats = eng.tail(
-            ChangeLog(args.log),
+            src,
             poll_s=args.poll_s,
             max_polls=args.max_polls,
             idle_stop_polls=args.idle_stop,
@@ -449,31 +496,13 @@ def main(argv: list[str] | None = None) -> int:
         n = eng.compact(sort_by=args.sort_by, target_file_rows=args.target_file_rows)
         print(json.dumps({"partitions_compacted": n, "sort_by": args.sort_by}))
     elif args.cmd == "ingest-binlog":
-        import pyarrow as pa
-
         started_ray = _init_ray(args.num_cpus)
         from .sources.binlog_json import convert_json_binlog
 
-        types = {
-            "string": pa.string(),
-            "large_string": pa.large_string(),
-            "int32": pa.int32(),
-            "int64": pa.int64(),
-            "float64": pa.float64(),
-            "bool": pa.bool_(),
-            "timestamp": pa.timestamp("us"),
-            "date": pa.date32(),
-        }
-        fields = []
-        for c in args.column:
-            name, _, ty = c.partition(":")
-            if ty not in types:
-                raise SystemExit(f"--column type {ty!r} not in {sorted(types)}")
-            fields.append(pa.field(name, types[ty]))
         clog = convert_json_binlog(
             args.src,
             args.out,
-            pa.schema(fields),
+            _payload_schema_from_args(args.column),
             ts_field=args.ts_field,
             lsn_field=None if args.dense_lsn else "lsn",
             segment_rows=args.segment_rows,

@@ -90,9 +90,14 @@ def _convert_file_task(
     lsn_field: str | None,
     lsn_start: int,
     segment_rows: int,
+    claimed: dict,
 ) -> list:
     """Convert ONE JSONL file into changelog segment(s). Returns the
-    written paths. Arrow kernels only — no per-row Python."""
+    written paths. Arrow kernels only — no per-row Python. ``claimed``
+    maps already-written segment basenames to their source feed file:
+    a target claimed by ANOTHER source fails loud (LSN overlap), while
+    an unclaimed existing target is this source's own crash residue and
+    is deterministically overwritten."""
     pa.set_cpu_count(1)  # the task pool owns parallelism, not Arrow
     from pyarrow import json as pj
 
@@ -146,22 +151,42 @@ def _convert_file_task(
         )
     out = pa.table(cols)
 
+    src_base = os.path.basename(path)
     paths = []
     for start in range(0, out.num_rows, segment_rows):
         chunk = out.slice(start, segment_rows)
         lo = pc.min(chunk.column("lsn")).as_py()
         hi = pc.max(chunk.column("lsn")).as_py()
         seg = os.path.join(out_dir, f"segment-{lo:012d}-{hi:012d}.parquet")
-        if os.path.exists(seg):
+        owner = claimed.get(os.path.basename(seg))
+        if owner is not None and owner != src_base:
             raise FileExistsError(
-                f"segment LSN range collision at {os.path.basename(seg)} "
-                f"(source LSNs overlap across input files?)"
+                f"segment LSN range collision: {os.path.basename(seg)} already "
+                f"written from feed file {owner!r} (source LSNs overlap across "
+                "input files?)"
             )
+        # an UNCLAIMED existing file is crash residue of THIS source's
+        # previous attempt — the conversion is deterministic, so the
+        # overwrite is a byte-identical no-op
         tmp = f"{seg}.tmp-{os.getpid()}"
         pq.write_table(chunk, tmp)
         os.replace(tmp, seg)
         paths.append(seg)
     return paths
+
+
+def _load_markers(out_dir: str) -> dict:
+    """{feed basename: marker dict} for already-converted feed files."""
+    import json
+
+    d = os.path.join(out_dir, "_ingested")
+    marks = {}
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    marks[name[: -len(".json")]] = json.load(f)
+    return marks
 
 
 def convert_json_binlog(
@@ -171,34 +196,53 @@ def convert_json_binlog(
     ts_field: str = "ts_ms",
     lsn_field: str | None = "lsn",
     segment_rows: int = 500_000,
+    allow_empty: bool = False,
 ) -> ChangeLog:
     """Convert JSONL change envelopes under ``src`` (a directory or an
     explicit file list) into a :class:`ChangeLog` at ``out_dir``. One
-    Ray task per input file; idempotent per segment name (re-running on
-    the same input fails loud on collision rather than double-writing).
-    Returns the ChangeLog, ready for ``CDCEngine.replay``."""
+    Ray task per input file. INCREMENTAL and crash-idempotent: each
+    converted feed file gets a marker under ``out_dir/_ingested/`` (the
+    commit point — written AFTER its segments land atomically), already-
+    marked files are skipped, and a rerun after a crash deterministically
+    rewrites the unmarked file's segments. Dense LSN assignment
+    continues from the highest previously assigned LSN, so a growing
+    feed keeps a monotone log. Returns the ChangeLog, ready for
+    ``CDCEngine.replay`` / ``tail``."""
+    import json
+
     if isinstance(src, str):
         files = sorted(
             os.path.join(src, f)
-            for f in os.listdir(src)
+            for f in (os.listdir(src) if os.path.isdir(src) else [])
             if f.endswith((".jsonl", ".json", ".ndjson"))
         )
+        if not os.path.isdir(src) and not allow_empty:
+            raise FileNotFoundError(f"feed directory {src!r} does not exist")
     else:
         files = list(src)
-    if not files:
-        raise FileNotFoundError(f"no JSONL files under {src!r}")
     clog = ChangeLog(out_dir)  # creates out_dir
+    marks = _load_markers(out_dir)
+    todo = [f for f in files if os.path.basename(f) not in marks]
+    if not files and not allow_empty:
+        raise FileNotFoundError(f"no JSONL files under {src!r}")
+    if not todo:
+        return clog
 
-    starts = [0] * len(files)
+    starts = [0] * len(todo)
     if lsn_field is None:
-        counts = ray.get([_count_lines_task.remote(f) for f in files])
-        acc = 1  # engine LSNs are 1-based
+        counts = ray.get([_count_lines_task.remote(f) for f in todo])
+        acc = 1 + max((int(m.get("lsn_end", 0)) for m in marks.values()), default=0)
         for i, c in enumerate(counts):
             starts[i] = acc
             acc += c
 
+    claimed = {
+        os.path.basename(seg): src_base
+        for src_base, m in marks.items()
+        for seg in m.get("segments", [])
+    }
     ser = payload_schema.serialize().to_pybytes()
-    ray.get(
+    results = ray.get(
         [
             _convert_file_task.remote(
                 f,
@@ -208,8 +252,72 @@ def convert_json_binlog(
                 lsn_field,
                 starts[i],
                 segment_rows,
+                claimed,
             )
-            for i, f in enumerate(files)
+            for i, f in enumerate(todo)
         ]
     )
+    # cross-file overlap WITHIN this batch (two unmarked files claiming
+    # the same range) cannot be caught per-task — detect before marking,
+    # so a rerun keeps failing loud instead of silently marking one
+    seen: dict[str, str] = dict(claimed)
+    for f, paths in zip(todo, results):
+        for p in paths:
+            b = os.path.basename(p)
+            if b in seen and seen[b] != os.path.basename(f):
+                raise FileExistsError(
+                    f"segment LSN range collision between feed files "
+                    f"{seen[b]!r} and {os.path.basename(f)!r} at {b}"
+                )
+            seen[b] = os.path.basename(f)
+    marks_dir = os.path.join(out_dir, "_ingested")
+    os.makedirs(marks_dir, exist_ok=True)
+    for i, (f, paths) in enumerate(zip(todo, results)):
+        lsn_end = 0
+        if lsn_field is None and paths:
+            lsn_end = max(int(os.path.basename(p).split("-")[2][:12]) for p in paths)
+        mark = {"segments": paths, "lsn_end": lsn_end}
+        mp = os.path.join(marks_dir, f"{os.path.basename(f)}.json")
+        tmp = f"{mp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(mark, fh)
+        os.replace(tmp, mp)
     return clog
+
+
+class JsonBinlogFeed(ChangeLog):
+    """A ChangeLog view over a LIVE directory of JSONL change envelopes:
+    every ``segments()`` call first converts any newly arrived feed
+    files (incremental, marker-tracked — see :func:`convert_json_binlog`)
+    and then lists the parquet segments. Plug it straight into
+    ``CDCEngine.tail`` for the continuous "follow a standard CDC feed"
+    deployment shape: each poll converts the new feed files, then
+    applies them exactly-once like any other epoch batch."""
+
+    def __init__(
+        self,
+        src_dir: str,
+        out_dir: str,
+        payload_schema: pa.Schema,
+        ts_field: str = "ts_ms",
+        lsn_field: str | None = "lsn",
+        segment_rows: int = 500_000,
+    ):
+        super().__init__(out_dir)
+        self.src_dir = src_dir
+        self.payload_schema = payload_schema
+        self.ts_field = ts_field
+        self.lsn_field = lsn_field
+        self.segment_rows = segment_rows
+
+    def segments(self):
+        convert_json_binlog(
+            self.src_dir,
+            self.log_dir,
+            self.payload_schema,
+            ts_field=self.ts_field,
+            lsn_field=self.lsn_field,
+            segment_rows=self.segment_rows,
+            allow_empty=True,  # a quiet feed is an idle poll, not an error
+        )
+        return super().segments()

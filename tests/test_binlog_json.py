@@ -147,3 +147,46 @@ def test_binlog_error_paths(tmp_path):
         convert_json_binlog(str(src), str(tmp_path / "c2"), PAYLOAD)
     with pytest.raises(FileNotFoundError):
         convert_json_binlog(str(tmp_path / "nope_dir_missing"), str(tmp_path / "c3"), PAYLOAD)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_feed_follow_and_idempotence(tmp_path):
+    """JsonBinlogFeed: tail converts newly arrived feed files per poll
+    (marker-tracked), re-polls skip converted files, dense LSNs stay
+    monotone across arrivals, and the final state equals the oracle."""
+    from etl_framework_ray.sources.binlog_json import JsonBinlogFeed
+
+    log = generate_changelog(GenConfig(num_events=2000, num_conversations=20, seed=3))
+    lines = _to_envelopes(log, with_lsn=False)
+    src = tmp_path / "feed"
+    src.mkdir()
+    feed = JsonBinlogFeed(str(src), str(tmp_path / "clog"), PAYLOAD, lsn_field=None)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+
+    # poll 1: empty feed is an idle poll, not an error
+    assert feed.segments() == []
+    stats = eng.tail(feed, poll_s=0, idle_stop_polls=1, segments_per_epoch=2)
+    assert stats.epochs_applied == 0
+
+    # drip the feed in three arrivals; tail drains each
+    third = len(lines) // 3
+    for i, sl in enumerate([lines[:third], lines[third : 2 * third], lines[2 * third :]]):
+        (src / f"arrival-{i:02d}.jsonl").write_text("\n".join(sl))
+        eng.tail(feed, poll_s=0, idle_stop_polls=1, segments_per_epoch=2)
+
+    oracle = oracle_replay(log)
+    got = eng.snapshot_arrow()
+    assert got.num_rows == len(oracle)
+    for r in got.to_pylist():
+        o = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == o["text"]
+
+    # idempotence: a fresh feed handle re-lists but never re-converts
+    marks = (tmp_path / "clog" / "_ingested")
+    mtimes = {p.name: p.stat().st_mtime_ns for p in marks.iterdir()}
+    feed2 = JsonBinlogFeed(str(src), str(tmp_path / "clog"), PAYLOAD, lsn_field=None)
+    segs = feed2.segments()
+    assert {p.name: p.stat().st_mtime_ns for p in marks.iterdir()} == mtimes
+    assert len(segs) > 0
+    stats = eng.tail(feed2, poll_s=0, idle_stop_polls=1, segments_per_epoch=2)
+    assert stats.epochs_applied == 0  # everything already committed
