@@ -1359,6 +1359,36 @@ class CDCEngine:
             resolve, batch_format="pyarrow", batch_size=1
         )
 
+    def column_bounds(self, column: str) -> tuple | None:
+        """Global (min, max) of a public column from the manifest zone
+        maps alone — no file opens, O(live files) driver work. The
+        metadata answer to "what's the table's time watermark" /
+        "what key range does it span". Returns None when any live file
+        lacks stats for the column (pre-upgrade files, untracked type)
+        or when no live rows carry a value — a conservative caller falls
+        back to a scan. Bounds may be slightly WIDER than the live data
+        (tombstoned rows count, truncated string maxima are bumped):
+        correct for pruning decisions, not an exact aggregate."""
+        man = self.manifest
+        lo = hi = None
+        unbounded_hi = False
+        for ps in man.partitions.values():
+            stats = ps.pruned_stats()
+            for f in ps.files:
+                s = stats.get(f, {}).get(column)
+                if s is None:
+                    return None  # a file we know nothing about
+                if s["min"] is None:
+                    continue  # all-null file for this column
+                lo = s["min"] if lo is None else min(lo, s["min"])
+                if s["open"] or s["max"] is None:
+                    unbounded_hi = True
+                else:
+                    hi = s["max"] if hi is None else max(hi, s["max"])
+        if lo is None:
+            return None
+        return (lo, None if unbounded_hi else hi)
+
     def compact(
         self,
         pids: list[int] | None = None,

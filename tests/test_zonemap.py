@@ -144,3 +144,94 @@ def test_stats_json_round_trip():
     assert not zm.file_can_match(st2, [("ts", ">", dt.datetime(2024, 5, 1))])
     assert zm.file_can_match(st2, [("d", "==", dt.date(2024, 5, 15))])
     assert not zm.file_can_match(st2, [("d", "<", dt.date(2024, 5, 1))])
+
+
+# ---------------------------------------------------------------------------
+# property: pruning is always conservative — a pruned read NEVER loses a
+# matching row, whatever the data, split points and predicate
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VALS = st.one_of(st.none(), st.integers(-5, 5))
+_OPS = ["==", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null"]
+
+
+def _conjunct(col):
+    return st.sampled_from(_OPS).flatmap(
+        lambda op: st.just((col, op))
+        if op in ("is_null", "not_null")
+        else (
+            st.lists(st.integers(-5, 5), min_size=1, max_size=3).map(
+                lambda v: (col, op, v)
+            )
+            if op == "in"
+            else st.integers(-6, 6).map(lambda v: (col, op, v))
+        )
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(st.tuples(_VALS, st.text("abc", max_size=3)), min_size=0, max_size=40),
+    splits=st.lists(st.integers(1, 10), min_size=1, max_size=5),
+    conjuncts=st.lists(_conjunct("x"), min_size=1, max_size=3),
+)
+def test_pruning_never_loses_matching_rows(data, splits, conjuncts):
+    t = pa.table(
+        {
+            "x": pa.array([d[0] for d in data], pa.int64()),
+            "s": pa.array([d[1] for d in data]),
+        }
+    )
+    expected = zm.filter_table(t, conjuncts)
+    # arbitrary file split: stats per piece, then the file/partition tests
+    pieces, off = [], 0
+    for w in splits:
+        if off >= t.num_rows:
+            break
+        pieces.append(t.slice(off, w))
+        off += w
+    if off < t.num_rows:
+        pieces.append(t.slice(off))
+    kept = [p for p in pieces if zm.file_can_match(zm.table_stats(p) or None, conjuncts)]
+    got = (
+        zm.filter_table(pa.concat_tables(kept), conjuncts)
+        if kept
+        else t.schema.empty_table()
+    )
+    # conservative: pruning by stats loses nothing the residual filter keeps
+    assert got.num_rows == expected.num_rows
+    assert got.equals(expected)  # order preserved (pieces are in order)
+    # partition-level test agrees with the union of file-level tests
+    stats = {str(i): zm.table_stats(p) for i, p in enumerate(pieces)}
+    files = [str(i) for i in range(len(pieces))]
+    assert zm.partition_can_match(stats, files, conjuncts) == (len(kept) > 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(st.tuples(_VALS, st.text("abc", max_size=3)), min_size=0, max_size=40),
+    splits=st.lists(st.integers(1, 10), min_size=1, max_size=5),
+    conjuncts=st.lists(_conjunct("x"), min_size=1, max_size=3),
+)
+def test_row_group_pruning_matches_residual(tmp_path_factory, data, splits, conjuncts):
+    """qualifying_row_groups over a real parquet footer is conservative
+    for every generated table/row-group layout/predicate."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "x": pa.array([d[0] for d in data], pa.int64()),
+            "s": pa.array([d[1] for d in data]),
+        }
+    )
+    d = tmp_path_factory.mktemp("rg")
+    p = str(d / "f.parquet")
+    pq.write_table(t, p, row_group_size=max(splits[0], 1))
+    pf = pq.ParquetFile(p)
+    keep = zm.qualifying_row_groups(pf, conjuncts)
+    got = pf.read() if keep is None else (
+        pf.read_row_groups(keep) if keep else t.schema.empty_table()
+    )
+    assert zm.filter_table(got, conjuncts).equals(zm.filter_table(t, conjuncts))

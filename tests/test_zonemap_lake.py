@@ -324,3 +324,24 @@ def test_optimize_sort_by_clusters_and_skips(tmp_path):
     eng = _replayed(tmp_path, num_events=400, num_conversations=4)
     with pytest.raises(ValueError, match="PK-less"):
         eng.compact(sort_by=["ts"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_column_bounds_from_manifest(tmp_path):
+    """column_bounds answers min/max from zone maps alone and goes
+    conservative (None) when any live file lacks stats."""
+    eng = _replayed(tmp_path, num_events=1200, num_conversations=12)
+    full = eng.snapshot_arrow()
+    b = eng.column_bounds("turn_idx")
+    assert b is not None
+    lo, hi = b
+    got = pc.min_max(full.column("turn_idx"))
+    # bounds may be wider (tombstoned rows count) but must CONTAIN the data
+    assert lo <= got["min"].as_py() and hi >= got["max"].as_py()
+    tsb = eng.column_bounds("ts")
+    assert tsb is not None and tsb[0] <= tsb[1]
+    # a file without stats makes the answer conservative
+    pid = next(p for p in sorted(eng.manifest.partitions) if eng.manifest.partitions[p].files)
+    ps = eng.manifest.partitions[pid]
+    ps.file_stats.pop(ps.files[0], None)
+    assert eng.column_bounds("turn_idx") is None
