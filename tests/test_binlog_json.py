@@ -190,3 +190,43 @@ def test_binlog_feed_follow_and_idempotence(tmp_path):
     assert len(segs) > 0
     stats = eng.tail(feed2, poll_s=0, idle_stop_polls=1, segments_per_epoch=2)
     assert stats.epochs_applied == 0  # everything already committed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_feed_schema_evolution(tmp_path):
+    """A new payload column appearing mid-feed: re-point the feed handle
+    at the WIDENED schema — earlier arrivals' markers stand, new files
+    parse old envelopes with nulls for the missing field, and replay
+    evolves the lake schema (plan_evolution) like any other widening."""
+    from etl_framework_ray.sources.binlog_json import JsonBinlogFeed
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    def env(lsn, conv, extra=None):
+        after = {"conv_id": conv, "turn_idx": 0, "role": "user",
+                 "text": f"t{lsn}", "tool": None}
+        if extra is not None:
+            after["lang"] = extra
+        return json.dumps({"op": "c", "ts_ms": 1000 + lsn, "before": None,
+                           "after": after, "source": {"lsn": lsn}})
+
+    (src / "a.jsonl").write_text("\n".join(env(i, f"c{i}") for i in range(1, 6)))
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    feed_v1 = JsonBinlogFeed(str(src), str(tmp_path / "clog"), PAYLOAD)
+    eng.tail(feed_v1, poll_s=0, idle_stop_polls=1, segments_per_epoch=1)
+    assert "lang" not in eng.snapshot_arrow().schema.names
+
+    wide = pa.schema(list(PAYLOAD) + [pa.field("lang", pa.string())])
+    (src / "b.jsonl").write_text(
+        "\n".join(env(i, f"c{i}", extra="en") for i in range(6, 9))
+        + "\n" + env(9, "c1")  # an old-shape envelope in the new file
+    )
+    feed_v2 = JsonBinlogFeed(str(src), str(tmp_path / "clog"), wide)
+    eng.tail(feed_v2, poll_s=0, idle_stop_polls=1, segments_per_epoch=1)
+    snap = eng.snapshot_arrow()
+    assert "lang" in snap.schema.names
+    by_conv = {r["conv_id"]: r for r in snap.to_pylist()}
+    assert by_conv["c6"]["lang"] == "en"
+    assert by_conv["c2"]["lang"] is None   # pre-evolution rows read as null
+    assert by_conv["c1"]["lang"] is None   # old-shape envelope in new file
+    assert by_conv["c1"]["text"] == "t9"   # and it still applied (LWW)
