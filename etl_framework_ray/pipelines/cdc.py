@@ -1438,11 +1438,25 @@ class CDCEngine:
         epoch_id = man.applied_lsn
         ttl = self.tombstone_ttl_lsn
         zcols = _zone_cols(lake)
+        # output dir is salted with the TARGET manifest version: applied_lsn
+        # does not advance on append-table commits, so two maintenance
+        # compactions at the same watermark would otherwise os.replace the
+        # previous run's LIVE committed files in place (corrupting time
+        # travel, and the committed table itself on a crash mid-fold). The
+        # version always advances per commit; a crashed attempt's orphans
+        # are unreferenced and safely overwritten by its own retry.
+        new_version = man.version + 1
 
         @ray.remote
         def fold(pid: int, files: list[str]) -> dict:
             _single_threaded_arrow()
-            out_dir = os.path.join(table_dir, "data", f"part={pid:05d}", f"epoch={epoch_id:012d}")
+            out_dir = os.path.join(
+                table_dir,
+                "data",
+                f"part={pid:05d}",
+                f"epoch={epoch_id:012d}",
+                f"fold=v{new_version:08d}",
+            )
             os.makedirs(out_dir, exist_ok=True)
             if sort_by:
                 # cluster pass: concat (PK-less), sort, split into bounded
@@ -1475,7 +1489,7 @@ class CDCEngine:
 
         metas = ray.get([fold.remote(pid, man.partitions[pid].files) for pid in targets])
         new_man = Manifest.from_json(man.to_json())
-        new_man.version = man.version + 1
+        new_man.version = new_version
         for m in metas:
             self._retire_deltas(new_man, new_man.partitions[m["pid"]].files)
             new_man.partitions[m["pid"]] = PartitionState(
@@ -2043,6 +2057,12 @@ class CDCEngine:
         public = pa.schema([f for f in lake if f.name not in (LSN_COL, DELETED_COL)])
         if predicate:
             zone.validate_predicate(predicate)
+            bad = [c[0] for c in predicate if c[0] not in public.names]
+            if bad:
+                raise ValueError(
+                    f"predicate on unknown or internal columns {bad}; "
+                    f"available: {public.names}"
+                )
         # row-group-level pushdown, same safety rule as snapshot(): PK
         # conjuncts under merge, any conjunct on a PK-less concat table
         file_cj = (

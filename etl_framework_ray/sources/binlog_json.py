@@ -98,7 +98,9 @@ def _convert_file_task(
     a target claimed by ANOTHER source fails loud (LSN overlap), while
     an unclaimed existing target is this source's own crash residue and
     is deterministically overwritten."""
-    pa.set_cpu_count(1)  # the task pool owns parallelism, not Arrow
+    from ..pipelines.cdc import _single_threaded_arrow
+
+    _single_threaded_arrow()  # the task pool owns parallelism, not Arrow
     from pyarrow import json as pj
 
     payload = pa.ipc.read_schema(pa.BufferReader(payload_types_ser))

@@ -68,6 +68,15 @@ def _canon(value, family: str):
     normalized (caller treats as 'cannot prune')."""
     try:
         if family == "num":
+            # ints stay EXACT: float64 canonicalization would round values
+            # >= 2^53 (snowflake ids, ns-epoch ints) and a rounded-up min
+            # or rounded-down max makes pruning silently drop matching
+            # rows. Python compares int/float exactly, so mixed bounds
+            # from either capture path stay correct.
+            if isinstance(value, bool):
+                return int(value)
+            if isinstance(value, int):
+                return value
             return float(value)
         if family == "str":
             return str(value)
@@ -126,7 +135,7 @@ def _encode_bounds(mn, mx, t: pa.DataType) -> tuple:
             pa.scalar(mx).cast(pa.date32()).value,
             False,
         )
-    return float(mn), float(mx), False
+    return _canon(mn, "num"), _canon(mx, "num"), False
 
 
 # ---------------------------------------------------------------------------
@@ -235,10 +244,11 @@ def qualifying_row_groups(pf, conjuncts) -> list | None:
         return None
     md = pf.metadata
     sch = pf.schema_arrow
+    want = {c[0] for c in conjuncts}  # only predicate columns need stats
     keep = [
         rg
         for rg in range(md.num_row_groups)
-        if file_can_match(_one_row_group_stats(md.row_group(rg), sch, None) or None, conjuncts)
+        if file_can_match(_one_row_group_stats(md.row_group(rg), sch, want) or None, conjuncts)
     ]
     return keep if len(keep) < md.num_row_groups else None
 
@@ -291,6 +301,9 @@ def validate_predicate(conjuncts) -> None:
             raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_OPS)})")
         if op in _COMPARISONS and len(c) != 3:
             raise ValueError(f"op {op!r} needs a value: {c!r}")
+        if op == "in" and not isinstance(c[2], (list, tuple, set, frozenset)):
+            # fail here, not as an opaque TypeError inside a merge task
+            raise ValueError(f"op 'in' needs a list/tuple/set of values: {c!r}")
 
 
 def file_can_match(stats: dict | None, conjuncts) -> bool:
@@ -319,14 +332,20 @@ def file_can_match(stats: dict | None, conjuncts) -> bool:
         lo, hi, open_max = s["min"], s["max"], s["open"]
         if open_max:
             hi = None
-        vals = c[2] if op == "in" else [c[2]]
-        cv = [_canon(v, s["f"]) for v in (vals if op == "in" else vals)]
-        if any(v is None for v in cv):
-            continue  # un-normalizable literal: cannot prune
         if op == "in":
+            # SQL: NULL in the value list never matches anything extra
+            vals = [v for v in c[2] if v is not None]
+            if not vals:
+                return False  # x IN (NULL) / x IN () matches no row
+            cv = [_canon(v, s["f"]) for v in vals]
+            if any(v is None for v in cv):
+                continue  # un-normalizable literal: cannot prune
             if not any(_range_has(lo, hi, "==", v) for v in cv):
                 return False
             continue
+        cv = [_canon(c[2], s["f"])]
+        if cv[0] is None:
+            continue  # un-normalizable literal: cannot prune
         if not _range_has(lo, hi, "=" if op == "=" else op, cv[0]):
             return False
     return True
@@ -382,10 +401,14 @@ def predicate_mask(t: pa.Table, conjuncts) -> pa.ChunkedArray | pa.Array:
         else:
             v = c[2]
             if op == "in":
+                # drop NULLs from the value list: SQL `x IN (1, NULL)`
+                # matches x=1 and never the NULL rows, but pc.is_in
+                # treats a null in the value_set as matching nulls
+                vals = [x for x in v if x is not None]
                 try:
-                    vs = pa.array(list(v), arr.type)
+                    vs = pa.array(vals, arr.type)
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    vs = pa.array(list(v)).cast(arr.type)  # e.g. ISO str → ts
+                    vs = pa.array(vals).cast(arr.type)  # e.g. ISO str → ts
                 m = pc.is_in(arr, value_set=vs)
             else:
                 fn = {"==": pc.equal, "=": pc.equal, "!=": pc.not_equal,

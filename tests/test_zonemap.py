@@ -235,3 +235,29 @@ def test_row_group_pruning_matches_residual(tmp_path_factory, data, splits, conj
         pf.read_row_groups(keep) if keep else t.schema.empty_table()
     )
     assert zm.filter_table(got, conjuncts).equals(zm.filter_table(t, conjuncts))
+
+
+def test_int64_bounds_stay_exact_past_2_53():
+    """float64 canonicalization would round 2^53+3 up and prune a file
+    that holds a matching row; int bounds must stay exact."""
+    big = 2**53 + 3
+    t = pa.table({"x": pa.array([big], pa.int64())})
+    s = zm.table_stats(t)
+    assert s["x"]["min"] == big and isinstance(s["x"]["min"], int)
+    # the row matches x < big+1; pruning must keep the file
+    assert zm.file_can_match(s, [("x", "<", big + 1)])
+    assert not zm.file_can_match(s, [("x", ">", big)])
+    assert zm.filter_table(t, [("x", "<", big + 1)]).num_rows == 1
+
+
+def test_in_predicate_sql_null_semantics():
+    t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
+    # SQL: x IN (1, NULL) matches only x=1, never the NULL row
+    got = zm.filter_table(t, [("x", "in", [1, None])])
+    assert got.column("x").to_pylist() == [1]
+    # x IN (NULL) / empty list matches nothing — and prunes everything
+    assert zm.filter_table(t, [("x", "in", [None])]).num_rows == 0
+    assert not zm.file_can_match(zm.table_stats(t), [("x", "in", [None])])
+    # a scalar 'in' value fails validation loudly, not deep in a task
+    with pytest.raises(ValueError, match="'in' needs a list"):
+        zm.validate_predicate([("x", "in", 5)])

@@ -345,3 +345,56 @@ def test_column_bounds_from_manifest(tmp_path):
     ps = eng.manifest.partitions[pid]
     ps.file_stats.pop(ps.files[0], None)
     assert eng.column_bounds("turn_idx") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_double_optimize_never_overwrites_live_files(tmp_path):
+    """Two optimize passes at the same applied watermark must not reuse
+    output paths: the second pass targeting the FIRST pass's live
+    committed files would corrupt time travel (and the table itself on
+    a crash mid-fold)."""
+    w = LakeWriter(str(tmp_path / "evlog"), EVENTS_SPEC, num_partitions=2)
+    base = dt.datetime(2026, 4, 1)
+
+    def batch(lo):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(lo, lo + 50), pa.int64()),
+                    "kind": ["k"] * 50,
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=lo + i) for i in range(50)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+
+    w.append(batch(0))
+    w.append(batch(50))
+    w.optimize(sort_by=["ts"], target_file_rows=30)
+    v1 = w.engine.manifest.version
+    v1_files = {
+        f for ps in w.engine.manifest.partitions.values() for f in ps.files
+    }
+    w.append(batch(100))
+    w.optimize(sort_by=["ts"], target_file_rows=30)
+    v2_files = {
+        f for ps in w.engine.manifest.partitions.values() for f in ps.files
+    }
+    assert not (v1_files & v2_files)  # fresh paths, no in-place overwrite
+    # time travel to the pre-second-optimize version still reads 100 rows
+    old = w.engine.snapshot_arrow(version=v1)
+    assert old.num_rows == 100
+    new = pa.concat_tables([ray.get(r) for r in w.read().to_arrow_refs()])
+    assert new.num_rows == 150
+    assert w.engine.fsck()["ok"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_arrow_validates_predicate_columns(tmp_path):
+    eng = _replayed(tmp_path, num_events=300, num_conversations=3)
+    with pytest.raises(ValueError, match="unknown or internal"):
+        eng.snapshot_arrow(predicate=[("convid", "==", "x")])
+    with pytest.raises(ValueError, match="unknown or internal"):
+        eng.snapshot_arrow(predicate=[("_lsn", ">", 0)])
