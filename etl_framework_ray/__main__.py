@@ -131,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--epoch-segments", type=int, default=4)
     pr.add_argument("--pipelined", action="store_true")
     pr.add_argument(
+        "--dq-mode",
+        choices=("quarantine", "error"),
+        default=None,
+        help="gate change rows on the spec's declared quality rules inside "
+        "the map round: quarantine drops ERROR-failing rows pre-apply, "
+        "error aborts the epoch pre-commit",
+    )
+    pr.add_argument(
         "--changefeed-retention-lsn", type=int, default=None,
         help="set + persist the changefeed retention horizon (omit to inherit "
         "the table's persisted setting)",
@@ -150,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--epoch-segments", type=int, default=4)
     pt.add_argument("--pipelined", action="store_true")
     pt.add_argument("--poll-s", type=float, default=2.0)
+    pt.add_argument(
+        "--dq-mode", choices=("quarantine", "error"), default=None,
+        help="gate change rows on the spec's declared quality rules (see replay --dq-mode)",
+    )
     pt.add_argument(
         "--binlog-src",
         default=None,
@@ -399,7 +411,7 @@ def main(argv: list[str] | None = None) -> int:
             retention = args.changefeed_retention_lsn
         eng = CDCEngine(
             args.table, num_partitions=args.partitions,
-            changefeed_retention_lsn=retention,
+            changefeed_retention_lsn=retention, dq_mode=args.dq_mode,
         )
         stats = eng.replay(
             ChangeLog(args.log),
@@ -421,7 +433,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "tail":
         started_ray = _init_ray(args.num_cpus)
-        eng = CDCEngine(args.table, num_partitions=args.partitions)
+        eng = CDCEngine(args.table, num_partitions=args.partitions, dq_mode=args.dq_mode)
         views = []
         if args.view:
             kinds = _view_kinds()

@@ -491,6 +491,76 @@ def _reject_null_keys(t: pa.Table, key_cols, what: str) -> None:
             raise ValueError(f"{what} has {nc} NULL values in key column {k!r}")
 
 
+def _dq_gate_changes(
+    t: pa.Table,
+    checks: list,
+    mode: str,
+    failure_dir: str,
+    table_name: str,
+    key_cols: tuple,
+    tag: str,
+    rc: dict,
+) -> pa.Table:
+    """Declared-rule DQ gate on an epoch's change rows, fused into the
+    map round (the reference gates its bronze ingest the same way —
+    /root/reference/src/models/data_quality_evaluator.py:88-102).
+    DELETE tombstones are exempt: they carry key + op + ts only, so
+    payload rules must not judge their null row images. Per-failing-row
+    detail lands under ``_metrics/dq_failures`` (``quality.read_failures``
+    is the audit surface). ``mode``: rows failing an ERROR rule are
+    dropped pre-apply (``"quarantine"``) or abort the epoch pre-commit
+    (``"error"`` — the 2PC keeps the table untouched); WARN failures are
+    recorded and applied either way."""
+    from ..functions.quality import FAILURE_SCHEMA, DQError, _row_keys
+
+    not_del = pc.fill_null(pc.invert(pc.equal(t.column("op"), "D")), False)
+    err_mask = None
+    detail: list[pa.Table] = []
+    keys = None
+    for chk in checks:
+        m = pc.and_(pc.fill_null(chk.fail_mask(t), False), not_del)
+        n = pc.sum(m).as_py() or 0
+        if not n:
+            continue
+        if keys is None:
+            keys = _row_keys(t, key_cols)
+        failed = pc.filter(keys, m)
+        failed = failed.combine_chunks() if isinstance(failed, pa.ChunkedArray) else failed
+        detail.append(
+            pa.table(
+                {
+                    "table_name": pa.array([table_name] * n, pa.string()),
+                    "rule_name": pa.array([chk.name] * n, pa.string()),
+                    "column": pa.array([chk.column] * n, pa.string()),
+                    "criticality": pa.array([chk.criticality] * n, pa.string()),
+                    "row_key": failed,
+                    "job_id": pa.array([rc.get("job_id")] * n, pa.string()),
+                    "run_id": pa.array([rc.get("run_id")] * n, pa.string()),
+                    "date": pa.array([rc.get("date")] * n, pa.string()),
+                },
+                schema=FAILURE_SCHEMA,
+            )
+        )
+        if chk.criticality == "error":
+            err_mask = m if err_mask is None else pc.or_(err_mask, m)
+    if detail:
+        os.makedirs(failure_dir, exist_ok=True)
+        # 'failures-' prefix: quality.read_failures is the read surface
+        out = os.path.join(failure_dir, f"failures-{tag}.parquet")
+        tmp = f"{out}.tmp-{os.getpid()}"
+        pq.write_table(pa.concat_tables(detail), tmp)
+        os.replace(tmp, out)  # deterministic per tag: retry-idempotent
+    if err_mask is not None:
+        n_bad = pc.sum(err_mask).as_py() or 0
+        if mode == "error":
+            raise DQError(
+                f"{n_bad} change rows failed ERROR-criticality rules in {tag} "
+                f"(detail under {failure_dir})"
+            )
+        t = t.filter(pc.invert(err_mask))
+    return t
+
+
 @ray.remote
 def _prep_segment_task(
     path: str,
@@ -498,6 +568,7 @@ def _prep_segment_task(
     key_cols: tuple,
     num_partitions: int,
     salt_map: dict | None = None,
+    dq: tuple | None = None,
 ):
     """Read one changelog segment, LWW-combine (adaptively), hash-split by
     the leading key into ``num_partitions`` sub-tables.
@@ -516,6 +587,18 @@ def _prep_segment_task(
     _single_threaded_arrow()
     t = normalize_table(pq.read_table(path), chg_schema)
     _reject_null_keys(t, key_cols, f"changelog segment {os.path.basename(path)!r}")
+    if dq is not None:
+        mode, checks, failure_dir, table_name, rc, epoch_id = dq
+        t = _dq_gate_changes(
+            t,
+            checks,
+            mode,
+            failure_dir,
+            table_name,
+            key_cols,
+            f"epoch-{epoch_id:012d}-{os.path.basename(path).rsplit('.', 1)[0]}",
+            rc,
+        )
 
     surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
     if len(surv) > 0.9 * t.num_rows:
@@ -703,9 +786,17 @@ class CDCEngine:
         tombstone_ttl_lsn: int | None = None,
         create_if_missing: bool = True,
         changefeed_retention_lsn: int | None | str = INHERIT,
+        dq_mode: str | None = None,
     ):
         self.table_dir = table_dir
         self.spec = spec
+        if dq_mode not in (None, "quarantine", "error"):
+            raise ValueError(f"dq_mode must be None, 'quarantine' or 'error', got {dq_mode!r}")
+        #: opt-in DQ gate on the CDC apply path: evaluate the spec's
+        #: declared rules (ColumnSpec.quality + NOT NULL) inside the map
+        #: round — 'quarantine' drops ERROR-failing rows pre-apply,
+        #: 'error' aborts the epoch pre-commit (see _dq_gate_changes)
+        self.dq_mode = dq_mode
         #: a partition compacts when it would exceed this many live files
         #: (merge-on-read depth / write-amplification trade-off)
         self.compact_every = compact_every
@@ -903,15 +994,36 @@ class CDCEngine:
         )
         return chg_schema, new_lake, changes
 
+    def _dq_args(self, epoch_id: int) -> tuple | None:
+        """Gate config shipped to the map tasks, or None when the gate is
+        off or the spec declares no rules."""
+        if self.dq_mode is None:
+            return None
+        from ..functions.quality import build_checks
+
+        checks = build_checks(self.spec)
+        if not checks:
+            return None
+        failure_dir = os.path.join(self.table_dir, "_metrics", "dq_failures")
+        return (
+            self.dq_mode,
+            checks,
+            failure_dir,
+            self.spec.name,
+            self.run_context.as_dict(),
+            epoch_id,
+        )
+
     def _submit_prep(self, epoch: Epoch, chg_schema: pa.Schema) -> list:
         """Submit the map round for an epoch (prep tasks are pure — they
         read immutable segments and never touch the manifest, so pipelined
         replay may launch them before the previous epoch commits)."""
         num_partitions = self.manifest.num_partitions
         salt_map = self.salt_map
+        dq = self._dq_args(epoch.epoch_id)
         refs = [
             _prep_segment_task.options(num_returns=num_partitions).remote(
-                p, chg_schema, self.key_cols, num_partitions, salt_map
+                p, chg_schema, self.key_cols, num_partitions, salt_map, dq
             )
             for p in epoch.paths
         ]
@@ -970,11 +1082,20 @@ class CDCEngine:
             metas = [m for m in ray.get(apply_refs) if m is not None]
         else:
             salt_map = self.salt_map
+            dq = self._dq_args(epoch.epoch_id)
 
             def prep(batch: pa.Table) -> pa.Table:
                 _single_threaded_arrow()
                 batch = normalize_table(batch, chg_schema)
                 _reject_null_keys(batch, key_cols, "changelog batch")
+                if dq is not None:
+                    mode, checks, failure_dir, table_name, rc, epoch_id = dq
+                    import uuid
+
+                    batch = _dq_gate_changes(
+                        batch, checks, mode, failure_dir, table_name, key_cols,
+                        f"epoch-{epoch_id:012d}-{uuid.uuid4().hex}", rc,
+                    )
                 batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
                 pid = salted_partition_ids(batch, key_cols, num_partitions, salt_map)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))
