@@ -262,6 +262,13 @@ def main(argv: list[str] | None = None) -> int:
         help="assign LSNs by (file order, line order) instead of source.lsn",
     )
     pb.add_argument("--segment-rows", type=int, default=500_000)
+    pb.add_argument(
+        "--on-error",
+        choices=("raise", "quarantine"),
+        default="raise",
+        help="quarantine: dead-letter parser-rejected lines under "
+        "OUT/_dlq/ instead of failing the feed file",
+    )
 
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
@@ -518,14 +525,18 @@ def main(argv: list[str] | None = None) -> int:
             ts_field=args.ts_field,
             lsn_field=None if args.dense_lsn else "lsn",
             segment_rows=args.segment_rows,
+            on_error=args.on_error,
         )
         segs = clog.segments()
+        from .sources.binlog_json import dlq_stats
+
         print(
             json.dumps(
                 {
                     "segments": len(segs),
                     "min_lsn": segs[0].min_lsn if segs else None,
                     "max_lsn": segs[-1].max_lsn if segs else None,
+                    "quarantined": dlq_stats(args.out)["lines"],
                     "out": args.out,
                 }
             )

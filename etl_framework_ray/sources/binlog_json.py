@@ -91,30 +91,98 @@ def _convert_file_task(
     lsn_start: int,
     segment_rows: int,
     claimed: dict,
-) -> list:
-    """Convert ONE JSONL file into changelog segment(s). Returns the
-    written paths. Arrow kernels only — no per-row Python. ``claimed``
-    maps already-written segment basenames to their source feed file:
-    a target claimed by ANOTHER source fails loud (LSN overlap), while
-    an unclaimed existing target is this source's own crash residue and
-    is deterministically overwritten."""
+    on_error: str = "raise",
+) -> dict:
+    """Convert ONE JSONL file into changelog segment(s). Returns
+    ``{"paths": [...], "quarantined": n}``. Arrow kernels only on the
+    happy path — the per-line fallback runs ONLY for a file the batch
+    parser rejects. ``claimed`` maps already-written segment basenames
+    to their source feed file: a target claimed by ANOTHER source fails
+    loud (LSN overlap), while an unclaimed existing target is this
+    source's own crash residue and is deterministically overwritten.
+    ``on_error="quarantine"``: lines the parser rejects — and rows that
+    parse but fail envelope validation (unknown ``op``, missing ts,
+    missing/duplicate LSN) — go verbatim to a dead-letter file under
+    ``out_dir/_dlq/`` and the rest convert."""
     from ..pipelines.cdc import _single_threaded_arrow
 
     _single_threaded_arrow()  # the task pool owns parallelism, not Arrow
+    import numpy as np
     from pyarrow import json as pj
 
     payload = pa.ipc.read_schema(pa.BufferReader(payload_types_ser))
     explicit = _envelope_schema(payload, ts_field, lsn_field)
-    try:
-        t = pj.read_json(
-            path,
+
+    def parse(source):
+        return pj.read_json(
+            source,
             parse_options=pj.ParseOptions(explicit_schema=explicit),
             read_options=pj.ReadOptions(block_size=1 << 24),
         )
+
+    # row i of the parsed table is non-empty line i of the file — kept
+    # lazily so verbatim DLQ extraction never reads a clean file twice
+    lines_src: list[bytes] | None = None
+    bad_lines: list[bytes] = []
+    try:
+        t = parse(path)
     except pa.ArrowInvalid as e:
-        raise ValueError(f"{path}: not parseable as JSONL change envelopes: {e}") from e
+        if on_error != "quarantine":
+            raise ValueError(
+                f"{path}: not parseable as JSONL change envelopes: {e} "
+                "(on_error='quarantine' dead-letters bad lines instead)"
+            ) from e
+        # slow path, corrupt files only: per-line parse, bad lines verbatim
+        # to the DLQ, good lines re-batched through the same Arrow parser
+        good: list[bytes] = []
+        with open(path, "rb") as fh:
+            for line in fh:
+                s = line.strip()
+                if not s:
+                    continue
+                try:
+                    parse(pa.BufferReader(s))
+                    good.append(s)
+                except pa.ArrowInvalid:
+                    bad_lines.append(line.rstrip(b"\n"))
+        lines_src = good
+        t = parse(pa.BufferReader(b"\n".join(good))) if good else explicit.empty_table()
+
+    if on_error == "quarantine" and t.num_rows:
+        # envelope validation as a vectorized reject mask — the strict
+        # checks below then run on survivors only (and still fail loud
+        # on anything this mask missed)
+        rej = pc.is_null(pc.index_in(t.column("op"), pa.array(_OPS_IN)))
+        rej = pc.or_kleene(rej, pc.is_null(t.column(ts_field)))
+        if lsn_field:
+            lsn_raw = pc.struct_field(t.column("source"), lsn_field)
+            rej = pc.or_kleene(rej, pc.is_null(lsn_raw))
+            # duplicate source LSNs within the file: first wins, rest DLQ
+            lv = lsn_raw.fill_null(-1).to_numpy(zero_copy_only=False)
+            _, first_idx = np.unique(lv, return_index=True)
+            dup = np.ones(len(lv), dtype=bool)
+            dup[first_idx] = False
+            rej = pc.or_kleene(rej, pa.array(dup))
+        rej = rej.fill_null(True).to_numpy(zero_copy_only=False)
+        bad_idx = np.flatnonzero(rej)
+        if len(bad_idx):
+            if lines_src is None:
+                with open(path, "rb") as fh:
+                    lines_src = [ln.rstrip(b"\n") for ln in fh if ln.strip()]
+            bad_lines.extend(lines_src[i] for i in bad_idx)
+            t = t.filter(pa.array(~rej))
+    n_bad = len(bad_lines)
+    if n_bad:
+        dlq_dir = os.path.join(out_dir, "_dlq")
+        os.makedirs(dlq_dir, exist_ok=True)
+        dlq = os.path.join(dlq_dir, os.path.basename(path))
+        tmp = f"{dlq}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(b"\n".join(bad_lines) + b"\n")
+        os.replace(tmp, dlq)
+
     if t.num_rows == 0:
-        return []
+        return {"paths": [], "quarantined": n_bad}
     t = t.combine_chunks()
 
     # op: c/r -> I, u -> U, d -> D; anything else fails loud
@@ -174,7 +242,7 @@ def _convert_file_task(
         pq.write_table(chunk, tmp)
         os.replace(tmp, seg)
         paths.append(seg)
-    return paths
+    return {"paths": paths, "quarantined": n_bad}
 
 
 def _load_markers(out_dir: str) -> dict:
@@ -199,6 +267,7 @@ def convert_json_binlog(
     lsn_field: str | None = "lsn",
     segment_rows: int = 500_000,
     allow_empty: bool = False,
+    on_error: str = "raise",
 ) -> ChangeLog:
     """Convert JSONL change envelopes under ``src`` (a directory or an
     explicit file list) into a :class:`ChangeLog` at ``out_dir``. One
@@ -208,9 +277,14 @@ def convert_json_binlog(
     marked files are skipped, and a rerun after a crash deterministically
     rewrites the unmarked file's segments. Dense LSN assignment
     continues from the highest previously assigned LSN, so a growing
-    feed keeps a monotone log. Returns the ChangeLog, ready for
-    ``CDCEngine.replay`` / ``tail``."""
+    feed keeps a monotone log. ``on_error="quarantine"`` dead-letters
+    parser-rejected lines under ``out_dir/_dlq/<feed file>`` instead of
+    failing the file (default ``"raise"``). Returns the ChangeLog, ready
+    for ``CDCEngine.replay`` / ``tail``."""
     import json
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
 
     if isinstance(src, str):
         files = sorted(
@@ -244,7 +318,7 @@ def convert_json_binlog(
         for seg in m.get("segments", [])
     }
     ser = payload_schema.serialize().to_pybytes()
-    results = ray.get(
+    task_out = ray.get(
         [
             _convert_file_task.remote(
                 f,
@@ -255,10 +329,12 @@ def convert_json_binlog(
                 starts[i],
                 segment_rows,
                 claimed,
+                on_error,
             )
             for i, f in enumerate(todo)
         ]
     )
+    results = [r["paths"] for r in task_out]
     # cross-file overlap WITHIN this batch (two unmarked files claiming
     # the same range) cannot be caught per-task — detect before marking,
     # so a rerun keeps failing loud instead of silently marking one
@@ -278,13 +354,32 @@ def convert_json_binlog(
         lsn_end = 0
         if lsn_field is None and paths:
             lsn_end = max(int(os.path.basename(p).split("-")[2][:12]) for p in paths)
-        mark = {"segments": paths, "lsn_end": lsn_end}
+        mark = {
+            "segments": paths,
+            "lsn_end": lsn_end,
+            "quarantined": int(task_out[i]["quarantined"]),
+        }
         mp = os.path.join(marks_dir, f"{os.path.basename(f)}.json")
         tmp = f"{mp}.tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(mark, fh)
         os.replace(tmp, mp)
     return clog
+
+
+def dlq_stats(out_dir: str) -> dict:
+    """Never-silent quarantine accounting for a converted changelog dir:
+    ``{"lines": total dead-lettered, "files": {feed basename: count}}``,
+    read from the per-file ingestion markers. The verbatim rejected
+    lines themselves live under ``out_dir/_dlq/<feed basename>`` for
+    repair-and-replay."""
+    marks = _load_markers(out_dir)
+    files = {
+        base: int(m.get("quarantined", 0))
+        for base, m in marks.items()
+        if m.get("quarantined")
+    }
+    return {"lines": sum(files.values()), "files": files}
 
 
 class JsonBinlogFeed(ChangeLog):
@@ -304,6 +399,7 @@ class JsonBinlogFeed(ChangeLog):
         ts_field: str = "ts_ms",
         lsn_field: str | None = "lsn",
         segment_rows: int = 500_000,
+        on_error: str = "raise",
     ):
         super().__init__(out_dir)
         self.src_dir = src_dir
@@ -311,6 +407,7 @@ class JsonBinlogFeed(ChangeLog):
         self.ts_field = ts_field
         self.lsn_field = lsn_field
         self.segment_rows = segment_rows
+        self.on_error = on_error
 
     def segments(self):
         convert_json_binlog(
@@ -321,5 +418,6 @@ class JsonBinlogFeed(ChangeLog):
             lsn_field=self.lsn_field,
             segment_rows=self.segment_rows,
             allow_empty=True,  # a quiet feed is an idle poll, not an error
+            on_error=self.on_error,
         )
         return super().segments()

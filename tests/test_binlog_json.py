@@ -150,6 +150,95 @@ def test_binlog_error_paths(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_binlog_quarantine_dead_letters_bad_lines(tmp_path):
+    """on_error='quarantine': parser-rejected lines and semantically bad
+    envelopes (unknown op, missing ts, duplicate lsn) go VERBATIM to
+    OUT/_dlq/<feed file>, the good rows convert and replay, counts land
+    in the markers, and a rerun skips the already-handled file."""
+    from etl_framework_ray.sources.binlog_json import dlq_stats
+
+    def env(lsn, conv, **kw):
+        e = {"op": "c", "ts_ms": 1000 + lsn, "before": None,
+             "after": {"conv_id": conv, "turn_idx": 0, "role": "user",
+                       "text": f"t{lsn}", "tool": None},
+             "source": {"lsn": lsn}}
+        e.update(kw)
+        return json.dumps(e)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    bad_syntax = '{"op": "c", this is not json'
+    bad_op = env(90, "zz", op="x")
+    bad_ts = env(91, "zz", ts_ms=None)
+    dup_lsn = env(2, "dup")  # lsn 2 repeats a good line's lsn: first wins
+    (src / "mixed.jsonl").write_text(
+        "\n".join([env(1, "a"), bad_syntax, env(2, "b"), bad_op, bad_ts, dup_lsn]) + "\n"
+    )
+    (src / "clean.jsonl").write_text(env(10, "c") + "\n")
+
+    # default mode fails loud and points at the escape hatch
+    with pytest.raises(ValueError, match="quarantine"):
+        convert_json_binlog(str(src), str(tmp_path / "strict"), PAYLOAD)
+
+    out = tmp_path / "clog"
+    clog = convert_json_binlog(str(src), str(out), PAYLOAD, on_error="quarantine")
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    eng.replay(clog, segments_per_epoch=8)
+    assert sorted(eng.snapshot_arrow().column("conv_id").to_pylist()) == ["a", "b", "c"]
+
+    # verbatim dead letters, only for the corrupt file
+    dlq = (out / "_dlq" / "mixed.jsonl").read_text().splitlines()
+    assert dlq == [bad_syntax, bad_op, bad_ts, dup_lsn]
+    assert not (out / "_dlq" / "clean.jsonl").exists()
+    assert dlq_stats(str(out)) == {"lines": 4, "files": {"mixed.jsonl": 4}}
+
+    # idempotent: the rerun re-converts nothing and keeps the counts
+    clog2 = convert_json_binlog(str(src), str(out), PAYLOAD, on_error="quarantine")
+    assert len(clog2.segments()) == len(clog.segments())
+    assert dlq_stats(str(out))["lines"] == 4
+
+    with pytest.raises(ValueError, match="on_error"):
+        convert_json_binlog(str(src), str(tmp_path / "c9"), PAYLOAD, on_error="ignore")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_quarantine_all_bad_file_and_dense_lsn(tmp_path):
+    """An entirely-corrupt feed file dead-letters whole (zero segments,
+    marker still written so the follower never retries it), and dense-LSN
+    assignment stays monotone across later clean arrivals."""
+    from etl_framework_ray.sources.binlog_json import dlq_stats
+
+    def env(conv, i):
+        return json.dumps({"op": "c", "ts_ms": 1000 + i, "before": None,
+                           "after": {"conv_id": conv, "turn_idx": i, "role": "u",
+                                     "text": "t", "tool": None}})
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a-good.jsonl").write_text("\n".join(env("a", i) for i in range(3)) + "\n")
+    (src / "b-rot.jsonl").write_text("not json at all\n\x00\x01 garbage\n")
+    out = tmp_path / "clog"
+    clog = convert_json_binlog(
+        str(src), str(out), PAYLOAD, lsn_field=None, on_error="quarantine"
+    )
+    assert dlq_stats(str(out)) == {"lines": 2, "files": {"b-rot.jsonl": 2}}
+    # a later arrival continues the dense LSN sequence past the hole
+    (src / "c-late.jsonl").write_text(env("c", 0) + "\n")
+    clog = convert_json_binlog(
+        str(src), str(out), PAYLOAD, lsn_field=None, on_error="quarantine"
+    )
+    import pyarrow.parquet as pq
+
+    lsns = []
+    for seg in clog.segments():
+        lsns += pq.read_table(seg.path, columns=["lsn"]).column("lsn").to_pylist()
+    assert len(lsns) == len(set(lsns)) == 4  # 3 good + 1 late, no overlap
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=2)
+    eng.replay(clog, segments_per_epoch=8)
+    assert eng.snapshot_arrow().num_rows == 4
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_binlog_feed_follow_and_idempotence(tmp_path):
     """JsonBinlogFeed: tail converts newly arrived feed files per poll
     (marker-tracked), re-polls skip converted files, dense LSNs stay
