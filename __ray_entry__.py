@@ -125,6 +125,68 @@ def _cdc_snapshot_pruned(sf_dir: str):
     return ds.map_batches(narrow, batch_format="pyarrow")
 
 
+def _scd2_history_table(sf: str):
+    """Replay the deterministic changelog into a fresh SCD2 history table
+    (pipelines/history.py — every change event becomes an interval row)."""
+    import tempfile
+
+    from etl_framework_ray.pipelines.history import HistoryTable
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_hist_{sf}_")
+    h = HistoryTable(os.path.join(lake, "transcripts_history"), num_partitions=32)
+    h.replay(clog, segments_per_epoch=2)
+    return h
+
+
+def _narrow_text(ds):
+    import pyarrow as pa
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return ds.map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_scd2_history(sf_dir: str):
+    """SCD Type-2: the full version timeline of the CDC feed — one row per
+    change event with (valid_from, valid_to, is_current) derived by the
+    partition-local lead pass. Oracle: LEAD() window over the raw log."""
+    return _narrow_text(_scd2_history_table(_sf_name(sf_dir)).read())
+
+
+def _scd2_cutoff_ts(sf: str):
+    """Deterministic event-time cutoff shared with the SQL oracle: the max
+    ts among the first half of the log's LSNs."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    k = _CDC_SIZES[sf][0] // 2
+    cut = None
+    for seg in ChangeLog(_ensure_changelog(sf)).segments():
+        if seg.min_lsn > k:
+            continue
+        t = pq.read_table(seg.path, columns=["lsn", "ts"])
+        t = t.filter(pc.less_equal(t.column("lsn"), k))
+        if t.num_rows:
+            m = pc.max(t.column("ts")).as_py()
+            cut = m if cut is None or m > cut else cut
+    return cut
+
+
+def _cdc_scd2_asof(sf_dir: str):
+    """Event-time time travel through the history table: the base table's
+    live rows as of the mid-log event time — per key, the last version
+    whose validity interval covers the cutoff, deletes excluded."""
+    sf = _sf_name(sf_dir)
+    h = _scd2_history_table(sf)
+    return _narrow_text(h.snapshot_asof(_scd2_cutoff_ts(sf)))
+
+
 def _cdc_rollup(sf_dir: str):
     """Gold rollup over the committed CDC snapshot (per-conversation)."""
     import tempfile
@@ -277,6 +339,37 @@ def _cdc_pruned_oracle_sql(sf_name: str) -> str:
         FROM ranked
         WHERE rn = 1 AND op <> 'D' AND role = 'user'
           AND conv_id >= 'conv-000010' AND conv_id < 'conv-000200'
+    """
+
+
+def _scd2_history_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        SELECT conv_id, turn_idx, role, text, tool,
+               op AS change_op,
+               ts AS valid_from_ts, lsn AS valid_from_lsn,
+               LEAD(ts) OVER w AS valid_to_ts,
+               LEAD(lsn) OVER w AS valid_to_lsn,
+               (LEAD(lsn) OVER w IS NULL AND op <> 'D') AS is_current
+        FROM read_parquet('{glob}')
+        WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+    """
+
+
+def _scd2_asof_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    k = _CDC_SIZES[sf_name][0] // 2
+    return f"""
+        WITH cut AS (
+            SELECT max(ts) AS t FROM read_parquet('{glob}') WHERE lsn <= {k}
+        ), ranked AS (
+            SELECT e.*, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}') e, cut WHERE e.ts <= cut.t
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
     """
 
 
@@ -1470,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
         "cdc_snapshot_pruned": _cdc_snapshot_pruned,
+        "cdc_scd2_history": _cdc_scd2_history,
+        "cdc_scd2_asof": _cdc_scd2_asof,
         "cdc_rollup": _cdc_rollup,
         "cdc_rollup_incremental": _cdc_rollup_incremental,
         "cdc_changefeed": _cdc_changefeed,
@@ -1582,6 +1677,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
+        "cdc_scd2_history": _scd2_history_oracle_sql(sf),
+        "cdc_scd2_asof": _scd2_asof_oracle_sql(sf),
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
         "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "cluster_embeddings",
     "events_value_quantiles",
     "bloom_semijoin_lineitem",
+    "cdc_scd2_history",
 ]
 
 

@@ -569,6 +569,7 @@ def _prep_segment_task(
     num_partitions: int,
     salt_map: dict | None = None,
     dq: tuple | None = None,
+    transform=None,
 ):
     """Read one changelog segment, LWW-combine (adaptively), hash-split by
     the leading key into ``num_partitions`` sub-tables.
@@ -585,7 +586,13 @@ def _prep_segment_task(
     import numpy as np
 
     _single_threaded_arrow()
-    t = normalize_table(pq.read_table(path), chg_schema)
+    t = pq.read_table(path)
+    if transform is not None:
+        # map-side event transform (see CDCEngine.event_transform): runs on
+        # the RAW segment rows, before schema normalization, so derived
+        # columns it adds participate in evolution like source columns
+        t = transform(t)
+    t = normalize_table(t, chg_schema)
     _reject_null_keys(t, key_cols, f"changelog segment {os.path.basename(path)!r}")
     if dq is not None:
         mode, checks, failure_dir, table_name, rc, epoch_id = dq
@@ -787,9 +794,22 @@ class CDCEngine:
         create_if_missing: bool = True,
         changefeed_retention_lsn: int | None | str = INHERIT,
         dq_mode: str | None = None,
+        event_transform=None,
     ):
         self.table_dir = table_dir
         self.spec = spec
+        #: optional map-side event transform applied to every raw segment
+        #: table before schema normalization / LWW (a picklable callable
+        #: ``pa.Table -> pa.Table`` with a ``transform_schema(pa.Schema)
+        #: -> pa.Schema`` method so epoch evolution planning sees the
+        #: POST-transform payload). Powers derived-at-ingest columns —
+        #: pipelines/history.py's SCD2 envelope is the flagship user.
+        if event_transform is not None and not hasattr(event_transform, "transform_schema"):
+            raise TypeError(
+                "event_transform must expose transform_schema(schema) -> schema "
+                "(evolution planning runs on the post-transform shape)"
+            )
+        self.event_transform = event_transform
         if dq_mode not in (None, "quarantine", "error"):
             raise ValueError(f"dq_mode must be None, 'quarantine' or 'error', got {dq_mode!r}")
         #: opt-in DQ gate on the CDC apply path: evaluate the spec's
@@ -979,6 +999,8 @@ class CDCEngine:
         incoming = schemas[0]
         for s in schemas[1:]:
             incoming, _ = merge_schemas(incoming, s)  # widening-aware unify
+        if self.event_transform is not None:
+            incoming = self.event_transform.transform_schema(incoming)
         payload = pa.schema([f for f in incoming if f.name not in _ENVELOPE])
         new_public, changes = plan_evolution(
             public_schema if public_schema is not None else self._public_schema(),
@@ -1023,7 +1045,8 @@ class CDCEngine:
         dq = self._dq_args(epoch.epoch_id)
         refs = [
             _prep_segment_task.options(num_returns=num_partitions).remote(
-                p, chg_schema, self.key_cols, num_partitions, salt_map, dq
+                p, chg_schema, self.key_cols, num_partitions, salt_map, dq,
+                self.event_transform,
             )
             for p in epoch.paths
         ]
@@ -1083,9 +1106,12 @@ class CDCEngine:
         else:
             salt_map = self.salt_map
             dq = self._dq_args(epoch.epoch_id)
+            transform = self.event_transform
 
             def prep(batch: pa.Table) -> pa.Table:
                 _single_threaded_arrow()
+                if transform is not None:
+                    batch = transform(batch)
                 batch = normalize_table(batch, chg_schema)
                 _reject_null_keys(batch, key_cols, "changelog batch")
                 if dq is not None:
