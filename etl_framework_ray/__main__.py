@@ -270,6 +270,25 @@ def main(argv: list[str] | None = None) -> int:
         "OUT/_dlq/ instead of failing the feed file",
     )
 
+    ppl = sub.add_parser(
+        "prune-log",
+        help="truncate changelog segments every consumer has fully applied",
+    )
+    ppl.add_argument("--log", required=True, help="changelog directory")
+    ppl.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        help="consumer table dir, repeatable — the prune horizon is the "
+        "MIN applied watermark across them (give EVERY consumer of the log)",
+    )
+    ppl.add_argument(
+        "--upto-lsn",
+        type=int,
+        default=None,
+        help="explicit horizon instead of --table watermarks",
+    )
+
     pv = sub.add_parser("vacuum", help="delete files unreferenced by the current manifest")
     pv.add_argument("--table", required=True)
     pv.add_argument(
@@ -541,6 +560,24 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "prune-log":
+        from .sources.changelog import ChangeLog
+
+        if not os.path.isdir(args.log):
+            print(json.dumps({"error": f"no changelog directory at {args.log!r}"}),
+                  file=sys.stderr)
+            raise SystemExit(2)
+        if (args.upto_lsn is None) == (not args.table):
+            print(json.dumps({"error": "pass --upto-lsn OR at least one --table"}),
+                  file=sys.stderr)
+            raise SystemExit(2)
+        upto = (
+            args.upto_lsn
+            if args.upto_lsn is not None
+            else min(_existing_engine(t).manifest.applied_lsn for t in args.table)
+        )
+        n = ChangeLog(args.log).prune(upto)
+        print(json.dumps({"segments_removed": n, "upto_lsn": upto}))
     elif args.cmd == "vacuum":
         eng = _existing_engine(args.table)
         print(json.dumps({"files_removed": eng.vacuum(grace_s=args.grace_s)}))

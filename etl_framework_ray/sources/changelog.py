@@ -90,6 +90,30 @@ class ChangeLog:
         segs.sort(key=lambda s: s.min_lsn)
         return segs
 
+    def prune(self, upto_lsn: int) -> int:
+        """Log truncation: delete segment files whose ENTIRE LSN range is
+        at or below ``upto_lsn`` (a straddling segment is kept whole —
+        segments are the atomic unit). Returns the number removed.
+
+        ``upto_lsn`` must be the MINIMUM applied watermark across every
+        consumer of this log (lake engines, history tables, lagging
+        tailers) — the caller owns that computation; the log has no
+        consumer registry by design (any number of independent readers
+        may attach without coordination). The CLI ``prune-log`` derives
+        it from ``--table`` manifests. Removal is safe against concurrent
+        replays of THOSE consumers: their resume path skips
+        ``max_lsn <= applied_lsn`` segments without opening them, and
+        epoch planning lists the directory fresh each poll."""
+        removed = 0
+        for seg in self.segments():
+            if seg.max_lsn <= upto_lsn:
+                try:
+                    os.remove(seg.path)
+                    removed += 1
+                except FileNotFoundError:
+                    pass  # racing pruner — already gone
+        return removed
+
     def epochs(self, segments_per_epoch: int = 4, after_lsn: int = 0) -> list[Epoch]:
         """Group segments into epochs, skipping segments fully applied
         (``max_lsn <= after_lsn`` — the resume path)."""

@@ -58,6 +58,58 @@ def test_cli_snapshot_and_metrics(tmp_path, capsys):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_changelog_prune_and_cli(tmp_path, capsys):
+    """Log truncation: prune removes only fully-applied segments (a
+    straddler survives whole), replay of the remainder still lands the
+    exact oracle state, and the CLI derives the horizon as the MIN
+    watermark across ALL consumer tables."""
+    import json
+
+    from etl_framework_ray.__main__ import main
+
+    log = generate_changelog(GenConfig(num_events=3000, num_conversations=40, seed=93))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=400)  # 8 segments
+    n_segs = len(clog.segments())
+
+    # consumer A applies everything; consumer B lags at ~half the log
+    a = CDCEngine(str(tmp_path / "a"), num_partitions=2)
+    a.replay(clog, segments_per_epoch=2)
+    b = CDCEngine(str(tmp_path / "b"), num_partitions=2)
+    first_epoch = clog.epochs(segments_per_epoch=4)[0]
+    b.apply_epoch(first_epoch)
+
+    # CLI: horizon = min(watermarks) = B's — only B-applied segments go
+    main(["prune-log", "--log", str(tmp_path / "log"),
+          "--table", str(tmp_path / "a"), "--table", str(tmp_path / "b")])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["upto_lsn"] == b.manifest.applied_lsn == first_epoch.epoch_id
+    assert out["segments_removed"] == 4
+    assert len(clog.segments()) == n_segs - 4
+    assert all(s.max_lsn > out["upto_lsn"] for s in clog.segments())
+
+    # B catches up from the truncated log and matches the oracle exactly
+    b.replay(clog, segments_per_epoch=2)
+    oracle = oracle_replay(log)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in b.snapshot_arrow().to_pylist()}
+    assert len(got) == len(oracle)
+    assert all(got[k]["text"] == o["text"] for k, o in oracle.items())
+
+    # straddler safety: a horizon inside a segment's range keeps it
+    seg = clog.segments()[0]
+    assert clog.prune(seg.min_lsn) == 0  # mid-range, not fully applied
+    assert clog.prune(seg.max_lsn) == 1
+
+    # guards: missing dir; both/neither horizon source
+    with pytest.raises(SystemExit):
+        main(["prune-log", "--log", str(tmp_path / "nope")])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        main(["prune-log", "--log", str(tmp_path / "log")])
+    assert "upto-lsn" in capsys.readouterr().err
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_cli_readonly_rejects_missing_table(tmp_path, capsys):
     """A mistyped --table path must error, not create an empty table."""
     from etl_framework_ray.__main__ import main
