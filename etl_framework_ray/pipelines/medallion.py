@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -182,12 +181,13 @@ def revenue_by_mktsegment(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("r_c_mktsegment", sort=False)["o_totalprice"].sum().reset_index()
-        return pa.Table.from_pandas(
-            g.rename(columns={"o_totalprice": "revenue", "r_c_mktsegment": "c_mktsegment"}),
-            preserve_index=False,
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        g = batch.group_by("r_c_mktsegment", use_threads=False).aggregate(
+            [("o_totalprice", "sum")]
         )
+        return g.rename_columns(["c_mktsegment", "revenue"])
 
     from ray.data.aggregate import Sum
 
@@ -244,15 +244,24 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = (
-            df.rename(columns={"r_o_orderdate": "o_orderdate"})
-            .groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"]
-            .sum()
-            .reset_index()
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "o_orderdate": batch.column("r_o_orderdate"),
+                "revenue": rev,
+            }
+        )
+        g = t.group_by(["l_orderkey", "o_orderdate"], use_threads=False).aggregate(
+            [("revenue", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "o_orderdate", "revenue"])
 
     from ray.data.aggregate import Sum
 
@@ -260,6 +269,16 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "199
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("revenue", alias_name="revenue"))
+        # Ray's Aggregate sort path downcasts the timestamp key to second
+        # precision; the query's published schema (and the oracle's) is µs
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("o_orderdate"),
+                "o_orderdate",
+                t.column("o_orderdate").cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
         .map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
         .sort(["revenue", "l_orderkey"], descending=[True, True])
         .limit(10)
@@ -271,11 +290,19 @@ def events_props_k(sf_dir: str) -> "ray.data.Dataset":
     engines — RE2 parity like text_stats): mean value per extracted k."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
         k = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
         kv = pc.struct_field(k, "k").cast(pa.int64())
-        df = pa.table({"k": kv, "value": batch.column("value")}).to_pandas()
-        g = df.groupby("k", sort=False).agg(n=("value", "size"), sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"k": kv, "value": batch.column("value")})
+        # unmatched-regex rows have NULL k; the previous pandas groupby
+        # dropped them (dropna default) — keep that contract explicitly
+        t = t.filter(pc.is_valid(kv))
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("value", "count", pc.CountOptions(mode="all")), ("value", "sum")]
+        )
+        return g.rename_columns(["k", "n", "sum_value"])
 
     from ray.data.aggregate import Sum
 
@@ -299,19 +326,40 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     per batch before the shuffle."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
-            )
-            .reset_index()
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "disc_price": disc,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count", pc.CountOptions(mode="all")),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -339,17 +387,23 @@ def events_timeliness(sf_dir: str) -> "ray.data.Dataset":
     quality.py:43-59)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
         before9 = pc.less(pc.hour(batch.column("ts")), 9)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_pandas(),
-                "before_9": pc.if_else(before9, 1, 0).to_pandas(),
+                "event_type": batch.column("event_type"),
+                "before_9": pc.if_else(before9, pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64())),
             }
         )
-        g = df.groupby("event_type", sort=False).agg(
-            n_events=("event_type", "size"), n_before_9=("before_9", "sum")
+        g = t.group_by("event_type", use_threads=False).aggregate(
+            [
+                ("event_type", "count", pc.CountOptions(mode="all")),
+                ("before_9", "sum"),
+            ]
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return g.rename_columns(["event_type", "n_events", "n_before_9"])
 
     from ray.data.aggregate import Sum
 
