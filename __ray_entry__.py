@@ -514,16 +514,135 @@ def _curation_oracle_sql(sf_name: str) -> str:
     """
 
 
-def _split_segments(sf_name: str) -> tuple[list, list]:
+def _split_segments(sf_name: str, src: str | None = None) -> tuple[list, list]:
     """The half-log split shared by the IVM queries and their oracles:
     first half bootstraps, the rest is the incremental window."""
-    src = _changelog_dir(sf_name)
+    src = src or _changelog_dir(sf_name)
     segs = sorted(f for f in os.listdir(src) if f.startswith("segment-"))
     half = max(1, len(segs) // 2)
     return (
         [os.path.join(src, f) for f in segs[:half]],
         [os.path.join(src, f) for f in segs[half:]],
     )
+
+
+def _profile_changelog_dir(sf_name: str) -> str:
+    return os.path.join(CDC_CACHE_ROOT, sf_name, "profile_changelog")
+
+
+def _ensure_profile_changelog(sf_name: str) -> str:
+    """Deterministic changelog for the conv_profile DIMENSION table (one
+    row per conversation, same conv-id universe as the transcript log) —
+    the second CDC source the incremental join view maintains against."""
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_profile_changelog
+
+    d = _profile_changelog_dir(sf_name)
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    n_events, n_convs = _CDC_SIZES[sf_name]
+    n_profile = max(1_000, n_events // 5)
+    log = generate_profile_changelog(
+        GenConfig(
+            num_events=n_profile,
+            num_conversations=n_convs,
+            seed=_CDC_SEED,
+            out_of_order=True,
+        )
+    )
+    ChangeLog(d).write_segments(log, segment_rows=max(1_000, n_profile // 8))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _cdc_join_incremental(sf_dir: str):
+    """Incrementally-maintained JOIN view across two co-partitioned CDC
+    tables (IVM over BOTH changefeeds): transcripts (fact) LEFT JOIN
+    conv_profile (dimension) USING (conv_id). Replay half of each log,
+    bootstrap the view, replay the rest of both, advance — only the
+    conversations touched on EITHER side recompute, one task per touched
+    partition, no shuffle. Must equal the SQL join of the two
+    LWW-resolved final states byte-for-byte."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.incremental import IncrementalJoin
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.state.schema import CONV_PROFILE
+
+    sf = _sf_name(sf_dir)
+    _ensure_changelog(sf)
+    _ensure_profile_changelog(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_ivmj_{sf}_")
+    staged_t = os.path.join(work, "tlog")
+    staged_p = os.path.join(work, "plog")
+    os.makedirs(staged_t)
+    os.makedirs(staged_p)
+    t_first, t_rest = _split_segments(sf)
+    p_first, p_rest = _split_segments(sf, _profile_changelog_dir(sf))
+    for f in t_first:
+        os.symlink(f, os.path.join(staged_t, os.path.basename(f)))
+    for f in p_first:
+        os.symlink(f, os.path.join(staged_p, os.path.basename(f)))
+    L = CDCEngine(
+        os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
+    )
+    R = CDCEngine(
+        os.path.join(work, "profile"),
+        spec=CONV_PROFILE,
+        num_partitions=32,
+        compact_every=1_000_000,
+    )
+    view = IncrementalJoin(
+        L, R, os.path.join(work, "view"), right_cols=["channel", "priority"], how="left"
+    )
+    L.replay(ChangeLog(staged_t), segments_per_epoch=1)
+    R.replay(ChangeLog(staged_p), segments_per_epoch=1)
+    view.advance()  # bootstrap at the half-log states
+    for f in t_rest:
+        os.symlink(f, os.path.join(staged_t, os.path.basename(f)))
+    for f in p_rest:
+        os.symlink(f, os.path.join(staged_p, os.path.basename(f)))
+    L.replay(ChangeLog(staged_t), segments_per_epoch=1)
+    R.replay(ChangeLog(staged_p), segments_per_epoch=1)
+    view.advance()  # incremental window: union of touched conversations
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return view.read().map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_join_oracle_sql(sf_name: str) -> str:
+    t_glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    p_glob = os.path.join(_profile_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH t_ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{t_glob}')
+        ), t_snap AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM t_ranked WHERE rn = 1 AND op <> 'D'
+        ), p_ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{p_glob}')
+        ), p_snap AS (
+            SELECT conv_id, channel, priority
+            FROM p_ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+               p.channel, p.priority
+        FROM t_snap t LEFT JOIN p_snap p USING (conv_id)
+    """
 
 
 def _cdc_view_changes(sf_dir: str):
@@ -1575,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_view_changes": _cdc_view_changes,
         "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
+        "cdc_join_incremental": _cdc_join_incremental,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
         "clean_parts": m.clean_parts,
@@ -1689,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_view_changes": _view_changes_oracle_sql(sf),
         "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
+        "cdc_join_incremental": _cdc_join_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),
         "turn_gaps": _turn_gaps_oracle_sql(sf),

@@ -331,7 +331,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pi.add_argument(
         "--kind",
-        choices=_VIEW_KIND_CHOICES,
+        choices=_VIEW_KIND_CHOICES + ("join",),
         default="rollup",
     )
     pi.add_argument(
@@ -342,6 +342,20 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument(
         "--min-chars", type=int, default=20,
         help="curation kind only: quality gate's minimum redacted length",
+    )
+    pi.add_argument(
+        "--right-table",
+        help="join kind only: the dimension table's dir (--table is the "
+        "fact side; both must share the leading PK column and partition count)",
+    )
+    pi.add_argument(
+        "--right-cols",
+        help="join kind only: comma-separated dimension columns to attach "
+        "(default: every non-key right column that does not clash)",
+    )
+    pi.add_argument(
+        "--how", choices=("left", "inner"), default="left",
+        help="join kind only: join mode",
     )
 
     pa_ = sub.add_parser(
@@ -597,11 +611,28 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "ivm":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)
-        cls = _view_kinds()[args.kind]
-        kw = {"emit_changes": args.emit_changes}
-        if args.kind == "curation":
-            kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
-        view = cls(eng, args.view, **kw)
+        if args.kind == "join":
+            from .pipelines.incremental import IncrementalJoin
+
+            if not args.right_table:
+                print(
+                    json.dumps({"error": "--kind join requires --right-table"}),
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            view = IncrementalJoin(
+                eng,
+                _existing_engine(args.right_table),
+                args.view,
+                right_cols=args.right_cols.split(",") if args.right_cols else None,
+                how=args.how,
+            )
+        else:
+            cls = _view_kinds()[args.kind]
+            kw = {"emit_changes": args.emit_changes}
+            if args.kind == "curation":
+                kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
+            view = cls(eng, args.view, **kw)
         if args.fsck:
             r = view.fsck()
             print(json.dumps(r))

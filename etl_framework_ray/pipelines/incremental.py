@@ -78,14 +78,67 @@ def _conv_hashes(t_or_col) -> np.ndarray:
 
 
 @ray.remote
-def _touched_hashes_task(path: str) -> np.ndarray:
-    """Unique conversation-id hashes present in one delta file (column-pruned
-    read; output is O(distinct convs in the file))."""
+def _touched_hashes_task(path: str, key_col: str = "conv_id") -> np.ndarray:
+    """Unique key hashes present in one delta file (column-pruned read;
+    output is O(distinct keys in the file))."""
     from .cdc import _single_threaded_arrow
 
     _single_threaded_arrow()
-    t = pq.read_table(path, columns=["conv_id"])
-    return np.unique(_conv_hashes(t))
+    t = pq.read_table(path, columns=[key_col])
+    return np.unique(stable_hash_array(t.column(key_col)))
+
+
+def _salt_fanout_files(
+    man, salt_map: dict, touched, touched_pids, num_partitions: int
+) -> dict[int, list[str]]:
+    """Extra lake files a view's partition task must read because of
+    hot-key salting: a salted key's rows fan out across ``(hash+s) % P``
+    partitions while its VIEW row lives with its home partition — the
+    task owning the home pid reads the fanout partitions' file stacks
+    too (rows are filtered back down by touched/pid inside the task).
+    ``touched=None`` means a full rebuild (every salted key qualifies)."""
+    extra_files: dict[int, list[str]] = {}
+    if not salt_map:
+        return extra_files
+    sm_vals = np.array(list(salt_map.keys()), dtype=object)
+    sm_hash = stable_hash_array(sm_vals)
+    for val, h in zip(sm_vals, sm_hash):
+        home = int(h % np.uint64(num_partitions))
+        if touched is not None and not in_sorted(
+            np.array([h], dtype=np.uint64), touched
+        )[0]:
+            continue
+        if home not in touched_pids:
+            continue
+        fanout = int(salt_map[val])
+        for s in range(fanout):
+            fpid = int((h + np.uint64(s)) % np.uint64(num_partitions))
+            if fpid != home:
+                extra_files.setdefault(home, []).extend(
+                    man.partitions[fpid].files if fpid in man.partitions else []
+                )
+    return extra_files
+
+
+def _prune_view_dir(dirpath: str, live: set[str], grace_s: float) -> None:
+    """Remove superseded view versions and crash orphans from one view
+    directory, graced so lazy readers of the PREVIOUS version finish
+    their file lists (``prune_grace_s`` doc on the view classes);
+    survivors go on a later commit's pass."""
+    import time as _time
+
+    cutoff = _time.time() - grace_s
+    for name in os.listdir(dirpath):
+        # superseded parquet AND crash-orphaned .tmp residue (a task
+        # killed between write and rename)
+        if name in live or not (name.endswith(".parquet") or ".parquet.tmp-" in name):
+            continue
+        full = os.path.join(dirpath, name)
+        try:
+            if os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+        except FileNotFoundError:
+            pass  # another committer's prune won the race
 
 
 def _rollup_partial(live: pa.Table) -> pd.DataFrame:
@@ -298,42 +351,21 @@ class IncrementalRollup:
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, path)
-
-        def _prune(dirpath: str, live: set[str]) -> None:
-            # superseded versions and crash orphans, graced so lazy
-            # readers of the PREVIOUS version finish their file lists
-            # (prune_grace_s doc on __init__); survivors go on a later
-            # commit's pass
-            import time as _time
-
-            cutoff = _time.time() - self.prune_grace_s
-            for name in os.listdir(dirpath):
-                # superseded parquet AND crash-orphaned .tmp residue (a
-                # task killed between write and rename)
-                if name in live or not (
-                    name.endswith(".parquet") or ".parquet.tmp-" in name
-                ):
-                    continue
-                full = os.path.join(dirpath, name)
-                try:
-                    if os.path.getmtime(full) <= cutoff:
-                        os.remove(full)
-                except FileNotFoundError:
-                    pass  # another committer's prune won the race
-
-        _prune(
+        _prune_view_dir(
             self.view_dir,
             {os.path.basename(p) for p in state["files"].values()} | {_MANIFEST},
+            self.prune_grace_s,
         )
         ch_dir = os.path.join(self.view_dir, _CHANGES_DIR)
         if os.path.isdir(ch_dir):
-            _prune(
+            _prune_view_dir(
                 ch_dir,
                 {
                     os.path.basename(p)
                     for ps in (state.get("deltas") or {}).values()
                     for p in ps
                 },
+                self.prune_grace_s,
             )
 
     # -- public API ----------------------------------------------------
@@ -688,29 +720,9 @@ class IncrementalRollup:
         if not emit:
             delta_floor, deltas = version, {}
 
-        # salted hot conversations fan out across (hash+s) % P — the view
-        # task owning the conv's HOME partition must read the fanout
-        # partitions' file stacks too (filtered back down by touched/pid)
-        extra_files: dict[int, list[str]] = {}
-        salt_map = eng.salt_map
-        if salt_map:
-            sm_vals = np.array(list(salt_map.keys()), dtype=object)
-            sm_hash = stable_hash_array(sm_vals)
-            for val, h in zip(sm_vals, sm_hash):
-                home = int(h % np.uint64(num_partitions))
-                if touched is not None and not in_sorted(
-                    np.array([h], dtype=np.uint64), touched
-                )[0]:
-                    continue
-                if home not in touched_pids:
-                    continue
-                fanout = int(salt_map[val])
-                for s in range(fanout):
-                    fpid = int((h + np.uint64(s)) % np.uint64(num_partitions))
-                    if fpid != home:
-                        extra_files.setdefault(home, []).extend(
-                            man.partitions[fpid].files if fpid in man.partitions else []
-                        )
+        extra_files = _salt_fanout_files(
+            man, eng.salt_map, touched, touched_pids, num_partitions
+        )
 
         touched_ref = ray.put(touched)  # None (full) or sorted uint64 array
         lake_sch = man.schema
@@ -1283,3 +1295,459 @@ class IncrementalCuration(IncrementalRollup):
             return batch.filter(mask).select(["conv_id", "n_turns", "text"])
 
         return self.read().map_batches(keep, batch_format="pyarrow")
+
+
+class IncrementalJoin:
+    """Incrementally-maintained JOIN view across TWO co-partitioned CDC
+    tables — the materialized form of ``fact LEFT JOIN dim USING (key)``
+    kept continuously fresh from both tables' changefeeds at O(changed
+    keys) per ``advance()``.
+
+    The canonical instance is ``transcripts ⋈ conv_profile``: the turn-
+    grained fact table enriched with per-conversation dimension columns.
+    IVM for joins normally needs delta-join algebra (ΔL ⋈ R  ∪  L ⋈ ΔR)
+    plus before-images for updates/deletes; this engine's changefeeds
+    deliberately carry no before-images, so the view uses the same
+    recompute-the-touched-groups strategy as :class:`IncrementalRollup`,
+    generalized to two sources: the touched-key set is the UNION of keys
+    present in either table's new delta files, and each touched key's
+    join rows are recomputed from BOTH lakes' current merge-on-read
+    state. A key touched only on the dimension side still re-joins its
+    fact rows — the union guarantees it.
+
+    Scale shape (the co-partitioning contract):
+    - Both engines must route by the SAME leading primary-key column and
+      hold the SAME partition count (validated, fail-loud) — then
+      ``hash(key) % P`` co-locates every key's fact rows, dimension row
+      and view rows, and an advance is ONE Ray task per touched
+      partition reading both sides' file stacks. No shuffle anywhere.
+    - Touched-key discovery is column-pruned and O(distinct keys) per
+      delta file; the broadcast is the sorted hash array, never rows.
+    - The dimension side is merged per partition (O(keys/P) rows); the
+      fact side streams through the k-way chunk merge and joins
+      CHUNK-WISE against the dimension partition — valid because inner
+      and left joins are row-local on the fact side — so peak memory is
+      O(chunk + dim partition + output), never O(fact partition input).
+    - Salted hot keys on either engine pull their fanout partitions'
+      files into the home-partition task (:func:`_salt_fanout_files`).
+
+    Same durable-state contracts as :class:`IncrementalRollup`:
+    versioned manifest swap with graced pruning, fail-loud on reshard
+    (either side) or a config change (``rebuild()`` recovers), fail-loud
+    when a watermark lags past a changefeed retention floor, single
+    writer per view directory.
+    """
+
+    def __init__(
+        self,
+        left_engine,
+        right_engine,
+        view_dir: str,
+        right_cols: list[str] | None = None,
+        how: str = "left",
+    ):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        if not left_engine.key_cols or not right_engine.key_cols:
+            raise ValueError("both tables need a primary key to co-partition on")
+        on = left_engine.key_cols[0]
+        if right_engine.key_cols[0] != on:
+            raise ValueError(
+                f"co-partitioning requires the same leading key column: "
+                f"left routes by {on!r}, right by {right_engine.key_cols[0]!r}"
+            )
+        self.left = left_engine
+        self.right = right_engine
+        self.view_dir = view_dir
+        self.on = on
+        self.how = how
+        left_pub = left_engine._public_schema()
+        right_pub = right_engine._public_schema()
+        if right_cols is None:
+            right_cols = [
+                n for n in right_pub.names if n != on and n not in left_pub.names
+            ]
+        clashes = [c for c in right_cols if c in left_pub.names]
+        if clashes:
+            raise ValueError(
+                f"right columns {clashes} clash with left columns; pass "
+                "right_cols excluding (or the caller renaming) them"
+            )
+        missing = [c for c in right_cols if c not in right_pub.names]
+        if missing:
+            raise ValueError(f"right columns {missing} not in the right table")
+        self.right_cols = list(right_cols)
+        #: published view schema: left public columns, then the selected
+        #: right columns (null-padded under how='left')
+        self.schema = pa.schema(
+            list(left_pub) + [right_pub.field(c) for c in self.right_cols]
+        )
+        self.prune_grace_s: float = 0.0
+        os.makedirs(view_dir, exist_ok=True)
+
+    # -- durable state (same file conventions as IncrementalRollup) ------
+    def _load_state(self) -> dict | None:
+        path = os.path.join(self.view_dir, _MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_state(self, state: dict) -> None:
+        path = os.path.join(self.view_dir, _MANIFEST)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+        _prune_view_dir(
+            self.view_dir,
+            {os.path.basename(p) for p in state["files"].values()} | {_MANIFEST},
+            self.prune_grace_s,
+        )
+
+    def _config_fp(self) -> str:
+        return (
+            f"join:on={self.on},how={self.how},right_cols={','.join(self.right_cols)},"
+            f"left={self.left.manifest.table},right={self.right.manifest.table}"
+        )
+
+    @property
+    def version(self) -> int:
+        state = self._load_state()
+        return int(state["version"]) if state else 0
+
+    @property
+    def watermarks(self) -> tuple[int, int]:
+        """(left applied LSN, right applied LSN) the view reflects."""
+        state = self._load_state()
+        if state is None:
+            return (0, 0)
+        return (int(state["wm_left"]), int(state["wm_right"]))
+
+    def read(self) -> "ray.data.Dataset":
+        state = self._load_state()
+        files = sorted(state["files"].values()) if state else []
+        if not files:
+            return ray.data.from_arrow(self.schema.empty_table())
+        return ray.data.read_parquet(files)
+
+    def read_arrow(self) -> pa.Table:
+        state = self._load_state()
+        files = sorted(state["files"].values()) if state else []
+        if not files:
+            return self.schema.empty_table()
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([(c, "ascending") for c in self.left.key_cols])
+
+    def fsck(self) -> dict:
+        """Consistency audit: listed files exist with readable footers and
+        rows that hash-route to their partition; partition counts still
+        match both engines; watermarks never exceed the engines'."""
+        state = self._load_state()
+        if state is None:
+            return {"ok": True, "files_checked": 0, "issues": []}
+        issues: list[str] = []
+        n = 0
+        P = int(state["num_partitions"])
+        for eng, side in ((self.left, "left"), (self.right, "right")):
+            if int(eng.manifest.num_partitions) != P:
+                issues.append(
+                    f"view built at {P} partitions, {side} engine now at "
+                    f"{eng.manifest.num_partitions} (reshard): rebuild() required"
+                )
+        for pid_s, f in sorted(state["files"].items()):
+            n += 1
+            if not os.path.exists(f):
+                issues.append(f"pid {pid_s}: missing view file {os.path.basename(f)}")
+                continue
+            try:
+                t = pq.read_table(f, columns=[self.on])
+            except Exception as e:
+                issues.append(f"pid {pid_s}: unreadable {os.path.basename(f)}: {e}")
+                continue
+            if t.num_rows:
+                h = stable_hash_array(t.column(self.on))
+                if ((h % np.uint64(P)).astype(np.int64) != int(pid_s)).any():
+                    issues.append(f"pid {pid_s}: row routed to wrong view partition")
+        if int(state["wm_left"]) > int(self.left.manifest.applied_lsn):
+            issues.append(
+                f"left watermark {state['wm_left']} above engine "
+                f"{self.left.manifest.applied_lsn}"
+            )
+        if int(state["wm_right"]) > int(self.right.manifest.applied_lsn):
+            issues.append(
+                f"right watermark {state['wm_right']} above engine "
+                f"{self.right.manifest.applied_lsn}"
+            )
+        if state.get("config") != self._config_fp():
+            issues.append(
+                f"config mismatch: built as {state.get('config')!r}, "
+                f"audited as {self._config_fp()!r}"
+            )
+        return {"ok": not issues, "files_checked": n, "issues": issues}
+
+    def rebuild(self) -> dict:
+        """Full recompute — bootstrap, and the documented recovery after a
+        reshard, a config change, or lagging past a retention floor."""
+        return self._run(full=True)
+
+    def advance(self) -> dict:
+        """Bring the view up to both engines' committed LSNs."""
+        state = self._load_state()
+        if state is None:
+            return self._run(full=True)
+        if state.get("config") != self._config_fp():
+            raise RuntimeError(
+                f"view at {self.view_dir!r} was built as {state.get('config')!r}; "
+                f"advancing it as {self._config_fp()!r} would mix incompatible "
+                "rows — use the original config or rebuild()"
+            )
+        P = int(state["num_partitions"])
+        for eng, side in ((self.left, "left"), (self.right, "right")):
+            if int(eng.manifest.num_partitions) != P:
+                raise RuntimeError(
+                    f"{side} table was resharded ({P} -> "
+                    f"{eng.manifest.num_partitions} partitions) since this view's "
+                    "last advance; call rebuild()"
+                )
+        wl, wr = int(state["wm_left"]), int(state["wm_right"])
+        if (
+            self.left.manifest.applied_lsn <= wl
+            and self.right.manifest.applied_lsn <= wr
+        ):
+            return {
+                "wm_left": wl,
+                "wm_right": wr,
+                "touched_keys": 0,
+                "touched_partitions": 0,
+                "rows_written": 0,
+            }
+        return self._run(full=False, state=state)
+
+    # -- core -------------------------------------------------------------
+    def _metrics_append(self, row: dict) -> None:
+        import time as _time
+
+        row = {"ts": _time.time(), **row}
+        with open(os.path.join(self.view_dir, "_view_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def _run(self, full: bool, state: dict | None = None) -> dict:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        lman, rman = self.left.manifest, self.right.manifest
+        P = int(lman.num_partitions)
+        if int(rman.num_partitions) != P:
+            raise RuntimeError(
+                f"tables are not co-partitioned: left has {P} partitions, "
+                f"right {rman.num_partitions} — reshard one side first"
+            )
+        cur_l, cur_r = int(lman.applied_lsn), int(rman.applied_lsn)
+        old_files: dict[str, str] = dict(state["files"]) if state and not full else {}
+        prev = state if state is not None else self._load_state()
+        version = int(prev["version"]) + 1 if prev else 1
+
+        if full:
+            pid_set = {pid for pid in lman.partitions if lman.partitions[pid].files}
+            pid_set |= {pid for pid in rman.partitions if rman.partitions[pid].files}
+            for eng in (self.left, self.right):
+                for val in eng.salt_map:
+                    h = stable_hash_array(np.array([val], dtype=object))[0]
+                    pid_set.add(int(h % np.uint64(P)))
+            touched = None
+            touched_pids = sorted(pid_set)
+        else:
+            wl, wr = int(state["wm_left"]), int(state["wm_right"])
+            # validates both horizons (raises past retention floor/compaction)
+            new_l = self.left._changefeed_files(wl)
+            new_r = self.right._changefeed_files(wr)
+            paths = [f for _pid, f in new_l] + [f for _pid, f in new_r]
+            if not paths:
+                touched, touched_pids = np.array([], dtype=np.uint64), []
+            else:
+                uniq = ray.get(
+                    [_touched_hashes_task.remote(f, self.on) for f in paths]
+                )
+                touched = np.unique(np.concatenate(uniq))
+                touched_pids = sorted(
+                    int(p) for p in np.unique(touched % np.uint64(P))
+                )
+        if not touched_pids:
+            new_state = {
+                "version": version,
+                "wm_left": cur_l,
+                "wm_right": cur_r,
+                "files": old_files,
+                "num_partitions": P,
+                "config": self._config_fp(),
+            }
+            self._commit_state(new_state)
+            out = {
+                "wm_left": cur_l,
+                "wm_right": cur_r,
+                "touched_keys": 0,
+                "touched_partitions": 0,
+                "rows_written": 0,
+            }
+            self._metrics_append(
+                {
+                    "version": version,
+                    "full": full,
+                    "seconds": round(_time.perf_counter() - t0, 4),
+                    **out,
+                }
+            )
+            return out
+
+        extra_l = _salt_fanout_files(lman, self.left.salt_map, touched, touched_pids, P)
+        extra_r = _salt_fanout_files(rman, self.right.salt_map, touched, touched_pids, P)
+
+        touched_ref = ray.put(touched)
+        l_sch, r_sch = lman.schema, rman.schema
+        l_keys, r_keys = self.left.key_cols, self.right.key_cols
+        on, how, right_cols = self.on, self.how, list(self.right_cols)
+        out_schema = self.schema
+        sort_keys = [(c, "ascending") for c in l_keys]
+        left_names = [f.name for f in self.left._public_schema()]
+        view_dir = self.view_dir
+
+        items = []
+        for pid in touched_pids:
+            items.append(
+                {
+                    "pid": pid,
+                    "l_files": (
+                        list(lman.partitions[pid].files) if pid in lman.partitions else []
+                    )
+                    + extra_l.get(pid, []),
+                    "r_files": (
+                        list(rman.partitions[pid].files) if pid in rman.partitions else []
+                    )
+                    + extra_r.get(pid, []),
+                    "old_file": old_files.get(str(pid)),
+                    "out": os.path.join(
+                        view_dir,
+                        f"part-{pid:05d}-v{version:06d}-{uuid.uuid4().hex[:8]}.parquet",
+                    ),
+                }
+            )
+
+        def join_partition(batch: pa.Table) -> pa.Table:
+            from .cdc import (
+                DELETED_COL,
+                _is_cdc_sorted,
+                _single_threaded_arrow,
+                iter_merged_partition,
+                merge_partition_files,
+            )
+
+            _single_threaded_arrow()
+            touched_local = ray.get(touched_ref)
+            out_meta = []
+            for row in batch.to_pylist():
+                pid = int(row["pid"])
+
+                def select(chunk: pa.Table, cols: list[str]) -> pa.Table:
+                    live = chunk.filter(pc.invert(chunk.column(DELETED_COL)))
+                    if not live.num_rows:
+                        return live.select(cols)
+                    h = stable_hash_array(live.column(on))
+                    keep = (h % np.uint64(P)).astype(np.int64) == pid
+                    if touched_local is not None:
+                        keep &= in_sorted(h, touched_local)
+                    return live.filter(pa.array(keep)).select(cols)
+
+                # dimension side: merged once per partition (O(keys/P) rows)
+                r_live = (
+                    select(
+                        merge_partition_files(row["r_files"], r_sch, r_keys),
+                        [on] + right_cols,
+                    )
+                    if row["r_files"]
+                    else out_schema.empty_table().select([on] + right_cols)
+                )
+
+                def join_chunk(chunk: pa.Table) -> pa.Table:
+                    sel = select(chunk, left_names)
+                    if not sel.num_rows:
+                        return out_schema.empty_table()
+                    j = sel.join(
+                        r_live,
+                        keys=on,
+                        join_type="inner" if how == "inner" else "left outer",
+                        use_threads=False,
+                    )
+                    return j.select(out_schema.names).cast(out_schema)
+
+                pieces: list[pa.Table] = []
+                if row["l_files"]:
+                    if l_keys and len(l_keys) <= 2 and _is_cdc_sorted(row["l_files"]):
+                        for chunk in iter_merged_partition(row["l_files"], l_sch, l_keys):
+                            j = join_chunk(chunk)
+                            if j.num_rows:
+                                pieces.append(j)
+                    else:
+                        j = join_chunk(merge_partition_files(row["l_files"], l_sch, l_keys))
+                        if j.num_rows:
+                            pieces.append(j)
+                fresh = (
+                    pa.concat_tables(pieces) if pieces else out_schema.empty_table()
+                )
+
+                pieces = [fresh]
+                if touched_local is not None and row["old_file"]:
+                    old = pq.read_table(row["old_file"])
+                    keep_mask = ~in_sorted(
+                        stable_hash_array(old.column(on)), touched_local
+                    )
+                    old_kept = old.filter(pa.array(keep_mask))
+                    if old_kept.num_rows:
+                        pieces.append(old_kept)
+                out = pa.concat_tables(pieces).sort_by(sort_keys)
+                tmp = f"{row['out']}.tmp-{os.getpid()}"
+                pq.write_table(out, tmp)
+                os.replace(tmp, row["out"])
+                out_meta.append({"pid": pid, "rows": out.num_rows, "path": row["out"]})
+            return pa.Table.from_pylist(out_meta)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(join_partition, batch_format="pyarrow", batch_size=1)
+            .take_all()  # O(touched partitions) meta rows only
+        )
+
+        files = dict(old_files)
+        rows_written = 0
+        for r in results:
+            rows_written += int(r["rows"])
+            if r["rows"]:
+                files[str(r["pid"])] = r["path"]
+            else:
+                files.pop(str(r["pid"]), None)
+                os.remove(r["path"])
+        new_state = {
+            "version": version,
+            "wm_left": cur_l,
+            "wm_right": cur_r,
+            "files": files,
+            "num_partitions": P,
+            "config": self._config_fp(),
+        }
+        self._commit_state(new_state)
+        out = {
+            "wm_left": cur_l,
+            "wm_right": cur_r,
+            "touched_keys": -1 if touched is None else int(len(touched)),
+            "touched_partitions": len(touched_pids),
+            "rows_written": rows_written,
+        }
+        self._metrics_append(
+            {
+                "version": version,
+                "full": full,
+                "seconds": round(_time.perf_counter() - t0, 4),
+                **out,
+            }
+        )
+        return out

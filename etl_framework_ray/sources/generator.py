@@ -139,6 +139,95 @@ def generate_changelog(cfg: GenConfig) -> pa.Table:
     )
 
 
+#: per-conversation dimension-table changelog (state/schema.CONV_PROFILE):
+#: one row per conversation, PK = (conv_id,) — the second CDC table the
+#: incremental join view maintains against the transcripts fact table
+PROFILE_CHANGELOG_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64(), nullable=False),
+        pa.field("op", pa.string(), nullable=False),  # I | U | D
+        pa.field("ts", pa.timestamp("us"), nullable=False),
+        pa.field("conv_id", pa.string(), nullable=False),
+        pa.field("channel", pa.string()),
+        pa.field("priority", pa.int32()),
+    ]
+)
+
+CHANNELS = np.array(["web", "mobile", "api", "partner", "internal"])
+
+
+def generate_profile_changelog(cfg: GenConfig) -> pa.Table:
+    """Deterministic change-event log for the ``conv_profile`` dimension
+    table, over the SAME ``conv-%06d`` id universe as
+    :func:`generate_changelog` (so transcripts ⋈ profile joins are
+    meaningful). One logical row per conversation (PK = conv_id); ops,
+    timestamps and out-of-order windows follow the same conventions as
+    the transcript log. ``cfg.max_turns``/``hot_*``/``text_pad`` are
+    ignored (no turn grain, no payload text)."""
+    n = cfg.num_events
+    rng = np.random.default_rng(cfg.seed + 104_729)  # independent stream
+
+    lsn = np.arange(cfg.lsn_start, cfg.lsn_start + n, dtype=np.int64)
+    conv = rng.integers(0, cfg.num_conversations, n)
+    is_del = rng.random(n) < cfg.delete_frac
+    ts_us = _EPOCH_START_US + (lsn // cfg.ts_tie_every) * 1_000_000
+
+    _, first_idx = np.unique(conv, return_index=True)
+    is_first = np.zeros(n, dtype=bool)
+    is_first[first_idx] = True
+    op = np.where(is_del, "D", np.where(is_first, "I", "U")).astype(object)
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv.astype("U8"), 6)).astype(object)
+    # attributes vary per EVENT (not just per conversation) so an update
+    # actually changes the row — rev-keyed like the transcript text
+    channel = CHANNELS[(conv.astype(np.int64) + lsn) % len(CHANNELS)].astype(object)
+    priority = ((conv.astype(np.int64) * 7 + lsn) % 5).astype(np.int32)
+
+    channel = np.where(is_del, None, channel)
+    priority_valid = ~is_del
+
+    order = np.arange(n)
+    if cfg.out_of_order:
+        w = max(2, cfg.out_of_order_window)
+        for start in range(0, n, w):
+            end = min(start + w, n)
+            order[start:end] = rng.permutation(order[start:end])
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(lsn[order]),
+            pa.array(op[order], pa.string()),
+            pa.array(ts_us[order], pa.timestamp("us")),
+            pa.array(conv_id[order], pa.string()),
+            pa.array(channel[order], pa.string()),
+            pa.array(
+                np.where(priority_valid, priority, 0)[order],
+                pa.int32(),
+                mask=~priority_valid[order],
+            ),
+        ],
+        schema=PROFILE_CHANGELOG_SCHEMA,
+    )
+
+
+def oracle_profile_replay(log: pa.Table) -> dict:
+    """Dict replay of the profile changelog in (ts, lsn) order:
+    ``{conv_id: {channel, priority, ts}}`` for live rows."""
+    rows = log.to_pylist()
+    rows.sort(key=lambda r: (r["ts"], r["lsn"]))
+    state: dict = {}
+    for r in rows:
+        if r["op"] == "D":
+            state.pop(r["conv_id"], None)
+        else:
+            state[r["conv_id"]] = {
+                "channel": r["channel"],
+                "priority": r["priority"],
+                "ts": r["ts"],
+            }
+    return state
+
+
 def oracle_replay(log: pa.Table, payload_cols: tuple[str, ...] = ("role", "text", "tool")) -> dict:
     """Plain-Python dict replay in (ts, lsn) order — the test oracle.
 

@@ -243,6 +243,21 @@ TRANSCRIPTS = TableSpec(
 )
 
 
+CONV_PROFILE = TableSpec(
+    name="conv_profile",
+    columns=(
+        ColumnSpec("conv_id", pa.string(), nullable=False, comment="conversation id"),
+        ColumnSpec("channel", pa.string(), comment="acquisition channel"),
+        ColumnSpec("priority", pa.int32(), comment="triage priority"),
+        ColumnSpec("ts", pa.timestamp("us"), nullable=False, comment="event time of latest applied change"),
+    ),
+    primary_key=("conv_id",),
+    comment="per-conversation profile/dimension (one row per conversation; "
+    "routes by conv_id, so it is co-partitioned with transcripts at equal "
+    "partition counts — the contract IncrementalJoin relies on)",
+)
+
+
 def lake_schema(spec: TableSpec) -> pa.Schema:
     """Physical lake-file schema = public schema + internal LWW bookkeeping."""
     return pa.schema(
