@@ -557,6 +557,92 @@ def _ensure_profile_changelog(sf_name: str) -> str:
     return d
 
 
+def _shard_b_dir(sf_name: str) -> str:
+    return os.path.join(CDC_CACHE_ROOT, sf_name, "shard_b_changelog")
+
+
+def _ensure_shard_b(sf_name: str) -> str:
+    """A second deterministic changelog SHARD over the same conversation
+    universe (multi-source CDC fixture): independent seed and per-shard
+    LSN space, timestamps offset +500 ms so no cross-shard event can tie
+    with the primary shard's (the merge order is then SQL-expressible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    d = _shard_b_dir(sf_name)
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    n_events, n_convs = _CDC_SIZES[sf_name]
+    n_b = max(2_000, n_events // 4)
+    log = generate_changelog(
+        GenConfig(
+            num_events=n_b,
+            num_conversations=n_convs,
+            seed=_CDC_SEED + 1,
+            out_of_order=True,
+        )
+    )
+    i = log.schema.get_field_index("ts")
+    shifted = pc.add(log.column("ts").cast(pa.int64()), pa.scalar(500_000, pa.int64()))
+    log = log.set_column(i, "ts", shifted.cast(pa.timestamp("us"))).cast(log.schema)
+    ChangeLog(d).write_segments(log, segment_rows=max(1_000, n_b // 8))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _cdc_multisource_replay(sf_dir: str):
+    """Multi-source CDC: two independent changelog shards (overlapping
+    per-shard LSN spaces, same conversation universe) merged into one
+    canonical changelog under a dense global LSN
+    (sources/multisource.MultiSourceFeed), then replayed. Must equal the
+    (ts, lsn) LWW oracle over the UNION of both shards — unambiguous
+    because the fixture makes cross-shard timestamp ties impossible."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.multisource import MultiSourceFeed
+
+    sf = _sf_name(sf_dir)
+    a = _ensure_changelog(sf)
+    b = _ensure_shard_b(sf)
+    work = tempfile.mkdtemp(prefix=f"etl_msrc_{sf}_")
+    feed = MultiSourceFeed([a, b], os.path.join(work, "merged"))
+    eng = CDCEngine(os.path.join(work, "transcripts"), num_partitions=32)
+    eng.replay(feed, segments_per_epoch=2)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_multisource_oracle_sql(sf_name: str) -> str:
+    a_glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    b_glob = os.path.join(_shard_b_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH shards AS (
+            SELECT * FROM read_parquet('{a_glob}')
+            UNION ALL
+            SELECT * FROM read_parquet('{b_glob}')
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM shards
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
 def _cdc_join_incremental(sf_dir: str):
     """Incrementally-maintained JOIN view across two co-partitioned CDC
     tables (IVM over BOTH changefeeds): transcripts (fact) LEFT JOIN
@@ -1695,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
         "cdc_join_incremental": _cdc_join_incremental,
+        "cdc_multisource_replay": _cdc_multisource_replay,
         # reference operator parity (SURVEY.md §2)
         "clean_orders": m.clean_orders,
         "clean_parts": m.clean_parts,
@@ -1810,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
         "cdc_join_incremental": _cdc_join_oracle_sql(sf),
+        "cdc_multisource_replay": _cdc_multisource_oracle_sql(sf),
         "conversation_windows": _windows_oracle_sql(sf),
         "tool_usage": _tool_usage_oracle_sql(sf),
         "turn_gaps": _turn_gaps_oracle_sql(sf),

@@ -176,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
         metavar="NAME:TYPE",
         help="payload column for --binlog-src (same syntax as ingest-binlog)",
     )
+    pt.add_argument(
+        "--merge-src",
+        action="append",
+        default=[],
+        metavar="DIR",
+        help="follow N source changelog shards (repeatable): each poll merges "
+        "newly arrived source segments into --log under a dense global LSN "
+        "(state-file-committed, crash-idempotent) before applying; "
+        "--merge-lineage records src_id/src_lsn on every merged event",
+    )
+    pt.add_argument("--merge-lineage", action="store_true")
     pt.add_argument("--max-polls", type=int, default=None)
     pt.add_argument(
         "--idle-stop", type=int, default=None,
@@ -268,6 +279,20 @@ def main(argv: list[str] | None = None) -> int:
         default="raise",
         help="quarantine: dead-letter parser-rejected lines under "
         "OUT/_dlq/ instead of failing the feed file",
+    )
+
+    pml = sub.add_parser(
+        "merge-log",
+        help="one-shot multi-source merge: fold N changelog shards' new "
+        "segments into one canonical changelog (see tail --merge-src)",
+    )
+    pml.add_argument(
+        "--src", action="append", required=True, help="source changelog dir (repeatable)"
+    )
+    pml.add_argument("--log", required=True, help="canonical output changelog dir")
+    pml.add_argument(
+        "--lineage", action="store_true",
+        help="record src_id/src_lsn on every merged event",
     )
 
     ppl = sub.add_parser(
@@ -487,11 +512,23 @@ def main(argv: list[str] | None = None) -> int:
                 if kind == "curation":
                     kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
                 views.append(kinds[kind](eng, vdir, **kw))
+        if args.binlog_src and args.merge_src:
+            print(
+                json.dumps({"error": "--binlog-src and --merge-src are exclusive"}),
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         if args.binlog_src:
             from .sources.binlog_json import JsonBinlogFeed
 
             src = JsonBinlogFeed(
                 args.binlog_src, args.log, _payload_schema_from_args(args.column)
+            )
+        elif args.merge_src:
+            from .sources.multisource import MultiSourceFeed
+
+            src = MultiSourceFeed(
+                args.merge_src, args.log, keep_lineage=args.merge_lineage
             )
         else:
             src = ChangeLog(args.log)
@@ -572,6 +609,22 @@ def main(argv: list[str] | None = None) -> int:
                     "quarantined": dlq_stats(args.out)["lines"],
                     "out": args.out,
                 }
+            )
+        )
+    elif args.cmd == "merge-log":
+        started_ray = _init_ray(args.num_cpus)
+        from .sources.multisource import MultiSourceFeed
+
+        for d in args.src:
+            if not os.path.isdir(d):
+                print(
+                    json.dumps({"error": f"no source changelog directory at {d!r}"}),
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+        print(
+            json.dumps(
+                MultiSourceFeed(args.src, args.log, keep_lineage=args.lineage).merge_new()
             )
         )
     elif args.cmd == "prune-log":
