@@ -699,6 +699,7 @@ def run_prune() -> dict:
         columns=(
             ColumnSpec("event_id", pa.int64()),
             ColumnSpec("ts", pa.timestamp("us")),
+            ColumnSpec("val", pa.int64()),
             ColumnSpec("note", pa.string()),
         ),
     )
@@ -718,6 +719,9 @@ def run_prune() -> dict:
                     {
                         "event_id": pa.array(ids),
                         "ts": pa.array(base_us + secs.astype("timedelta64[us]")),
+                        # val is DE-CORRELATED from ts (Knuth multiplier), so
+                        # a lexicographic ts sort leaves it spanning every file
+                        "val": pa.array((ids * 2654435761) % n_rows),
                         "note": pa.array(
                             np.char.add("payload-note-", ids.astype("U12"))
                         ),
@@ -748,6 +752,23 @@ def run_prune() -> dict:
     after_sec, after_rows, after_c = timed_read(pred)
     assert before_rows == after_rows, (before_rows, after_rows)
 
+    # z-order leg: a 1% predicate on the SECOND column reads every file
+    # under the lexicographic ts sort; after cluster="zorder" on (ts, val)
+    # BOTH columns' predicates skip (each less sharply than a dedicated
+    # sort — the curve splits its prefix bits across the dimensions)
+    val_pred = [("val", "<", int(n_rows * 0.01))]
+    val_sorted_sec, val_rows, val_sorted_c = timed_read(val_pred)
+    t0 = time.perf_counter()
+    w.optimize(
+        sort_by=["ts", "val"],
+        target_file_rows=max(n_rows // (32 * 16), 1),
+        cluster="zorder",
+    )
+    zorder_sec = time.perf_counter() - t0
+    val_z_sec, val_z_rows, val_z_c = timed_read(val_pred)
+    ts_z_sec, ts_z_rows, ts_z_c = timed_read(pred)
+    assert val_z_rows == val_rows and ts_z_rows == after_rows
+
     out = {
         "metric": "zone_map_pruning (1% time-range read over interleaved appends)",
         "rows": n_rows,
@@ -761,6 +782,15 @@ def run_prune() -> dict:
         "matched_rows": after_rows,
         "files_before": before_c,
         "files_after": after_c,
+        "zorder": {
+            "optimize_sec": round(zorder_sec, 2),
+            "val_pred_after_ts_sort_sec": val_sorted_sec,
+            "val_pred_after_ts_sort_files": val_sorted_c,
+            "val_pred_after_zorder_sec": val_z_sec,
+            "val_pred_after_zorder_files": val_z_c,
+            "ts_pred_after_zorder_sec": ts_z_sec,
+            "ts_pred_after_zorder_files": ts_z_c,
+        },
         "ambient_membench_gbps": _ambient_gbps(),
     }
     ray.shutdown()

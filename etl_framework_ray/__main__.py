@@ -251,6 +251,12 @@ def main(argv: list[str] | None = None) -> int:
         "with tight zone-map ranges",
     )
     pk.add_argument("--target-file-rows", type=int, default=None)
+    pk.add_argument(
+        "--cluster", choices=("sort", "zorder"), default="sort",
+        help="clustering layout for --sort-by: lexicographic (tight ranges "
+        "on the first column) or Morton/Z-order (≥2 columns; predicates on "
+        "ANY clustered column skip files)",
+    )
 
     pb = sub.add_parser(
         "ingest-binlog",
@@ -582,8 +588,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)
-        n = eng.compact(sort_by=args.sort_by, target_file_rows=args.target_file_rows)
-        print(json.dumps({"partitions_compacted": n, "sort_by": args.sort_by}))
+        n = eng.compact(
+            sort_by=args.sort_by,
+            target_file_rows=args.target_file_rows,
+            cluster=args.cluster,
+        )
+        print(
+            json.dumps(
+                {"partitions_compacted": n, "sort_by": args.sort_by, "cluster": args.cluster}
+            )
+        )
     elif args.cmd == "ingest-binlog":
         started_ray = _init_ray(args.num_cpus)
         from .sources.binlog_json import convert_json_binlog

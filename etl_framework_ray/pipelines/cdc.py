@@ -1541,6 +1541,7 @@ class CDCEngine:
         pids: list[int] | None = None,
         sort_by: list[str] | None = None,
         target_file_rows: int | None = None,
+        cluster: str = "sort",
     ) -> int:
         """Maintenance compaction (the OPTIMIZE analogue): fold every
         multi-file partition's base+delta stack into one base file,
@@ -1558,9 +1559,21 @@ class CDCEngine:
         their base files must stay PK-sorted for the streamed k-way LWW
         merge; re-clustering them would break merge-on-read.
 
+        ``cluster`` — the layout within a clustering pass: ``"sort"``
+        (default) is lexicographic on ``sort_by`` (tight ranges on the
+        FIRST column — right when predicates hit one leading column);
+        ``"zorder"`` interleaves the columns' rank bits (Morton order, ≥2
+        columns) so every file's zone ranges are narrow on ALL the
+        clustered columns and selective predicates on ANY of them skip
+        files (see :func:`~..state.zonemap.zorder_permutation`).
+
         Note: folding ends the changefeed availability for watermarks older
         than the current applied LSN (read_changes documents the horizon)."""
         man = self.manifest
+        if cluster not in ("sort", "zorder"):
+            raise ValueError(f"cluster must be 'sort' or 'zorder', got {cluster!r}")
+        if cluster == "zorder" and (not sort_by or len(sort_by) < 2):
+            raise ValueError("cluster='zorder' needs sort_by with at least 2 columns")
         if sort_by:
             if self.key_cols:
                 raise ValueError(
@@ -1606,10 +1619,15 @@ class CDCEngine:
             )
             os.makedirs(out_dir, exist_ok=True)
             if sort_by:
-                # cluster pass: concat (PK-less), sort, split into bounded
-                # files — each slice zero-copies the sorted table
+                # cluster pass: concat (PK-less), order, split into bounded
+                # files — each slice zero-copies the ordered table
                 t = merge_partition_files(files, lake, key_cols)
-                t = t.sort_by([(c, "ascending") for c in sort_by])
+                if cluster == "zorder":
+                    from ..state.zonemap import zorder_permutation
+
+                    t = t.take(zorder_permutation(t, sort_by))  # ONE wide gather
+                else:
+                    t = t.sort_by([(c, "ascending") for c in sort_by])
                 per = int(target_file_rows or max(t.num_rows, 1))
                 out = []
                 for i in range(max(1, -(-t.num_rows // per))):
@@ -1652,7 +1670,7 @@ class CDCEngine:
                 "op": "compact",
                 "version": new_man.version,
                 "partitions": len(metas),
-                **({"sort_by": list(sort_by)} if sort_by else {}),
+                **({"sort_by": list(sort_by), "cluster": cluster} if sort_by else {}),
                 **self.run_context.as_dict(),
             }
         )

@@ -173,15 +173,22 @@ class LakeWriter:
         )
 
     def optimize(
-        self, sort_by: list[str] | None = None, target_file_rows: int | None = None
+        self,
+        sort_by: list[str] | None = None,
+        target_file_rows: int | None = None,
+        cluster: str = "sort",
     ) -> int:
         """Coalesce small files (OPTIMIZE). With ``sort_by`` on a PK-less
         append table, each partition is rewritten clustered by those
         columns and split into ``target_file_rows``-bounded files whose
         tight zone-map ranges make range predicates skip whole files —
         run it after many small appends to an audit/time-series table.
+        ``cluster="zorder"`` interleaves ≥2 columns (Morton order) so
+        predicates on ANY clustered column skip files, not just the first.
         Returns partitions rewritten."""
-        return self.engine.compact(sort_by=sort_by, target_file_rows=target_file_rows)
+        return self.engine.compact(
+            sort_by=sort_by, target_file_rows=target_file_rows, cluster=cluster
+        )
 
     def _make_gate(self) -> DQGate:
         audit_dir = os.path.join(self.engine.table_dir, "_metrics", "dq")

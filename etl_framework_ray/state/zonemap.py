@@ -431,3 +431,47 @@ def filter_table(t: pa.Table, conjuncts) -> pa.Table:
     if not conjuncts:
         return t
     return t.filter(predicate_mask(t, conjuncts))
+
+
+def zorder_permutation(t: pa.Table, cols: list[str]) -> "object":
+    """Row permutation that Z-orders ``t`` on ``cols`` — the multi-column
+    clustering key for zone-map pruning.
+
+    Lexicographic sort gives tight file ranges on the FIRST column only; a
+    range predicate on the second column still reads every file. Z-order
+    interleaves the columns' bits so consecutive rows are close in EVERY
+    clustered dimension at once — after a bounded-file split, each file's
+    zone ranges are narrow on ALL the columns and a selective predicate on
+    ANY of them (or a conjunction) skips files (Morton order, the layout
+    Delta/Iceberg OPTIMIZE ZORDER uses).
+
+    Values are RANK-normalized per call (``pc.rank``, null-safe and
+    type-generic: ints, floats, timestamps, strings all work), so skewed
+    distributions still spread across the curve; each column gets
+    ``64 // len(cols)`` bits (capped at 32). Returns a numpy index array —
+    apply with ``t.take(perm)`` (one wide gather, the engine's discipline).
+    """
+    import numpy as np
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 columns (use a plain sort for 1)")
+    if k > 8:
+        raise ValueError("zorder supports at most 8 columns (64-bit curve)")
+    n = t.num_rows
+    bits = min(32, 64 // k)
+    scale = (1 << bits) - 1
+    z = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    for i, c in enumerate(cols):
+        r = pc.rank(
+            t.column(c),
+            sort_keys="ascending",
+            null_placement="at_end",
+            tiebreaker="first",  # unique ordinal ranks
+        ).to_numpy(zero_copy_only=False)
+        q = ((r - 1) * scale // max(n - 1, 1)).astype(np.uint64)
+        for b in range(bits):
+            z |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * k + i)
+    return np.argsort(z, kind="stable")

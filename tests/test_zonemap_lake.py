@@ -398,3 +398,120 @@ def test_snapshot_arrow_validates_predicate_columns(tmp_path):
         eng.snapshot_arrow(predicate=[("convid", "==", "x")])
     with pytest.raises(ValueError, match="unknown or internal"):
         eng.snapshot_arrow(predicate=[("_lsn", ">", 0)])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optimize_zorder_skips_on_every_clustered_column(tmp_path):
+    """Z-order clustering: after optimize(cluster="zorder") on (ts, val),
+    a selective predicate on EITHER column skips files — the case
+    lexicographic sort can't serve (its second column spans every file)."""
+    spec = TableSpec(
+        name="evlog2",
+        columns=(
+            ColumnSpec("event_id", pa.int64(), nullable=False),
+            ColumnSpec("val", pa.int64()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+    )
+    w = LakeWriter(str(tmp_path / "evlog2"), spec, num_partitions=2)
+    base = dt.datetime(2026, 1, 1)
+    n = 4096
+
+    def batch(lo, step):
+        ids = list(range(lo, lo + n))
+        # val is INDEPENDENT of ts (a de-correlating multiplier mod n), so
+        # a lexicographic ts sort leaves val spanning every file
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "val": pa.array([(i * 2654435761) % n for i in ids], pa.int64()),
+                    "ts": pa.array(
+                        [base + dt.timedelta(minutes=(i * step) % n) for i in ids],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+
+    for j in range(3):
+        w.append(batch(j * n, 3 + j))
+    full = pa.concat_tables([ray.get(r) for r in w.read().to_arrow_refs()])
+
+    # lexicographic baseline: ts predicates skip, val predicates cannot
+    w.optimize(sort_by=["ts", "val"], target_file_rows=512)
+    val_pred = [("val", "<", 256)]  # ~6% of the val range
+    lex: dict = {}
+    pa.concat_tables(
+        [ray.get(r) for r in w.read(predicate=val_pred, prune_stats=lex).to_arrow_refs()]
+    )
+    assert lex["files_read"] == lex["files_total"]  # second column: no skips
+
+    w.optimize(sort_by=["ts", "val"], target_file_rows=512, cluster="zorder")
+    zval: dict = {}
+    got_val = pa.concat_tables(
+        [ray.get(r) for r in w.read(predicate=val_pred, prune_stats=zval).to_arrow_refs()]
+    )
+    exp_val = full.filter(pc.less(full.column("val"), 256))
+    assert sorted(got_val.column("event_id").to_pylist()) == sorted(
+        exp_val.column("event_id").to_pylist()
+    )
+    assert zval["files_read"] < zval["files_total"] // 2  # val NOW skips
+
+    ts_pred = [("ts", ">=", base + dt.timedelta(minutes=int(n * 0.9)))]
+    zts: dict = {}
+    got_ts = pa.concat_tables(
+        [ray.get(r) for r in w.read(predicate=ts_pred, prune_stats=zts).to_arrow_refs()]
+    )
+    exp_ts = full.filter(
+        pc.greater_equal(
+            full.column("ts"),
+            pa.scalar(base + dt.timedelta(minutes=int(n * 0.9)), pa.timestamp("us")),
+        )
+    )
+    assert sorted(got_ts.column("event_id").to_pylist()) == sorted(
+        exp_ts.column("event_id").to_pylist()
+    )
+    # ts still skips — less sharply than a dedicated ts sort would (the
+    # z-curve splits its prefix bits across BOTH dimensions, so each one
+    # prunes to ~a quadrant boundary, not a razor slice; that is the trade)
+    assert zts["files_read"] <= zts["files_total"] * 0.6
+
+    # full content unchanged; audit green; history records the layout
+    again = pa.concat_tables([ray.get(r) for r in w.read().to_arrow_refs()])
+    assert sorted(again.column("event_id").to_pylist()) == sorted(
+        full.column("event_id").to_pylist()
+    )
+    assert w.engine.fsck()["ok"]
+    assert w.engine.manifest.history[-1]["cluster"] == "zorder"
+
+    # guards: zorder needs >= 2 columns; bad cluster name refused
+    with pytest.raises(ValueError, match="at least 2"):
+        w.optimize(sort_by=["ts"], cluster="zorder")
+    with pytest.raises(ValueError, match="cluster"):
+        w.engine.compact(sort_by=["ts", "val"], cluster="hilbert")
+
+
+def test_zorder_permutation_unit():
+    """The Morton permutation: valid permutation, deterministic, groups
+    quadrants of a 2-D grid together, and rejects bad column counts."""
+    import numpy as np
+
+    n = 16
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    t = pa.table(
+        {"x": pa.array(xs.ravel(), pa.int64()), "y": pa.array(ys.ravel(), pa.int64())}
+    )
+    perm = zm.zorder_permutation(t, ["x", "y"])
+    assert sorted(perm.tolist()) == list(range(n * n))
+    assert (perm == zm.zorder_permutation(t, ["x", "y"])).all()
+    ordered = t.take(perm)
+    # the first quarter of the curve is exactly one quadrant of the grid
+    q = ordered.slice(0, n * n // 4)
+    assert pc.max(q.column("x")).as_py() < n // 2
+    assert pc.max(q.column("y")).as_py() < n // 2
+    with pytest.raises(ValueError, match="at least 2"):
+        zm.zorder_permutation(t, ["x"])
+    with pytest.raises(ValueError, match="at most 8"):
+        zm.zorder_permutation(t, ["x"] * 9)
+    assert zm.zorder_permutation(t.slice(0, 0), ["x", "y"]).size == 0
