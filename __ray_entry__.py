@@ -1253,6 +1253,44 @@ def _q_curate_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred", "quality_score", "n_tokens"])
 
 
+#: shared by the scan-tier query, the indexed-tier query and their ONE SQL
+#: oracle — the two tiers are score-identical by construction (search.py)
+_BM25_QUERIES = {0: ["hash", "join"], 1: ["stream", "window"], 2: ["merge", "sort", "vector"]}
+_BM25_K = 10
+
+
+def _q_bm25_topk(sf_dir: str):
+    import ray.data
+
+    from etl_framework_ray.stages.search import bm25_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(ds, _BM25_QUERIES, k=_BM25_K)
+
+
+def _q_bm25_search(sf_dir: str):
+    """Indexed tier: build the token-bucketed inverted index once per
+    (process, tier) — the atomic-rename commit makes the cached-dir check
+    race-free — then answer from posting buckets only."""
+    import tempfile
+
+    import ray.data
+
+    from etl_framework_ray.stages.search import bm25_search, build_text_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"etl_bm25_idx_{_sf_name(sf_dir)}_{os.getpid()}"
+    )
+    if not os.path.exists(idx):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_text_index(ds, idx)
+    return bm25_search(idx, _BM25_QUERIES, k=_BM25_K)
+
+
 def _q_multimodal_audio(sf_dir: str):
     import ray.data
 
@@ -1761,6 +1799,61 @@ def _turn_gaps_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _bm25_oracle_sql() -> str:
+    """One oracle for BOTH BM25 tiers (scores are identical by
+    construction — stages/search.py). Expression trees mirror the numpy
+    kernels exactly; scores snap via the repo's int64-round-trip BEFORE
+    ranking, so ordering and value-hash match bit-for-bit."""
+    from etl_framework_ray.functions.text import TOKEN_PATTERN
+    from etl_framework_ray.stages.search import DEFAULT_B, DEFAULT_K1
+
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, terms in sorted(_BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    )
+    terms_in = ", ".join(sorted({f"'{t}'" for ts in _BM25_QUERIES.values() for t in ts}))
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(COALESCE(text, '')), '{TOKEN_PATTERN}') AS toks
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, len(toks) AS dl FROM docs
+        ), stats AS (
+            SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+        ), q(query_id, term) AS (
+            VALUES {vals}
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs)
+            WHERE term IN ({terms_in})
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   SUM(
+                       ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({DEFAULT_K1} + 1.0)
+                       / (tf.tf + {DEFAULT_K1} * (1.0 - {DEFAULT_B}
+                              + {DEFAULT_B} * dl.dl / (SELECT avgdl FROM stats)))
+                   ) AS raw
+            FROM q
+            JOIN tf ON tf.term = q.term
+            JOIN df ON df.term = q.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT query_id, doc_id,
+               CAST(ROUND(raw * 1000000) AS BIGINT) / 1000000.0 AS score
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY CAST(ROUND(raw * 1000000) AS BIGINT) / 1000000.0 DESC, doc_id
+        ) <= {_BM25_K}"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from etl_framework_ray.pipelines import medallion as m
 
@@ -1847,6 +1940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
+        "bm25_topk_docs": _q_bm25_topk,
+        "bm25_search_docs": _q_bm25_search,
     }
 
 
@@ -2161,6 +2256,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(t.q AS DOUBLE) AS q, s.v
             FROM (VALUES (0.5), (0.9), (0.99)) t(q)
             JOIN s ON s.rn = CAST(FLOOR(t.q * ((SELECT c FROM n) - 1)) AS BIGINT)""",
+        "bm25_topk_docs": _bm25_oracle_sql(),
+        "bm25_search_docs": _bm25_oracle_sql(),
         "top_tokens": f"""
             WITH toks AS (
                 SELECT UNNEST(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS token

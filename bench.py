@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "bloom_semijoin_lineitem",
     "cdc_scd2_history",
+    "bm25_topk_docs",
+    "bm25_search_docs",
 ]
 
 
