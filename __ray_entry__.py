@@ -403,6 +403,16 @@ def _cdc_corpus_incremental(sf_dir: str):
     assemble_conversations)."""
     return _half_log_ivm(sf_dir, "IncrementalCorpus", "ivmc")
 
+def _cdc_bm25_incremental(sf_dir: str):
+    """Incrementally-maintained FULL-TEXT INDEX (IVM over the changefeed):
+    bootstrap the posting view at half the log, advance over the rest —
+    only touched conversations re-tokenize — then answer BM25 top-k from
+    the maintained postings. Must equal the composed oracle (string_agg
+    assembly → regexp tokenize → BM25) over the LWW-resolved final state."""
+    view = _half_log_ivm(sf_dir, "IncrementalTextIndex", "ivmt", result="__view__")
+    return view.search(_BM25_CDC_QUERIES, k=_BM25_K)
+
+
 def _cdc_dedup_incremental(sf_dir: str):
     """Incrementally-maintained EXACT-DEDUP index (IVM over the
     changefeed): bootstrap the fingerprint view at half the log, advance
@@ -1257,6 +1267,8 @@ def _q_curate_documents(sf_dir: str):
 #: oracle — the two tiers are score-identical by construction (search.py)
 _BM25_QUERIES = {0: ["hash", "join"], 1: ["stream", "window"], 2: ["merge", "sort", "vector"]}
 _BM25_K = 10
+#: the incremental-index query's terms, drawn from the transcript corpus
+_BM25_CDC_QUERIES = {0: ["rev", "7"], 1: ["tool", "12"], 2: ["assistant", "3"]}
 
 
 def _q_bm25_topk(sf_dir: str):
@@ -1799,40 +1811,53 @@ def _turn_gaps_oracle_sql(sf_name: str) -> str:
     """
 
 
-def _bm25_oracle_sql() -> str:
-    """One oracle for BOTH BM25 tiers (scores are identical by
-    construction — stages/search.py). Expression trees mirror the numpy
-    kernels exactly; scores snap via the repo's int64-round-trip BEFORE
-    ranking, so ordering and value-hash match bit-for-bit."""
+def _bm25_oracle_sql(
+    doc_sql: str = "SELECT doc_id AS id, text AS body FROM documents",
+    id_col: str = "doc_id",
+    bm_queries: dict | None = None,
+    k: int | None = None,
+) -> str:
+    """One BM25 oracle shared by ALL the engine's tiers over a pluggable
+    document source (scores are identical across tiers by construction —
+    stages/search.py). ``doc_sql`` must yield ``(id, body)``; the CDC
+    variant passes the assemble CTE so the incremental index's composed
+    semantics (string_agg → tokenize → BM25) are checked end-to-end.
+    Expression trees mirror the numpy kernels exactly; scores snap via
+    the repo's int64-round-trip BEFORE ranking, so ordering and
+    value-hash match bit-for-bit."""
     from etl_framework_ray.functions.text import TOKEN_PATTERN
     from etl_framework_ray.stages.search import DEFAULT_B, DEFAULT_K1
 
+    bm_queries = bm_queries if bm_queries is not None else _BM25_QUERIES
+    k = k if k is not None else _BM25_K
     vals = ", ".join(
         f"(CAST({qid} AS BIGINT), '{t}')"
-        for qid, terms in sorted(_BM25_QUERIES.items())
+        for qid, terms in sorted(bm_queries.items())
         for t in sorted(set(terms))
     )
-    terms_in = ", ".join(sorted({f"'{t}'" for ts in _BM25_QUERIES.values() for t in ts}))
+    terms_in = ", ".join(sorted({f"'{t}'" for ts in bm_queries.values() for t in ts}))
     return f"""
-        WITH docs AS (
-            SELECT doc_id,
-                   regexp_extract_all(lower(COALESCE(text, '')), '{TOKEN_PATTERN}') AS toks
-            FROM documents
+        WITH src AS (
+            {doc_sql}
+        ), docs AS (
+            SELECT id,
+                   regexp_extract_all(lower(COALESCE(body, '')), '{TOKEN_PATTERN}') AS toks
+            FROM src
         ), dl AS (
-            SELECT doc_id, len(toks) AS dl FROM docs
+            SELECT id, len(toks) AS dl FROM docs
         ), stats AS (
             SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
         ), q(query_id, term) AS (
             VALUES {vals}
         ), tf AS (
-            SELECT doc_id, term, COUNT(*) AS tf
-            FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs)
+            SELECT id, term, COUNT(*) AS tf
+            FROM (SELECT id, UNNEST(toks) AS term FROM docs)
             WHERE term IN ({terms_in})
-            GROUP BY doc_id, term
+            GROUP BY id, term
         ), df AS (
             SELECT term, COUNT(*) AS df FROM tf GROUP BY term
         ), scored AS (
-            SELECT q.query_id, tf.doc_id,
+            SELECT q.query_id, tf.id,
                    SUM(
                        ln(1 + ((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5))
                        * tf.tf * ({DEFAULT_K1} + 1.0)
@@ -1842,16 +1867,37 @@ def _bm25_oracle_sql() -> str:
             FROM q
             JOIN tf ON tf.term = q.term
             JOIN df ON df.term = q.term
-            JOIN dl ON dl.doc_id = tf.doc_id
-            GROUP BY q.query_id, tf.doc_id
+            JOIN dl ON dl.id = tf.id
+            GROUP BY q.query_id, tf.id
         )
-        SELECT query_id, doc_id,
+        SELECT query_id, id AS {id_col},
                CAST(ROUND(raw * 1000000) AS BIGINT) / 1000000.0 AS score
         FROM scored
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY query_id
-            ORDER BY CAST(ROUND(raw * 1000000) AS BIGINT) / 1000000.0 DESC, doc_id
-        ) <= {_BM25_K}"""
+            ORDER BY CAST(ROUND(raw * 1000000) AS BIGINT) / 1000000.0 DESC, id
+        ) <= {k}"""
+
+
+def _bm25_cdc_oracle_sql(sf_name: str) -> str:
+    """The incremental text index's composed oracle: assemble dialogues
+    from the LWW-resolved changelog (the same string_agg CTE every
+    corpus-view oracle uses), then BM25 over them."""
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    doc_sql = f"""SELECT conv_id AS id,
+                   string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                              chr(10) ORDER BY turn_idx) AS body
+            FROM (
+                SELECT conv_id, turn_idx, role, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+                       ) AS rn, op
+                FROM read_parquet('{glob}')
+            ) WHERE rn = 1 AND op <> 'D'
+            GROUP BY conv_id"""
+    return _bm25_oracle_sql(
+        doc_sql, id_col="conv_id", bm_queries=_BM25_CDC_QUERIES, k=_BM25_K
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1870,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_incremental": _cdc_dedup_incremental,
         "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_curation_incremental": _cdc_curation_incremental,
+        "cdc_bm25_incremental": _cdc_bm25_incremental,
         "cdc_view_changes": _cdc_view_changes,
         "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
@@ -1988,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
         "cdc_curation_incremental": _curation_oracle_sql(sf),
+        "cdc_bm25_incremental": _bm25_cdc_oracle_sql(sf),
         "cdc_view_changes": _view_changes_oracle_sql(sf),
         "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),

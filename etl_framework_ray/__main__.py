@@ -36,6 +36,7 @@ def _view_kinds() -> dict:
         IncrementalDedup,
         IncrementalMinHash,
         IncrementalRollup,
+        IncrementalTextIndex,
         IncrementalToolUsage,
     )
 
@@ -46,10 +47,11 @@ def _view_kinds() -> dict:
         "dedup": IncrementalDedup,
         "minhash": IncrementalMinHash,
         "curation": IncrementalCuration,
+        "textindex": IncrementalTextIndex,
     }
 
 
-_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation")
+_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation", "textindex")
 
 
 def _parse_where(exprs: list | None) -> list | None:

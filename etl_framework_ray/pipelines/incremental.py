@@ -1297,6 +1297,132 @@ class IncrementalCuration(IncrementalRollup):
         return self.read().map_batches(keep, batch_format="pyarrow")
 
 
+class TextIndexKernel(CorpusKernel):
+    """Posting-list view kernel: BM25-ready posting rows ``(conv_id,
+    token, tf, dl)`` plus ONE NULL-token doc-stats row per conversation
+    (``tf=0``, ``dl`` = dialogue token length) — the shape
+    ``stages/search.bm25_postings_search`` queries directly, so full-text
+    relevance search over the live lake stays fresh at O(touched
+    conversations) per ``advance()``.
+
+    Tokenization is identical to the static BM25 tiers (lowercase +
+    ``TOKEN_PATTERN``) over the ASSEMBLED dialogue (the same ``role:
+    text`` / newline rendering as :class:`CorpusKernel`), so the composed
+    DuckDB oracle (string_agg → regexp tokenize → BM25) is exact. The
+    stat rows make corpus statistics (N, avgdl) derivable from the view
+    alone — no side-channel to drift under incremental maintenance, and a
+    conversation whose dialogue somehow tokenizes to nothing still counts
+    toward N exactly like SQL's GROUP BY."""
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("token", pa.string()),
+            pa.field("tf", pa.int64()),
+            pa.field("dl", pa.int64()),
+        ]
+    )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        from ..functions.text import TOKEN_PATTERN
+        from .publish import join_dialogues
+
+        if not partials:
+            return self.schema.empty_table()
+        dial = join_dialogues(pd.concat(partials))
+        conv = dial.column("conv_id").to_pandas()
+        toks = (
+            dial.column("dialogue")
+            .to_pandas()
+            .fillna("")
+            .str.lower()
+            .str.findall(TOKEN_PATTERN)
+        )
+        dl = toks.str.len().to_numpy(np.int64)
+        parts: list[pa.Table] = []
+        ex = toks.explode().dropna()
+        if len(ex):
+            rows = ex.index.to_numpy(np.int64)
+            tf = (
+                pd.DataFrame({"r": rows, "t": ex.to_numpy()})
+                .groupby(["r", "t"], sort=False)
+                .size()
+            )
+            ridx = tf.index.get_level_values(0).to_numpy(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": pa.array(
+                            conv.iloc[ridx].to_numpy(dtype=object), pa.string()
+                        ),
+                        "token": pa.array(
+                            tf.index.get_level_values(1).to_numpy(dtype=object),
+                            pa.string(),
+                        ),
+                        "tf": pa.array(tf.to_numpy(np.int64)),
+                        "dl": pa.array(dl[ridx]),
+                    }
+                )
+            )
+        parts.append(
+            pa.table(
+                {
+                    "conv_id": pa.array(conv.to_numpy(dtype=object), pa.string()),
+                    "token": pa.nulls(len(conv), pa.string()),
+                    "tf": pa.array(np.zeros(len(conv), np.int64)),
+                    "dl": pa.array(dl),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
+
+
+class IncrementalTextIndex(IncrementalRollup):
+    """Incrementally-maintained FULL-TEXT INDEX over the CDC changefeed:
+    the lake's conversations stay BM25-searchable without rebuilding an
+    index per ingest epoch — ``advance()`` re-derives postings for the
+    touched conversations only (the inherited touched-partition splice),
+    and :meth:`search` answers relevance queries from the maintained
+    posting rows with exactly the scan-tier scores.
+
+    Contrast with ``stages/search.build_text_index``: the static index is
+    TOKEN-partitioned (a query reads only its terms' buckets — the right
+    layout for a frozen corpus), while this view is CONVERSATION-
+    partitioned (the layout the O(touched)-per-advance splice requires).
+    A query therefore scans the posting table once with a token filter
+    pushed into the parquet read — O(index), never O(text) — and heavy
+    static search can still `build_text_index(view.read())` when the
+    corpus freezes. Same durable-state, rebuild, reshard, changefeed and
+    fsck contracts as :class:`IncrementalRollup`."""
+
+    def __init__(self, engine, view_dir: str, emit_changes: bool = False):
+        super().__init__(engine, view_dir, kernel=TextIndexKernel(), emit_changes=emit_changes)
+
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        round_to: int = 6,
+        shuffle_buckets: int | None = None,
+    ) -> "ray.data.Dataset":
+        """Top-k conversations per query: ``(query_id, conv_id, score)``,
+        scores identical to ``bm25_topk`` over the assembled corpus."""
+        from ..stages.search import _parse_queries, bm25_postings_search
+
+        state = self._load_state()
+        files = sorted(state["files"].values()) if state else []
+        if not files:
+            return bm25_postings_search(self.read(), queries, k=k, round_to=round_to)
+        _qids, _tls, terms = _parse_queries(queries)
+        import pyarrow.dataset as pads
+
+        flt = pads.field("token").is_null() | pads.field("token").isin(terms)
+        pruned = ray.data.read_parquet(files, filter=flt)
+        return bm25_postings_search(
+            pruned, queries, k=k, round_to=round_to, shuffle_buckets=shuffle_buckets
+        )
+
+
 class IncrementalJoin:
     """Incrementally-maintained JOIN view across TWO co-partitioned CDC
     tables — the materialized form of ``fact LEFT JOIN dim USING (key)``

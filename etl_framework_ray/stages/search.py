@@ -494,3 +494,149 @@ def bm25_search(
     # kernel's per-query top-k is a valid partial for the final merge
     local = _direct_grouped_apply(contribs_ds, "doc_id", sum_and_topk, shuffle_buckets)
     return _direct_grouped_apply(local, "query_id", _make_merge_hits(k), shuffle_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Posting-rows tier: BM25 over an already-maintained posting table
+# ---------------------------------------------------------------------------
+
+
+def bm25_postings_search(
+    postings: "ray.data.Dataset",
+    queries,
+    k: int = 10,
+    id_col: str = "conv_id",
+    id_type: "pa.DataType | None" = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    round_to: int = 6,
+    shuffle_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """BM25 top-k over a POSTING-ROWS dataset — the query engine for any
+    posting table regardless of who maintains it (the incremental text
+    index view feeds it; `pipelines/incremental.IncrementalTextIndex`).
+
+    Contract: columns ``(id_col, token, tf, dl)`` where NULL-token rows
+    are per-document stat rows (one per doc, ``dl`` = doc token length)
+    and non-null rows are postings with ``dl`` denormalized. df per term
+    is the term's posting-row count; N/avgdl come from the stat rows —
+    so corpus statistics need no side-channel and stay exact under
+    incremental maintenance. Doc ids may be ANY hashable Arrow type
+    (strings for conversations); ranking and score snapping are identical
+    to the other two tiers, so one SQL oracle covers all three.
+
+    Scale shape: one pruned pass over the posting table (token filter —
+    push it into the parquet read upstream when the caller has file
+    paths), then the same two direct exchanges as :func:`bm25_search`
+    (doc-keyed partial sum+topk, query-keyed merge). Cost is O(index),
+    not O(text): the posting table is integers + tokens.
+    """
+    qids, termlists, terms = _parse_queries(queries)
+    id_type = id_type or pa.string()
+
+    def hits(q, ids, s) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(q, np.int64)),
+                id_col: pa.array(list(ids), id_type),
+                "score": pa.array(np.asarray(s, np.float64)),
+            }
+        )
+
+    empty = hits([], [], [])
+    term_set = pa.array(terms, pa.string())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        tok = batch.column("token")
+        keep = pc.or_(pc.is_null(tok), pc.is_in(tok, value_set=term_set))
+        return batch.filter(keep)
+
+    pruned = postings.map_batches(prune, batch_format="pyarrow").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tok = batch.column("token")
+        isnull = pc.is_null(tok)
+        row = {
+            "n_docs": pa.array(
+                [pc.sum(pc.cast(isnull, pa.int64())).as_py() or 0], pa.int64()
+            ),
+            "total_len": pa.array(
+                [
+                    pc.sum(
+                        pc.if_else(isnull, batch.column("dl"), pa.scalar(0, pa.int64()))
+                    ).as_py()
+                    or 0
+                ],
+                pa.int64(),
+            ),
+        }
+        for j, t in enumerate(terms):
+            row[f"df{j}"] = pa.array(
+                [pc.sum(pc.cast(pc.equal(tok, t), pa.int64())).as_py() or 0], pa.int64()
+            )
+        return pa.table(row)
+
+    cols = ["n_docs", "total_len"] + [f"df{j}" for j in range(len(terms))]
+    totals = pruned.map_batches(stats_partial, batch_format="pyarrow").sum(cols)
+    n_docs = int(totals.get("sum(n_docs)") or 0) if totals else 0
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    avgdl = float(totals["sum(total_len)"]) / n_docs
+    idf = {
+        t: math.log1p((n_docs - int(totals[f"sum(df{j})"]) + 0.5)
+                      / (int(totals[f"sum(df{j})"]) + 0.5))
+        for j, t in enumerate(terms)
+    }
+    term_sets = [set(tl) for tl in termlists]
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("token")))
+        if not batch.num_rows:
+            return empty
+        tok = batch.column("token").to_pandas()
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch.column(id_col).to_pandas()
+        w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        contribs = w * tok.map(idf).to_numpy(np.float64)
+        out_q: list = []
+        out_i: list = []
+        out_s: list = []
+        for qi, qid in enumerate(qids):
+            m = tok.isin(term_sets[qi]).to_numpy()
+            if m.any():
+                out_q.extend([qid] * int(m.sum()))
+                out_i.extend(ids[m])
+                out_s.extend(float(s) for s in contribs[m])
+        if not out_q:
+            return empty
+        return hits(out_q, out_i, out_s)
+
+    contribs_ds = pruned.map_batches(contrib, batch_format="pyarrow")
+
+    def sum_and_topk(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        s = df.groupby(["query_id", id_col], sort=False)["score"].sum().reset_index()
+        s["score"] = _snap(s["score"].to_numpy(np.float64), round_to)
+        s = s[s["score"] > 0.0]
+        # full stable sort (no argpartition) — plain head(k) IS the best-k
+        # in the exact total order the final merge and the oracle use
+        s = s.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
+        )
+        g = s.groupby("query_id", sort=False).head(k)
+        return hits(g["query_id"].to_numpy(), g[id_col], g["score"].to_numpy(np.float64))
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        g = (
+            df.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        return hits(g["query_id"].to_numpy(), g[id_col], g["score"].to_numpy(np.float64))
+
+    local = _direct_grouped_apply(contribs_ds, id_col, sum_and_topk, shuffle_buckets)
+    return _direct_grouped_apply(local, "query_id", merge, shuffle_buckets)
