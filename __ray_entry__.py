@@ -1931,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": m.shipping_priority,
         "events_props_k": m.events_props_k,
         "pricing_summary": m.pricing_summary,
+        "pricing_rollup": m.pricing_rollup,
         "events_timeliness": m.events_timeliness,
         "distinct_order_status": m.distinct_order_status,
         "lineitem_pk_dups": m.lineitem_pk_dups,
@@ -2182,6 +2183,14 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(ROUND(AVG(l_extendedprice) * 100) AS BIGINT) / 100.0 AS avg_price
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         "events_timeliness": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 1 ELSE 0 END) AS BIGINT)

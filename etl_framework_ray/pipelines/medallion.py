@@ -381,6 +381,31 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1 at EVERY subtotal level in one scan: ``GROUP BY
+    ROLLUP(l_returnflag, l_linestatus)`` with SQL ``GROUPING()`` parity
+    (stages/rollup.grouping_sets — raw rows never shuffle, only
+    replicated per-block partials)."""
+    from ..stages.rollup import grouping_sets, rollup_sets
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+    out = grouping_sets(
+        ds,
+        rollup_sets(["l_returnflag", "l_linestatus"]),
+        {
+            "count_order": ("count", None),
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "avg_price": ("avg", "l_extendedprice"),
+        },
+    )
+    return out.map_batches(
+        _round_cols(["sum_qty", "sum_base_price", "avg_price"]), batch_format="pyarrow"
+    )
+
+
 def events_timeliness(sf_dir: str) -> "ray.data.Dataset":
     """Conditional counts per event_type: total + how many before 09:00
     (hour() filter + when/otherwise counting — timeliness.py:81-89,
