@@ -1631,6 +1631,28 @@ def _q_event_gaps(sf_dir: str):
     return out.map_batches(gap, batch_format="pyarrow")
 
 
+def _q_global_quantity_ranks(sf_dir: str):
+    """GLOBAL total-order ranking (empty OVER partition — the distributed
+    ORDER BY, stages/ranking.py): every lineitem ranked corpus-wide by
+    quantity DESC; rank/dense_rank treat equal quantities as peers,
+    row_number is made total by the PK tie-break. The range exchange
+    guarantees peer co-location so per-bucket rank arithmetic is exact."""
+    import ray.data
+
+    from etl_framework_ray.stages.ranking import global_ranks
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return global_ranks(
+        ds,
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+        peer_cols=1,
+    )
+
+
 def _q_customer_order_ranks(sf_dir: str):
     """Per-customer order analytics in ONE window pass: sequence number,
     RANK over order date (ties share rank), next order date (LEAD), and
@@ -1945,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytic (window) functions — stages/analytic.py
         "event_gaps": _q_event_gaps,
         "customer_order_ranks": _q_customer_order_ranks,
+        "global_quantity_ranks": _q_global_quantity_ranks,
         "turn_gaps": _q_turn_gaps,
         "order_vs_ship_by_date": _q_order_vs_ship_by_date,
         "heavy_hitter_events": _q_heavy_hitter_events,
@@ -2066,6 +2089,16 @@ def oracle_sql() -> dict[str, str]:
                        AS date_pct_rank
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "global_quantity_ranks": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   CAST(ROW_NUMBER() OVER (ORDER BY l_quantity DESC NULLS LAST,
+                                           l_orderkey, l_linenumber) AS BIGINT)
+                       AS row_number,
+                   CAST(RANK() OVER (ORDER BY l_quantity DESC NULLS LAST)
+                        AS BIGINT) AS rank,
+                   CAST(DENSE_RANK() OVER (ORDER BY l_quantity DESC NULLS LAST)
+                        AS BIGINT) AS dense_rank
+            FROM lineitem""",
         "heavy_hitter_events": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
