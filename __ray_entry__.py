@@ -1271,6 +1271,30 @@ _BM25_K = 10
 _BM25_CDC_QUERIES = {0: ["rev", "7"], 1: ["tool", "12"], 2: ["assistant", "3"]}
 
 
+def _q_similar_docs(sf_dir: str):
+    """EXACT trigram-Jaccard similarity self-join (stages/fuzzy.py —
+    AllPairs/PPJoin prefix filtering): every document pair with char-3gram
+    Jaccard >= 0.7, verified exactly. The deterministic counterpart of
+    minhash_dedup, with a full SQL oracle (UNNEST trigrams -> set
+    intersection) instead of a recall bound. ORACLE TIER: runs on a
+    deterministic 500-doc slice — the exact join's cost is
+    output-sensitive (Θ(pairs sharing a prefix token)); the synthetic
+    corpus's 300-trigram vocabulary makes the full table adversarial for
+    prefix filtering (fuzzy.py docstring), and minhash_dedup is the
+    scale path."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from etl_framework_ray.stages.fuzzy import similarity_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 500,
+    )
+    return similarity_join(ds, threshold=0.7)
+
+
 def _q_bm25_topk(sf_dir: str):
     import ray.data
 
@@ -2011,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
+        "similar_docs": _q_similar_docs,
         "bm25_topk_docs": _q_bm25_topk,
         "bm25_search_docs": _q_bm25_search,
     }
@@ -2346,6 +2371,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(t.q AS DOUBLE) AS q, s.v
             FROM (VALUES (0.5), (0.9), (0.99)) t(q)
             JOIN s ON s.rn = CAST(FLOOR(t.q * ((SELECT c FROM n) - 1)) AS BIGINT)""",
+        "similar_docs": """
+            WITH docs AS (
+                SELECT doc_id, lower(text) AS s FROM documents
+                WHERE length(text) >= 3 AND doc_id < 500
+            ), tri AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           UNNEST([substr(s, i, 3) FOR i IN range(1, length(s) - 1)]) AS tok
+                    FROM docs)
+            ), sz AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM tri a JOIN tri b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(ROUND(c * 1.0 / (sa.sz + sb.sz - c) * 1000000) AS BIGINT)
+                       / 1000000.0 AS sim
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.7""",
         "bm25_topk_docs": _bm25_oracle_sql(),
         "bm25_search_docs": _bm25_oracle_sql(),
         "top_tokens": f"""
