@@ -1271,6 +1271,22 @@ _BM25_K = 10
 _BM25_CDC_QUERIES = {0: ["rev", "7"], 1: ["tool", "12"], 2: ["assistant", "3"]}
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    """Wide → long reshape (stages/pivot.unpivot — the inverse of the
+    pivot operator): four lineitem measures melt to (name, value) rows,
+    SQL UNPIVOT parity incl. NULL-drop. Pure map stage, no shuffle."""
+    import ray.data
+
+    from etl_framework_ray.stages.pivot import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", *cols],
+    )
+    return unpivot(ds, ["l_orderkey", "l_linenumber"], cols)
+
+
 def _q_similar_docs(sf_dir: str):
     """EXACT trigram-Jaccard similarity self-join (stages/fuzzy.py —
     AllPairs/PPJoin prefix filtering): every document pair with char-3gram
@@ -2036,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
         "similar_docs": _q_similar_docs,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "bm25_topk_docs": _q_bm25_topk,
         "bm25_search_docs": _q_bm25_search,
     }
@@ -2371,6 +2388,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(t.q AS DOUBLE) AS q, s.v
             FROM (VALUES (0.5), (0.9), (0.99)) t(q)
             JOIN s ON s.rn = CAST(FLOOR(t.q * ((SELECT c FROM n) - 1)) AS BIGINT)""",
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, name, value
+            FROM (SELECT l_orderkey, l_linenumber,
+                         l_quantity, l_extendedprice, l_discount, l_tax
+                  FROM lineitem)
+            UNPIVOT (value FOR name IN
+                     (l_quantity, l_extendedprice, l_discount, l_tax))""",
         "similar_docs": """
             WITH docs AS (
                 SELECT doc_id, lower(text) AS s FROM documents

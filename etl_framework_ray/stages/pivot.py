@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .analytic import _sum_dtype
-from .joins import _direct_grouped_apply, _mat_arrow
+from .joins import _direct_grouped_apply, _ensure_arrow, _mat_arrow
 
 
 def _col_name(prefix: str, v) -> str:
@@ -166,3 +166,69 @@ def pivot(
         kernel,
         shuffle_buckets,
     )
+
+
+def unpivot(
+    ds: "object",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "name",
+    value_name: str = "value",
+    drop_null: bool = True,
+):
+    """Wide → long reshape: one output row per (input row, value column)
+    — SQL's ``UNPIVOT (value FOR name IN (...))`` / pandas ``melt``, the
+    inverse of :func:`pivot`. Embarrassingly parallel: a pure
+    ``map_batches`` Arrow kernel (one zero-copy column slice per value
+    column, concatenated), no shuffle, streams at any scale.
+
+    Semantics (DuckDB UNPIVOT parity): NULL cells are dropped when
+    ``drop_null`` (SQL's default — a row whose every value column is
+    NULL vanishes); pass ``drop_null=False`` for pandas-``melt``
+    behavior. Value columns unify to one common Arrow type (int → float
+    widening; fails loud on incompatible types). Output column order:
+    ``id_cols + [var_name, value_name]``; row order within a block is
+    column-major (all of value_cols[0], then [1], …), which SQL never
+    promises anyway."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if var_name in id_cols or value_name in id_cols or var_name == value_name:
+        raise ValueError("var_name/value_name collide with id_cols or each other")
+    ds = _ensure_arrow(ds)  # no barrier: unpivot is a pure map stage
+    schema = ds.schema()
+    if schema is None:
+        raise ValueError("unpivot needs a non-empty schema")
+    types = dict(zip(schema.names, schema.types))
+    for c in (*id_cols, *value_cols):
+        if c not in types:
+            raise KeyError(f"column {c!r} not in dataset schema")
+    vts = [types[c] for c in value_cols]
+    if all(t.equals(vts[0]) for t in vts):
+        vt = vts[0]
+    elif all(pa.types.is_integer(t) or pa.types.is_floating(t) for t in vts):
+        # fail-loud unification: mixed numerics widen like SQL UNPIVOT
+        vt = (
+            pa.float64()
+            if any(pa.types.is_floating(t) for t in vts)
+            else pa.int64()
+        )
+    else:
+        raise ValueError(f"value columns mix incompatible types: {vts}")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            v = batch.column(c).cast(vt)
+            t = pa.table(
+                {
+                    **{i: batch.column(i) for i in id_cols},
+                    var_name: pa.array([c] * batch.num_rows, pa.string()),
+                    value_name: v,
+                }
+            )
+            if drop_null:
+                t = t.filter(pc.is_valid(v))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
