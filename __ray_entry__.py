@@ -1271,6 +1271,33 @@ _BM25_K = 10
 _BM25_CDC_QUERIES = {0: ["rev", "7"], 1: ["tool", "12"], 2: ["assistant", "3"]}
 
 
+def _q_events_except_all(sf_dir: str):
+    """Multiset EXCEPT ALL (stages/setops.py — bag semantics no join
+    composition reproduces): per-(user, event_type) activity present in
+    the even-event_id shard beyond its multiplicity in the odd shard.
+    Duplicates collapse to (row, count) partials per block BEFORE the
+    exchange; one kernel per bucket merges counts and re-expands."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.stages.setops import except_all
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["user_id", "event_type", "event_id"]
+
+    def shard(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), parity)
+            return t.filter(keep).select(["user_id", "event_type"])
+
+        return ray.data.read_parquet(path, columns=cols).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    return except_all(shard(0), shard(1))
+
+
 def _q_lineitem_unpivot(sf_dir: str):
     """Wide → long reshape (stages/pivot.unpivot — the inverse of the
     pivot operator): four lineitem measures melt to (name, value) rows,
@@ -2053,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": _q_curate_documents,
         "similar_docs": _q_similar_docs,
         "lineitem_unpivot": _q_lineitem_unpivot,
+        "events_except_all": _q_events_except_all,
         "bm25_topk_docs": _q_bm25_topk,
         "bm25_search_docs": _q_bm25_search,
     }
@@ -2388,6 +2416,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(t.q AS DOUBLE) AS q, s.v
             FROM (VALUES (0.5), (0.9), (0.99)) t(q)
             JOIN s ON s.rn = CAST(FLOOR(t.q * ((SELECT c FROM n) - 1)) AS BIGINT)""",
+        "events_except_all": """
+            SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+            EXCEPT ALL
+            SELECT user_id, event_type FROM events WHERE event_id % 2 = 1""",
         "lineitem_unpivot": """
             SELECT l_orderkey, l_linenumber, name, value
             FROM (SELECT l_orderkey, l_linenumber,
