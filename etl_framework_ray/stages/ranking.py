@@ -266,6 +266,8 @@ def global_ranks(
         ranked.append(tref)
         stats.append(sref)
     counts = ray.get(stats)  # O(buckets) tuples — the only driver traffic
+    if not ranks:  # pure global sort: no offsets to apply
+        return ray.data.from_arrow_refs(ranked)
     row_off = np.concatenate([[0], np.cumsum([c[0] for c in counts])[:-1]])
     grp_off = np.concatenate([[0], np.cumsum([c[1] for c in counts])[:-1]])
     shifted = [
@@ -273,3 +275,78 @@ def global_ranks(
         for i in range(nb)
     ]
     return ray.data.from_arrow_refs(shifted)
+
+
+def global_sort(
+    ds: "ray.data.Dataset",
+    order_cols: list[str],
+    descending: bool | list[bool] = False,
+    nulls: str = "last",
+    sample_per_block: int = 64,
+    shuffle_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed total-order SORT: the same range exchange as
+    :func:`global_ranks` without the rank columns — output blocks stream
+    in global ``ORDER BY order_cols`` order (bucket ``i``'s every row
+    precedes bucket ``i+1``'s; rows are sorted within each bucket), the
+    shape an ordered export consumes directly. Unlike ``Dataset.sort``
+    this pins the boundary sample deterministically and keeps the
+    one-map-one-reduce exchange of the rest of the engine."""
+    return global_ranks(
+        ds,
+        order_cols,
+        descending=descending,
+        ranks=(),
+        nulls=nulls,
+        sample_per_block=sample_per_block,
+        shuffle_buckets=shuffle_buckets,
+    )
+
+
+def export_sorted(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    order_cols: list[str],
+    descending: bool | list[bool] = False,
+    nulls: str = "last",
+    shuffle_buckets: int | None = None,
+) -> dict:
+    """Distributed ORDER BY → resumable ordered parquet export: sort with
+    :func:`global_sort`, then write one ``part-NNNNN.parquet`` per range
+    bucket IN GLOBAL ORDER (reading parts in filename order replays the
+    total order), committed atomically per part (tmp + rename) with a
+    final ``_SUCCESS`` marker naming the part list — a crashed export
+    rewrites only missing parts on rerun. Returns ``{parts, rows}``."""
+    import json
+    import os
+
+    done_marker = os.path.join(out_dir, "_SUCCESS")
+    os.makedirs(out_dir, exist_ok=True)
+    srt = global_sort(
+        ds, order_cols, descending=descending, nulls=nulls,
+        shuffle_buckets=shuffle_buckets,
+    )
+    refs = _block_refs(srt)
+
+    @ray.remote
+    def _write_part(i: int, t: pa.Table) -> tuple:
+        _single_threaded_arrow()
+        import pyarrow.parquet as pq
+
+        name = f"part-{i:05d}.parquet"
+        path = os.path.join(out_dir, name)
+        if os.path.exists(path):  # resume: finished parts are skipped
+            return name, -1
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic commit point per part
+        return name, t.num_rows
+
+    results = ray.get([_write_part.remote(i, r) for i, r in enumerate(refs)])
+    parts = [n for n, _ in results]
+    rows = sum(max(r, 0) for _, r in results)
+    tmp = done_marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"parts": parts, "order_cols": order_cols}, fh)
+    os.replace(tmp, done_marker)
+    return {"parts": len(parts), "rows": rows}
