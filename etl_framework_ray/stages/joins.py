@@ -441,6 +441,10 @@ def equi_join(
     right_cols: list[str],
     how: str = "inner",
     shuffle_buckets: int | None = None,
+    skew: "str | list | None" = None,
+    skew_factor: float = 4.0,
+    max_broadcast_rows: int = 2_000_000,
+    stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Hash equi-join on the direct two-round exchange — the large–large
     shuffle-join path (the broadcast pattern covers small sides;
@@ -473,11 +477,30 @@ def equi_join(
     slim schema once and runs one vectorized pandas merge per bucket.
 
     Partitioning assumption (as the temporal joins): all rows of one join
-    key fit a worker; blocks × buckets refs stay ≲1e5."""
+    key fit a worker; blocks × buckets refs stay ≲1e5 — UNLESS ``skew``
+    is set, which lifts the hot-key half of that assumption:
+
+    ``skew`` (opt-in): hot-key broadcast hybrid for skewed left sides.
+    ``"auto"`` detects hot keys from per-block top counts (a key whose
+    row count exceeds ``skew_factor ×`` the average bucket share), or
+    pass an explicit key list. Hot-key LEFT rows never shuffle — the
+    (small, capped at ``max_broadcast_rows``) hot slice of the RIGHT
+    side broadcasts once via ``ray.put`` and joins map-side on the
+    left's own blocks; cold keys take the normal exchange; the result
+    is the UNION. Not supported for ``how="outer"`` (right-only hot
+    rows would need cross-block dedup). ``stats_out`` receives
+    ``skew_hot_keys`` / ``skew_broadcast_rows``."""
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError("how must be 'inner', 'left', 'outer', 'semi' or 'anti'")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"{how} join carries no right payload; pass right_cols=[]")
+    if skew is not None:
+        if how == "outer":
+            raise ValueError("skew hot-key hybrid does not support how='outer'")
+        return _skew_equi_join(
+            left, right, left_on, right_on, right_cols, how, shuffle_buckets,
+            skew, skew_factor, max_broadcast_rows, stats_out,
+        )
     left, right = _ensure_arrow(left), _ensure_arrow(right)
     l_names, l_types, r_cols, r_types, key_t, t_t, right_empty = _resolve_side_types(
         left, right, left_on, None, right_on, right_cols
@@ -549,6 +572,141 @@ def equi_join(
         l_names, l_types, r_cols, r_types, key_t, t_t, right_empty, kernel,
         shuffle_buckets,
     )
+
+
+def _detect_hot_keys(
+    left: "ray.data.Dataset", left_on: str, skew_factor: float, nb: int, total: int
+) -> list:
+    """Hot-key detection from per-block top counts: each block emits its
+    16 most frequent keys (a key hot enough to matter tops most blocks,
+    so the driver's sum is ~exact for it); hot = summed rows >
+    ``skew_factor ×`` the average bucket share of ``total`` rows."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        arr = batch.column(left_on).drop_null()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return pa.table({"k": arr, "n": pa.nulls(0, pa.int64())})
+        vc = arr.value_counts()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        top = np.argsort(counts)[::-1][:16]
+        return pa.table({
+            "k": vc.field("values").take(pa.array(top)),
+            "n": pa.array(counts[top].astype(np.int64)),
+        })
+
+    agg: dict = {}
+    for b in left.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, n in zip(b.column("k").to_pylist(), b.column("n").to_pylist()):
+            agg[k] = agg.get(k, 0) + n
+    if not agg or total == 0:
+        return []
+    cut = skew_factor * total / max(nb, 1)
+    return sorted((k for k, n in agg.items() if n > cut), key=lambda v: (str(type(v)), v))
+
+
+def _skew_equi_join(
+    left, right, left_on, right_on, right_cols, how, shuffle_buckets,
+    skew, skew_factor, max_broadcast_rows, stats_out,
+):
+    """Hot-key broadcast hybrid (see :func:`equi_join` docstring): hot
+    LEFT rows join map-side against the broadcast hot slice of the right;
+    cold keys take the normal exchange; results union."""
+    import pyarrow.compute as pc
+
+    # materialize once: the hybrid reads each side at least twice
+    # (detector/filters), and count() becomes a metadata read
+    left = _ensure_arrow(left).materialize()
+    right = _ensure_arrow(right).materialize()
+    nb = resolve_buckets(shuffle_buckets)
+    hot = (
+        _detect_hot_keys(left, left_on, skew_factor, nb, left.count())
+        if isinstance(skew, str) and skew == "auto"
+        else list(skew)
+    )
+    if stats_out is not None:
+        stats_out["skew_hot_keys"] = len(hot)
+        stats_out["skew_broadcast_rows"] = 0
+    if not hot:
+        return equi_join(left, right, left_on, right_on, right_cols, how,
+                         shuffle_buckets)
+    l_names, l_types, r_cols, r_types, key_t, _t, right_empty = _resolve_side_types(
+        left, right, left_on, None, right_on, right_cols
+    )
+    hot_arr = pa.array(hot).cast(key_t)
+
+    def side_filter(col: str, keep_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ishot = pc.fill_null(
+                pc.is_in(t.column(col), value_set=hot_arr), False
+            )
+            return t.filter(ishot if keep_hot else pc.invert(ishot))
+
+        return fn
+
+    left_cold = left.map_batches(side_filter(left_on, False), batch_format="pyarrow")
+    left_hot = left.map_batches(side_filter(left_on, True), batch_format="pyarrow")
+    cold = equi_join(left_cold, right, left_on, right_on, right_cols, how,
+                     shuffle_buckets)
+    # NOTE the cold exchange keeps the FULL right side: hot-key right rows
+    # simply match nothing there (their left partners were filtered out),
+    # which costs shipping them once but keeps this path allocation-free.
+
+    # broadcast the hot slice of the right side (capped, fail-loud)
+    if right_empty:
+        bcast = None
+        n_bcast = 0
+    else:
+        r_keep = [right_on] + [c for c in r_cols]
+        r_hot = right.map_batches(side_filter(right_on, True), batch_format="pyarrow")
+        r_hot = r_hot.map_batches(
+            lambda t: t.select([c for c in r_keep if c in t.column_names]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_bcast = r_hot.count()
+        if n_bcast > max_broadcast_rows:
+            raise ValueError(
+                f"skew broadcast would carry {n_bcast} right rows "
+                f"(> max_broadcast_rows={max_broadcast_rows}); the hot keys' "
+                "right side is itself large — raise the cap or salt instead"
+            )
+        parts = [
+            b for b in r_hot.iter_batches(batch_format="pyarrow")
+        ]
+        bcast = ray.put(
+            pa.concat_tables(parts) if parts else None
+        )
+    if stats_out is not None:
+        stats_out["skew_broadcast_rows"] = n_bcast
+
+    def hot_kernel(batch: pa.Table) -> pa.Table:
+        rt = ray.get(bcast) if bcast is not None else None
+        ldf = batch.to_pandas()
+        ldf["_key"] = batch.column(left_on).to_pandas()
+        if rt is None or rt.num_rows == 0:
+            rkeys = pd.Series(dtype=object)
+            rdf = pd.DataFrame({"_key": rkeys,
+                                **{f"r_{c}": pd.Series(dtype=object) for c in r_cols}})
+        else:
+            rdf = rt.to_pandas().rename(
+                columns={right_on: "_key", **{c: f"r_{c}" for c in r_cols}}
+            )
+        if how in ("semi", "anti"):
+            member = ldf["_key"].isin(rdf["_key"].dropna().unique()) & ldf["_key"].notna()
+            out = ldf[member if how == "semi" else ~member]
+            return _typed_out(out.reset_index(drop=True), l_names, l_types, {})
+        out = ldf.merge(rdf[rdf["_key"].notna()], on="_key", how="inner" if how == "inner" else "left")
+        out = out.reset_index(drop=True)
+        return _typed_out(
+            out, l_names, l_types,
+            {f"r_{c}": (out[f"r_{c}"], r_types[c]) for c in r_cols},
+        )
+
+    hot_ds = left_hot.map_batches(hot_kernel, batch_format="pyarrow")
+    return cold.union(hot_ds)
 
 
 def _direct_grouped_apply(
