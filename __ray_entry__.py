@@ -203,6 +203,43 @@ def _cdc_rollup(sf_dir: str):
     return conversation_rollup(eng.snapshot())
 
 
+def _cdc_role_rollup_sets(sf_dir: str):
+    """CDC × GROUPING SETS composition: replay the changelog, then one
+    grouping_sets pass over the committed snapshot gives per-role counts
+    AND the grand total with SQL GROUPING() parity (stages/rollup.py over
+    CDCEngine.snapshot — raw turns pre-aggregate per block; only
+    replicated partials shuffle)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.stages.rollup import grouping_sets, rollup_sets
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_rsets_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+
+    def widen(t: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(pc.fill_null(t.column("text"), ""))
+        return pa.table(
+            {"role": t.column("role"), "chars": chars.cast(pa.int64())}
+        )
+
+    snap = eng.snapshot(columns=["role", "text"]).map_batches(
+        widen, batch_format="pyarrow"
+    )
+    return grouping_sets(
+        snap,
+        rollup_sets(["role"]),
+        {"n_turns": ("count", None), "total_chars": ("sum", "chars")},
+    )
+
+
 def _cdc_changefeed(sf_dir: str):
     """Streaming changefeed: replay the seeded log, then read the net
     changes since the mid-stream watermark as a Dataset (one merge task
@@ -392,6 +429,24 @@ def _cdc_rollup_oracle_sql(sf_name: str) -> str:
                CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
                MAX(ts) AS last_ts
         FROM snap GROUP BY conv_id
+    """
+
+
+def _cdc_role_rollup_sets_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT role, text FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT role, CAST(GROUPING(role) AS BIGINT) AS grouping_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars
+        FROM snap GROUP BY ROLLUP(role)
     """
 
 
@@ -2006,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_bm25_incremental": _cdc_bm25_incremental,
+        "cdc_role_rollup_sets": _cdc_role_rollup_sets,
         "cdc_view_changes": _cdc_view_changes,
         "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
@@ -2130,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
         "cdc_curation_incremental": _curation_oracle_sql(sf),
         "cdc_bm25_incremental": _bm25_cdc_oracle_sql(sf),
+        "cdc_role_rollup_sets": _cdc_role_rollup_sets_oracle_sql(sf),
         "cdc_view_changes": _view_changes_oracle_sql(sf),
         "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),
