@@ -1369,6 +1369,47 @@ def _q_lineitem_unpivot(sf_dir: str):
     return unpivot(ds, ["l_orderkey", "l_linenumber"], cols)
 
 
+def _q_revenue_bucketed(sf_dir: str):
+    """ZERO-SHUFFLE join via the bucketed table layout
+    (stages/bucketed.py): orders and customer are written hash-bucketed
+    by custkey once (the pipeline's ONE partitioning key), then the join
+    runs one task per bucket pair reading only its own files — no
+    exchange at all. Same oracle as revenue_by_mktsegment: the layouts
+    must be semantically invisible."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from etl_framework_ray.pipelines.medallion import _read, _round_cols
+    from etl_framework_ray.stages.bucketed import bucketed_equi_join, write_bucketed
+
+    work = tempfile.mkdtemp(prefix="etl_bucketed_")
+    od, cd = os.path.join(work, "orders"), os.path.join(work, "customer")
+    write_bucketed(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+                   od, "o_custkey", num_buckets=16)
+    write_bucketed(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+                   cd, "c_custkey", num_buckets=16)
+    joined = bucketed_equi_join(od, cd, "o_custkey", "c_custkey", ["c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from etl_framework_ray.pipelines.cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        g = batch.group_by("r_c_mktsegment", use_threads=False).aggregate(
+            [("o_totalprice", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+    )
+
+
 def _q_similar_docs(sf_dir: str):
     """EXACT trigram-Jaccard similarity self-join (stages/fuzzy.py —
     AllPairs/PPJoin prefix filtering): every document pair with char-3gram
@@ -2135,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
         "similar_docs": _q_similar_docs,
+        "revenue_by_mktsegment_bucketed": _q_revenue_bucketed,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_except_all": _q_events_except_all,
         "bm25_topk_docs": _q_bm25_topk,
@@ -2314,6 +2356,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand""",
         "revenue_by_mktsegment": """
+            SELECT c_mktsegment,
+                   CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) / 100.0 AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "revenue_by_mktsegment_bucketed": """
             SELECT c_mktsegment,
                    CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) / 100.0 AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
