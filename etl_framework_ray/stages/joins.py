@@ -144,6 +144,44 @@ def _mat_arrow(ds: "ray.data.Dataset"):
     return ds, schema
 
 
+def _mat_arrow_unified(ds: "ray.data.Dataset"):
+    """:func:`_mat_arrow`, plus block-schema unification when an all-NULL
+    slice made Ray infer a column as Arrow ``null`` in SOME blocks (a
+    ``from_pandas`` + ``repartition`` artifact): ``schema()`` reports one
+    block's guess, and a downstream cast double→null fails. Unify the
+    bundles' schemas (null promotes to the real type) and cast every
+    block onto the result — the extra pass runs ONLY in the mixed case."""
+    ds, schema = _mat_arrow(ds)
+    if schema is None:
+        return ds, schema
+    if not any(
+        isinstance(t, pa.DataType) and pa.types.is_null(t) for t in schema.types
+    ):
+        return ds, schema
+    # discover the TRUE per-block schemas (bundle metadata reports one
+    # block's guess): one cheap pass emitting each block's schema as IPC
+    # bytes, then unify and cast every block onto the result
+    def emit_schema(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array([t.schema.serialize().to_pybytes()])})
+
+    schemas = []
+    for b in ds.map_batches(emit_schema, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b.column("s").to_pylist():
+            schemas.append(pa.ipc.read_schema(pa.py_buffer(raw)))
+    if not schemas:
+        return ds, schema
+    uni = pa.unify_schemas(schemas, promote_options="permissive")
+    tgt = {n: uni.field(n).type for n in uni.names}
+
+    def recast(t: pa.Table) -> pa.Table:
+        return pa.table({c: t.column(c).cast(tgt[c]) for c in uni.names})
+
+    ds = ds.map_batches(recast, batch_format="pyarrow").materialize()
+    return ds, ds.schema()
+
+
 def _resolve_side_types(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -46,10 +46,11 @@ import ray
 
 from .joins import (
     _block_refs,
-    _mat_arrow,
+    _mat_arrow_unified,
     _single_threaded_arrow,
     resolve_buckets,
 )
+from .util import null_safe_from_pandas
 
 _RANKS = ("row_number", "rank", "dense_rank")
 
@@ -161,7 +162,7 @@ def _rank_bucket_task(
     new_grp = (~peers.duplicated()).to_numpy()
     dense_local = np.cumsum(new_grp)  # 1-based
     starts = np.flatnonzero(new_grp)  # 0-based first row of each peer group
-    out = {c: pa.Array.from_pandas(df[c], type=types[c]) for c in names}
+    out = {c: null_safe_from_pandas(df[c], types[c]) for c in names}
     for r in ranks:  # caller's order — every bucket must agree on schema
         if r == "row_number":
             out[r] = pa.array(np.arange(1, n + 1, dtype=np.int64))
@@ -221,7 +222,7 @@ def global_ranks(
     if nulls not in ("last", "first"):
         raise ValueError("nulls must be 'last' or 'first'")
 
-    ds, schema = _mat_arrow(ds)
+    ds, schema = _mat_arrow_unified(ds)
     if schema is None:
         raise ValueError("global_ranks needs a non-empty schema")
     names = list(schema.names)

@@ -39,7 +39,8 @@ import pyarrow.compute as pc
 import ray
 
 from .analytic import _sum_dtype
-from .joins import _direct_grouped_apply, _mat_arrow
+from .joins import _direct_grouped_apply, _mat_arrow_unified
+from .util import null_safe_from_pandas
 
 _FNS = ("count", "count_col", "sum", "min", "max", "avg")
 #: routing-key encoding: unit separator between columns; NUL-prefixed
@@ -99,7 +100,7 @@ def grouping_sets(
         if name in group_cols or name == grouping_col:
             raise ValueError(f"agg output {name!r} collides with a key column")
 
-    ds, schema = _mat_arrow(ds)
+    ds, schema = _mat_arrow_unified(ds)
     if schema is None:
         raise ValueError("grouping_sets needs a non-empty schema")
     in_types = dict(zip(schema.names, schema.types))
@@ -122,7 +123,12 @@ def grouping_sets(
     need_s = sorted({c for fn, c in aggs.values() if fn in ("sum", "avg")})
     need_mn = sorted({c for fn, c in aggs.values() if fn == "min"})
     need_mx = sorted({c for fn, c in aggs.values() if fn == "max"})
-    sum_ts = {c: _sum_dtype(in_types[c]) for c in need_s}
+    # an all-NULL column arrives Arrow `null`-typed: every sum/avg over
+    # it is NULL — type the output float64 instead of failing the plan
+    sum_ts = {
+        c: pa.float64() if pa.types.is_null(in_types[c]) else _sum_dtype(in_types[c])
+        for c in need_s
+    }
 
     part_fields: list[tuple[str, pa.DataType]] = (
         [(grouping_col, pa.int64())]
@@ -193,7 +199,7 @@ def grouping_sets(
             r["_gk"] = _route_key(fine, gid, s)
             reps.append(r)
         allr = pd.concat(reps, ignore_index=True)
-        out = {n: pa.Array.from_pandas(allr[n], type=t) for n, t in part_fields}
+        out = {n: null_safe_from_pandas(allr[n], t) for n, t in part_fields}
         out["_gk"] = pa.Array.from_pandas(allr["_gk"], type=pa.string())
         return pa.table(out)
 
@@ -230,7 +236,7 @@ def grouping_sets(
             .reset_index()
         )
         out: dict[str, pa.Array] = {
-            c: pa.Array.from_pandas(g[c], type=in_types[c]) for c in group_cols
+            c: null_safe_from_pandas(g[c], in_types[c]) for c in group_cols
         }
         out[grouping_col] = pa.Array.from_pandas(g[grouping_col], type=pa.int64())
         for name, (fn, col) in aggs.items():

@@ -34,7 +34,8 @@ import pyarrow as pa
 
 import ray
 
-from .joins import _direct_grouped_apply, _mat_arrow
+from .joins import _direct_grouped_apply, _mat_arrow_unified
+from .util import null_safe_from_pandas
 
 _SEP = "\x1f"
 _NULL = "\x00"
@@ -60,8 +61,8 @@ def _set_op(
     shuffle_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     assert mode in _MODES
-    left, l_schema = _mat_arrow(left)
-    right, r_schema = _mat_arrow(right)
+    left, l_schema = _mat_arrow_unified(left)
+    right, r_schema = _mat_arrow_unified(right)
     if l_schema is None:
         raise ValueError("left dataset has no schema (empty input?)")
     cols = list(l_schema.names)
@@ -71,6 +72,13 @@ def _set_op(
             f"set ops need matching column names: {sorted(cols)} vs "
             f"{sorted(r_schema.names)}"
         )
+    if r_schema is not None:
+        # a side whose column is all-NULL infers Arrow `null`; take the
+        # other side's real type so casts stay possible in both partials
+        r_types = dict(zip(r_schema.names, r_schema.types))
+        for c in cols:
+            if pa.types.is_null(types[c]) and not pa.types.is_null(r_types[c]):
+                types[c] = r_types[c]
     for rc in ("_n0", "_n1", "_gk"):
         if rc in cols:
             raise ValueError(f"dataset may not contain a column named {rc!r}")
@@ -82,7 +90,7 @@ def _set_op(
             _single_threaded_arrow()
             df = batch.select(cols).to_pandas()
             g = df.groupby(cols, dropna=False, sort=False).size().reset_index(name="_n")
-            out = {c: pa.Array.from_pandas(g[c], type=types[c]) for c in cols}
+            out = {c: null_safe_from_pandas(g[c], types[c]) for c in cols}
             n = g["_n"].to_numpy(np.int64)
             zero = np.zeros(len(g), np.int64)
             out["_n0"] = pa.array(n if side == 0 else zero)
@@ -126,7 +134,7 @@ def _set_op(
             reps = ((n0 > 0) | (n1 > 0)).astype(np.int64)
         idx = np.repeat(np.arange(len(g), dtype=np.int64), reps)
         return pa.table(
-            {c: pa.Array.from_pandas(g[c].iloc[idx], type=types[c]) for c in cols}
+            {c: null_safe_from_pandas(g[c].iloc[idx], types[c]) for c in cols}
         )
 
     return _direct_grouped_apply(parts, "_gk", kernel, shuffle_buckets)

@@ -87,6 +87,15 @@ class BatchCounts:
         shutil.rmtree(self.dir, ignore_errors=True)
 
 
+def null_safe_from_pandas(series, t: pa.DataType) -> pa.Array:
+    """``pa.Array.from_pandas(series, type=t)`` that also accepts Arrow's
+    ``null`` type (an all-NULL object column infers as ``null``;
+    from_pandas raises NumPyConverter-not-implemented for it)."""
+    if pa.types.is_null(t):
+        return pa.nulls(len(series), t)
+    return pa.Array.from_pandas(series, type=t)
+
+
 def cached_stage(cls, *args, **kwargs):
     """Wrap a callable-class stage as a plain ``map_batches`` function with
     lazy once-per-worker construction.
