@@ -1410,6 +1410,27 @@ def _q_revenue_bucketed(sf_dir: str):
     )
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (stages/lm.py — the CCNet-family
+    quality filter): train on the documents corpus (bounded vocab,
+    tree-merged counts, ONE broadcast), score every doc in one
+    vectorized pass. Deterministic; no SQL oracle (the model is not
+    SQL-expressible) — accuracy pytest-verified against a row-at-a-time
+    reference and an OOV-gibberish separation bound."""
+    import pyarrow as pa
+    import ray.data
+
+    from etl_framework_ray.stages.lm import score_perplexity, train_ngram_lm
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    model = train_ngram_lm(ds)
+    return score_perplexity(ds, model).map_batches(
+        lambda t: t.select(["doc_id", "ppl"]), batch_format="pyarrow"
+    )
+
+
 def _q_similar_docs(sf_dir: str):
     """EXACT trigram-Jaccard similarity self-join (stages/fuzzy.py —
     AllPairs/PPJoin prefix filtering): every document pair with char-3gram
@@ -2176,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "curate_documents": _q_curate_documents,
         "similar_docs": _q_similar_docs,
+        "lm_perplexity_docs": _q_lm_perplexity,
         "revenue_by_mktsegment_bucketed": _q_revenue_bucketed,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "events_except_all": _q_events_except_all,
