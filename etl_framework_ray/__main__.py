@@ -233,6 +233,13 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("publish", help="resumable partitioned export")
     pp.add_argument("--table", required=True)
     pp.add_argument("--out", required=True)
+    pp.add_argument(
+        "--order-by", default=None,
+        help="comma-separated columns: export as a GLOBAL distributed ORDER BY "
+             "instead of the hash-partitioned layout (part files read in "
+             "filename order replay the total order; prefix '-' for DESC, "
+             "e.g. --order-by -ts,conv_id)",
+    )
 
     pc = sub.add_parser("changes", help="net per-key changefeed since an LSN watermark")
     pc.add_argument("--table", required=True)
@@ -571,11 +578,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": t.num_rows, "columns": t.column_names, "version": args.version}))
     elif args.cmd == "publish":
         started_ray = _init_ray(args.num_cpus)
-        from .pipelines.publish import publish_snapshot
-
         eng = _existing_engine(args.table)
-        n = publish_snapshot(eng, args.out)
-        print(json.dumps({"partitions_exported": n, "out": args.out}))
+        if args.order_by:
+            from .stages.ranking import export_sorted
+
+            cols = [c.strip() for c in args.order_by.split(",") if c.strip()]
+            desc = [c.startswith("-") for c in cols]
+            cols = [c.lstrip("-") for c in cols]
+            r = export_sorted(eng.snapshot(), args.out, cols, descending=desc)
+            print(json.dumps({**r, "out": args.out, "order_by": args.order_by}))
+        else:
+            from .pipelines.publish import publish_snapshot
+
+            n = publish_snapshot(eng, args.out)
+            print(json.dumps({"partitions_exported": n, "out": args.out}))
     elif args.cmd == "changes":
         eng = _existing_engine(args.table)
         t = eng.read_changes(since_lsn=args.since)
