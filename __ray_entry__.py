@@ -2139,6 +2139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": m.events_props_k,
         "pricing_summary": m.pricing_summary,
         "pricing_rollup": m.pricing_rollup,
+        "forecast_revenue": m.forecast_revenue,
+        "late_shipment_priority": m.late_shipment_priority,
+        "promo_revenue": m.promo_revenue,
         "events_timeliness": m.events_timeliness,
         "distinct_order_status": m.distinct_order_status,
         "lineitem_pk_dups": m.lineitem_pk_dups,
@@ -2412,6 +2415,32 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "forecast_revenue": """
+            SELECT CAST(ROUND(SUM(l_extendedprice * l_discount) * 100) AS BIGINT)
+                       / 100.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24""",
+        "late_shipment_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late FROM (
+                SELECT DISTINCT o_orderkey, o_orderpriority
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            ) GROUP BY o_orderpriority""",
+        "promo_revenue": """
+            SELECT CAST(ROUND(
+                       100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       / 100.0 AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'""",
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,

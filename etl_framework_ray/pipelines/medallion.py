@@ -406,6 +406,164 @@ def pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6 shape: pure filter + global sum — the query every engine
+    must make I/O-bound. Pruned 4-column read, one vectorized filter +
+    partial sum per block, native sum; the column never shuffles."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        sd = batch.column("l_shipdate")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(sd, pa.scalar(lo)), pc.less(sd, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("l_discount"), pa.scalar(0.03)),
+                    pc.less_equal(batch.column("l_discount"), pa.scalar(0.07)),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        f = batch.filter(keep)
+        rev = pc.sum(pc.multiply(f.column("l_extendedprice"), f.column("l_discount")))
+        return pa.table({"revenue": pa.array([rev.as_py() or 0.0], pa.float64())})
+
+    total = (
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    out = pa.table({"revenue": pa.array([float(total["revenue"])], pa.float64())})
+    return ray.data.from_arrow(
+        _round_cols(["revenue"])(out)
+    )
+
+
+def late_shipment_priority(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q4 shape (EXISTS with a cross-table condition): orders placed
+    in 1996 counted per priority when ANY line item shipped >60 days
+    after the order date. The EXISTS references both sides' columns, so
+    it runs as equi-join (carrying only l_shipdate) → vectorized
+    condition → exact distinct on (orderkey, priority) via the hash
+    exchange → per-priority counts."""
+    import datetime as _dt
+
+    from ..stages.joins import _direct_grouped_apply, equi_join
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def keep_1996(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        return batch.filter(
+            pc.and_(pc.greater_equal(od, pa.scalar(lo)), pc.less(od, pa.scalar(hi)))
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        keep_1996, batch_format="pyarrow"
+    )
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = equi_join(
+        orders, lineitem, "o_orderkey", "l_orderkey", ["l_shipdate"]
+    )
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        lag = pc.subtract(
+            batch.column("r_l_shipdate").cast(pa.int64()),
+            batch.column("o_orderdate").cast(pa.int64()),
+        )
+        late = pc.greater(lag, pa.scalar(60 * 86_400_000_000))  # 60 days in µs
+        f = batch.filter(late)
+        # block-local dedup before the exchange (duplicates collapse early)
+        return (
+            f.select(["o_orderkey", "o_orderpriority"])
+            .group_by(["o_orderkey", "o_orderpriority"], use_threads=False)
+            .aggregate([])
+        )
+
+    pairs = joined.map_batches(late_pairs, batch_format="pyarrow")
+
+    def count_kernel(df) -> pa.Table:
+        d = df.drop_duplicates(["o_orderkey"])
+        g = d.groupby("o_orderpriority", sort=False).size().reset_index(name="n_late")
+        return pa.table(
+            {
+                "o_orderpriority": pa.Array.from_pandas(
+                    g["o_orderpriority"], type=pa.string()
+                ),
+                "n_late": pa.Array.from_pandas(g["n_late"], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _direct_grouped_apply(pairs, "o_orderkey", count_kernel)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+def promo_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q14 shape: promo revenue share in one calendar year — fact ⋈
+    broadcast part-type map, two conditional partial sums per block, one
+    driver division, snapped ratio."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from .cdc import _single_threaded_arrow
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    part_ref = ray.put(part)
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _single_threaded_arrow()
+        sd = batch.column("l_shipdate")
+        f = batch.filter(
+            pc.and_(pc.greater_equal(sd, pa.scalar(lo)), pc.less(sd, pa.scalar(hi)))
+        )
+        d = ray.get(part_ref)
+        j = f.join(d, keys="l_partkey", right_keys="p_partkey", join_type="inner")
+        rev = pc.multiply(
+            j.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), j.column("l_discount"))
+        )
+        promo = pc.if_else(
+            pc.equal(j.column("p_type"), pa.scalar("PROMO")), rev, pa.scalar(0.0)
+        )
+        return pa.table(
+            {
+                "promo": pa.array([pc.sum(promo).as_py() or 0.0], pa.float64()),
+                "total": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    )
+    ratio = 100.0 * float(agg["promo"]) / float(agg["total"])
+    out = pa.table({"promo_pct": pa.array([ratio], pa.float64())})
+    return ray.data.from_arrow(_round_cols(["promo_pct"])(out))
+
+
 def events_timeliness(sf_dir: str) -> "ray.data.Dataset":
     """Conditional counts per event_type: total + how many before 09:00
     (hour() filter + when/otherwise counting — timeliness.py:81-89,
