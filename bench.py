@@ -929,6 +929,44 @@ def run_dedup_scale() -> dict:
     return out
 
 
+def run_relops() -> dict:
+    """Relational-operator family at the bench tier: the session-3
+    oracle-checked operators timed warm (one throwaway warmup query) in
+    one session, plus the ambient probe. Row counts guard against a
+    silently-degenerate run."""
+    gb0 = _ambient_gbps()
+    ray = _bench_session()
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "pricing_rollup", "global_quantity_ranks", "lineitem_unpivot",
+        "events_except_all", "similar_docs", "revenue_by_mktsegment_bucketed",
+        "cdc_role_rollup_sets", "late_shipment_priority", "forecast_revenue",
+        "promo_revenue", "lm_perplexity_docs",
+    ]
+    qs["forecast_revenue"](SF_DIR)  # warm the session off the clock
+    out_q = {}
+    rows = {}
+    for name in names:
+        t0 = time.perf_counter()
+        r = qs[name](SF_DIR)
+        n = r.count() if hasattr(r, "count") else len(r)
+        out_q[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(n)
+    ray.shutdown()
+    return {
+        "metric": "relops_seconds_total",
+        "value": round(sum(out_q.values()), 3),
+        "unit": "sec",
+        "queries": out_q,
+        "rows": rows,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "ambient_membench_gbps": gb0,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -944,5 +982,7 @@ if __name__ == "__main__":
         print(json.dumps(run_chain_soak()))
     elif "--prune" in sys.argv:
         print(json.dumps(run_prune()))
+    elif "--relops" in sys.argv:
+        print(json.dumps(run_relops()))
     else:
         print(json.dumps(run_bench()))
