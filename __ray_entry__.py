@@ -458,6 +458,16 @@ def _cdc_corpus_incremental(sf_dir: str):
     assemble_conversations)."""
     return _half_log_ivm(sf_dir, "IncrementalCorpus", "ivmc")
 
+def _cdc_role_rollup_incremental(sf_dir: str):
+    """IVM form of cdc_role_rollup_sets: the per-(conversation, role)
+    stats view advances at O(touched conversations); the ROLLUP(role)
+    report then derives from the VIEW alone (grouping_sets over
+    O(convs×roles) rows — the lake is never re-read). Must equal the
+    full-recompute composed oracle byte-for-byte."""
+    view = _half_log_ivm(sf_dir, "IncrementalRoleStats", "ivmrs", result="__view__")
+    return view.rollup()
+
+
 def _cdc_bm25_incremental(sf_dir: str):
     """Incrementally-maintained FULL-TEXT INDEX (IVM over the changefeed):
     bootstrap the posting view at half the log, advance over the rest —
@@ -2124,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_bm25_incremental": _cdc_bm25_incremental,
         "cdc_role_rollup_sets": _cdc_role_rollup_sets,
+        "cdc_role_rollup_incremental": _cdc_role_rollup_incremental,
         "cdc_view_changes": _cdc_view_changes,
         "cdc_replica": _cdc_replica,
         "cdc_tool_usage_incremental": _cdc_tool_usage_incremental,
@@ -2254,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_curation_incremental": _curation_oracle_sql(sf),
         "cdc_bm25_incremental": _bm25_cdc_oracle_sql(sf),
         "cdc_role_rollup_sets": _cdc_role_rollup_sets_oracle_sql(sf),
+        "cdc_role_rollup_incremental": _cdc_role_rollup_sets_oracle_sql(sf),
         "cdc_view_changes": _view_changes_oracle_sql(sf),
         "cdc_replica": _cdc_rollup_oracle_sql(sf),
         "cdc_tool_usage_incremental": _tool_usage_view_oracle_sql(sf),

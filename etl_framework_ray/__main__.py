@@ -35,6 +35,7 @@ def _view_kinds() -> dict:
         IncrementalCuration,
         IncrementalDedup,
         IncrementalMinHash,
+        IncrementalRoleStats,
         IncrementalRollup,
         IncrementalTextIndex,
         IncrementalToolUsage,
@@ -48,10 +49,11 @@ def _view_kinds() -> dict:
         "minhash": IncrementalMinHash,
         "curation": IncrementalCuration,
         "textindex": IncrementalTextIndex,
+        "rolestats": IncrementalRoleStats,
     }
 
 
-_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation", "textindex")
+_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation", "textindex", "rolestats")
 
 
 def _parse_where(exprs: list | None) -> list | None:

@@ -1377,6 +1377,80 @@ class TextIndexKernel(CorpusKernel):
         return pa.concat_tables(parts)
 
 
+class RoleStatsKernel(CorpusKernel):
+    """Per-(conversation, role) stats view kernel: ``(conv_id, role,
+    n_turns, total_chars)`` rows — the maintained base for ANY
+    role-granularity report. Because the rows are per-conversation, the
+    inherited touched-partition splice applies unchanged; a read-time
+    ``stages/rollup.grouping_sets`` over the view yields the full
+    ROLLUP(role) report at O(view) cost, no re-scan of the lake — the
+    IVM form of ``cdc_role_rollup_sets``."""
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("role", pa.string()),
+            pa.field("n_turns", pa.int64()),
+            pa.field("total_chars", pa.int64()),
+        ]
+    )
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "conv_id": live.column("conv_id").to_pandas(),
+                "role": live.column("role").to_pandas(),
+                "chars": pc.utf8_length(
+                    pc.coalesce(live.column("text"), pa.scalar("", pa.large_string()))
+                ).to_pandas(),
+            }
+        )
+        return df.groupby(["conv_id", "role"], sort=False, dropna=False).agg(
+            n_turns=("chars", "size"), total_chars=("chars", "sum")
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        df = pd.concat(partials)
+        out = (
+            df.groupby(level=[0, 1], sort=False, dropna=False)
+            .agg(n_turns=("n_turns", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.Array.from_pandas(out["conv_id"], type=pa.string()),
+                "role": pa.Array.from_pandas(out["role"], type=pa.string()),
+                "n_turns": pa.Array.from_pandas(out["n_turns"], type=pa.int64()),
+                "total_chars": pa.Array.from_pandas(out["total_chars"], type=pa.int64()),
+            }
+        )
+
+
+class IncrementalRoleStats(IncrementalRollup):
+    """Incrementally-maintained per-(conversation, role) stats
+    (:class:`RoleStatsKernel`): only touched conversations recompute per
+    ``advance()``; :meth:`rollup` answers the multi-granularity
+    ROLLUP(role) report from the view alone."""
+
+    def __init__(self, engine, view_dir: str, emit_changes: bool = False):
+        super().__init__(engine, view_dir, kernel=RoleStatsKernel(), emit_changes=emit_changes)
+
+    def rollup(self, shuffle_buckets: int | None = None) -> "ray.data.Dataset":
+        """ROLLUP(role) over the maintained view: per-role totals plus the
+        grand total with SQL ``GROUPING()`` parity, computed from the
+        O(conversations × roles) view rows — the lake is never re-read."""
+        from ..stages.rollup import grouping_sets, rollup_sets
+
+        return grouping_sets(
+            self.read(),
+            rollup_sets(["role"]),
+            {"n_turns": ("sum", "n_turns"), "total_chars": ("sum", "total_chars")},
+            shuffle_buckets=shuffle_buckets,
+        )
+
+
 class IncrementalTextIndex(IncrementalRollup):
     """Incrementally-maintained FULL-TEXT INDEX over the CDC changefeed:
     the lake's conversations stay BM25-searchable without rebuilding an
