@@ -1441,6 +1441,37 @@ def _q_lm_perplexity(sf_dir: str):
     )
 
 
+def _q_uniform_sample_orders(sf_dir: str):
+    """EXACTLY-k distributed uniform sample (stages/packing.bottom_k_sample):
+    bottom-1000 orders by a deterministic md5 sample key — per-block local
+    bottom-k, one merge, the dataset never shuffles. The md5 key is chosen
+    precisely because DuckDB computes the identical value, making an
+    exactly-k random sample EXACTLY oracle-checkable."""
+    import ray.data
+
+    from etl_framework_ray.stages.packing import bottom_k_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return bottom_k_sample(ds, 1000, "o_orderkey", seed=7)
+
+
+def _q_sample_events_per_user(sf_dir: str):
+    """EXACTLY-k-per-group sample (bottom_k_per_group on the group_topk
+    machinery): 3 events per user by the md5 key."""
+    import ray.data
+
+    from etl_framework_ray.stages.packing import bottom_k_per_group
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type"],
+    )
+    return bottom_k_per_group(ds, 3, "user_id", "event_id", seed=11)
+
+
 def _q_similar_docs(sf_dir: str):
     """EXACT trigram-Jaccard similarity self-join (stages/fuzzy.py —
     AllPairs/PPJoin prefix filtering): every document pair with char-3gram
@@ -2183,6 +2214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_approx": _q_price_quantiles_approx,
         "doc_chunks_packed": _q_doc_chunks_packed,
+        "uniform_sample_orders": _q_uniform_sample_orders,
+        "sample_events_per_user": _q_sample_events_per_user,
         "sample_docs_10pct": _q_sample_docs,
         "exact_dedup_docs": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
@@ -2572,6 +2605,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
+        "uniform_sample_orders": _q_uniform_sample_orders,
+        "sample_events_per_user": _q_sample_events_per_user,
         "sample_docs_10pct": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 100 < 10""",
         "price_quantiles": """
@@ -2594,6 +2629,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem)
             UNPIVOT (value FOR name IN
                      (l_quantity, l_extendedprice, l_discount, l_tax))""",
+        "uniform_sample_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':7') LIMIT 1000""",
+        "sample_events_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR) || ':11')
+                       ) AS rn
+                FROM events) WHERE rn <= 3""",
         "similar_docs": """
             WITH docs AS (
                 SELECT doc_id, lower(text) AS s FROM documents

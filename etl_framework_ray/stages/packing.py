@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def chunk_documents(
@@ -177,3 +178,75 @@ def stratified_sample(
         return batch.filter(pa.array((k % modulus) < r))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _md5_keys(ids, seed: int) -> "np.ndarray":
+    """Deterministic per-row sample keys: ``md5(str(id) || ':' || seed)``
+    hex — chosen over the engine's SipHash because DuckDB computes the
+    IDENTICAL value (``md5(id::VARCHAR || ':seed')``), so an exactly-k
+    sample has an EXACT SQL oracle, not just a statistical one."""
+    import hashlib
+
+    s = f":{seed}".encode()
+    return np.array(
+        [hashlib.md5(str(i).encode() + s).hexdigest() for i in ids], dtype=object
+    )
+
+
+def bottom_k_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    id_col: str,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """EXACTLY-k uniform sample of the whole dataset — bottom-k rows by
+    the md5 sample key (every row's key is an i.i.d. uniform draw keyed
+    by its id, so the k smallest are a uniform simple random sample;
+    deterministic across runs and partitionings). Scale shape: each block
+    keeps its own local bottom-k (tiny), one merge task picks the global
+    k — the dataset itself never shuffles. Oracle:
+    ``ORDER BY md5(id::VARCHAR || ':seed') LIMIT k``."""
+    from .joins import _direct_grouped_apply
+
+    def local(batch: pa.Table) -> pa.Table:
+        keys = _md5_keys(batch.column(id_col).to_numpy(zero_copy_only=False), seed)
+        order = np.argsort(keys, kind="stable")[:k]
+        out = batch.take(pa.array(order))
+        return out.append_column("_sk", pa.array(keys[order], pa.string()))
+
+    def merge(t: pa.Table) -> pa.Table:
+        # Arrow-native merge keeps the exact input types (no pandas
+        # round-trip re-inference)
+        idx = pc.sort_indices(t, sort_keys=[("_sk", "ascending")])
+        return t.take(idx.slice(0, k)).drop_columns(["_sk", "_one"])
+
+    trimmed = ds.map_batches(local, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    # one bucket: all local bottom-k partials (≤ k × blocks rows) merge once
+    return _direct_grouped_apply(
+        trimmed, "_one", merge, shuffle_buckets=1, kernel_format="pyarrow"
+    )
+
+
+def bottom_k_per_group(
+    ds: "ray.data.Dataset",
+    k: int,
+    group_col: str,
+    id_col: str,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """EXACTLY-k-per-group uniform sample: the grouped form of
+    :func:`bottom_k_sample`, running on the engine's ``group_topk``
+    machinery (block pre-trim, one kernel per bucket). Oracle:
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(...)) <= k``."""
+    from .joins import group_topk
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        keys = _md5_keys(batch.column(id_col).to_numpy(zero_copy_only=False), seed)
+        return batch.append_column("_sk", pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+    out = group_topk(keyed, group_col, ["_sk"], k, descending=False)
+    return out.map_batches(lambda t: t.drop_columns(["_sk"]), batch_format="pyarrow")
