@@ -124,7 +124,7 @@ def similarity_join(
             }
         )
 
-    sets = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+    sets = ds.map_batches(tokenize, batch_format="pyarrow", batch_size=None).materialize()
 
     # ---- global df table: per-block partials, log-depth task merge ----
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -143,7 +143,9 @@ def similarity_join(
         g = t.group_by("tok", use_threads=False).aggregate([("n", "sum")])
         return g.rename_columns(["tok", "n"])
 
-    df_refs = _block_refs(sets.map_batches(df_partial, batch_format="pyarrow"))
+    df_refs = _block_refs(
+        sets.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+    )
     if not df_refs:
         empty = pa.table(
             {"id_a": pa.nulls(0, pa.int64()), "id_b": pa.nulls(0, pa.int64()),
@@ -194,7 +196,7 @@ def similarity_join(
              "pos": pa.array(np.concatenate(out_p))}
         )
 
-    prefix_rows = sets.map_batches(emit_prefix, batch_format="pyarrow")
+    prefix_rows = sets.map_batches(emit_prefix, batch_format="pyarrow", batch_size=None)
 
     pair_schema = [("id_a", pa.int64()), ("id_b", pa.int64())]
 

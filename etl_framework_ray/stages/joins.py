@@ -784,8 +784,18 @@ def _direct_grouped_apply(
         return ds
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nb = resolve_buckets(shuffle_buckets)
-    if shuffle_buckets is None and target_bucket_bytes is not None:
-        nb = max(nb, _auto_buckets(int(ds.size_bytes() or 0), target_bucket_bytes))
+    if shuffle_buckets is None:
+        size = int(ds.size_bytes() or 0)
+        if target_bucket_bytes is not None:
+            nb = max(nb, _auto_buckets(size, target_bucket_bytes))
+        else:
+            # TINY exchanges (combiner partials measured in KB–MB): the
+            # split×bucket ref matrix IS the cost — shrink buckets to
+            # ~4 MiB each (floor 8) instead of paying 2×CPU scheduling
+            # rounds to move kilobytes. Results are bucket-count-
+            # invariant; the input is already materialized so the size
+            # is exact, and the same data always resolves the same nb.
+            nb = min(nb, max(8, -(-size // (4 << 20))))
     n_tasks = min(len(refs), max(1, cpus))
     block_groups = [refs[i::n_tasks] for i in range(n_tasks)]
     outs = [

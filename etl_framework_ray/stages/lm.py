@@ -111,7 +111,9 @@ def train_ngram_lm(
         g = t.group_by(["kind", "h"], use_threads=False).aggregate([("n", "sum")])
         return g.rename_columns(["kind", "h", "n"])
 
-    refs = _block_refs(ds.map_batches(count_partial, batch_format="pyarrow"))
+    refs = _block_refs(
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+    )
     if not refs:
         raise ValueError("train_ngram_lm needs a non-empty corpus")
     tbl = ray.get(_tree_reduce(refs, _merge.remote))
@@ -190,7 +192,7 @@ def score_perplexity(
             ),
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def perplexity_filter(

@@ -220,7 +220,9 @@ def bottom_k_sample(
         idx = pc.sort_indices(t, sort_keys=[("_sk", "ascending")])
         return t.take(idx.slice(0, k)).drop_columns(["_sk", "_one"])
 
-    trimmed = ds.map_batches(local, batch_format="pyarrow").map_batches(
+    trimmed = ds.map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    ).map_batches(
         lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows, np.int64))),
         batch_format="pyarrow",
     )

@@ -276,5 +276,5 @@ def grouping_sets(
         return ray.data.from_arrow(
             pa.table({n: pa.array(rows[n], type=t) for n, t in out_fields})
         )
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _direct_grouped_apply(partials, "_gk", kernel, shuffle_buckets)

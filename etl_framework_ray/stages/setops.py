@@ -100,16 +100,16 @@ def _set_op(
 
         return partial
 
-    l_part = left.map_batches(make_partial(0), batch_format="pyarrow")
+    l_part = left.map_batches(make_partial(0), batch_format="pyarrow", batch_size=None)
     parts = l_part
     if r_schema is not None:
         # cast the right side onto the left's types inside its partial
         def r_cast(batch: pa.Table) -> pa.Table:
             return pa.table({c: batch.column(c).cast(types[c]) for c in cols})
 
-        r_part = right.map_batches(r_cast, batch_format="pyarrow").map_batches(
-            make_partial(1), batch_format="pyarrow"
-        )
+        r_part = right.map_batches(
+            r_cast, batch_format="pyarrow", batch_size=None
+        ).map_batches(make_partial(1), batch_format="pyarrow", batch_size=None)
         parts = l_part.union(r_part)
 
     def kernel(df: pd.DataFrame) -> pa.Table:
