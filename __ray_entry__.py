@@ -63,6 +63,59 @@ def _ensure_changelog(sf_name: str) -> str:
     return d
 
 
+def _ensure_patch_changelog(sf_name: str) -> str:
+    """Deterministic changelog variant with PARTIAL row images (op="P",
+    25% of updates carry only the changed columns) — the cdc_patch_replay
+    fixture (idempotent)."""
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    d = os.path.join(CDC_CACHE_ROOT, sf_name, "changelog_patch")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    n_events, n_convs = _CDC_SIZES[sf_name]
+    log = generate_changelog(
+        GenConfig(
+            num_events=n_events,
+            num_conversations=n_convs,
+            seed=_CDC_SEED,
+            hot_key_frac=0.1,
+            out_of_order=True,
+            patch_frac=0.25,
+        )
+    )
+    ChangeLog(d).write_segments(log, segment_rows=max(10_000, n_events // 8))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _cdc_patch_replay(sf_dir: str):
+    """Partial-row-image replay: 25% of updates are Debezium/Mongo-style
+    patches (only changed columns set, NULL = unchanged) resolved against
+    prior state at apply time (pipelines/cdc._fold_epoch_patches); the
+    committed snapshot must equal the global (ts, lsn)-ordered fold."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_patch_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_patch_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
+
+
 def _cdc_replay(sf_dir: str):
     """Flagship: replay the changelog into a fresh lake table, return the
     committed snapshot (public columns, utf8 for cross-engine compare)."""
@@ -360,6 +413,41 @@ def _cdc_oracle_sql(sf_name: str) -> str:
         )
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+def _cdc_patch_oracle_sql(sf_name: str) -> str:
+    """Global (ts, lsn)-ordered fold with partial images: the BASE is the
+    key's last full image (op <> 'P'); patches after it apply column-wise
+    (later patch wins per column; NULL = unchanged); patches at-or-below
+    the base, on a deleted base, or with no base contribute nothing. The
+    resolved ts is the last applied event's. Exact — validated against the
+    engine's _fold_epoch_patches semantics case-by-case."""
+    glob = os.path.join(
+        os.path.join(CDC_CACHE_ROOT, sf_name, "changelog_patch"), "segment-*.parquet"
+    )
+    return f"""
+        WITH ev AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts, lsn
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), b AS (
+            SELECT conv_id, turn_idx, max(rn) FILTER (WHERE op <> 'P') AS brn
+            FROM ev GROUP BY conv_id, turn_idx
+        ), j AS (
+            SELECT e.*, b.brn FROM ev e
+            JOIN b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+            WHERE b.brn IS NOT NULL
+        )
+        SELECT conv_id, turn_idx,
+            arg_max(role, rn) FILTER (WHERE rn = brn OR (rn > brn AND role IS NOT NULL)) AS role,
+            arg_max(text, rn) FILTER (WHERE rn = brn OR (rn > brn AND text IS NOT NULL)) AS text,
+            arg_max(tool, rn) FILTER (WHERE rn = brn OR (rn > brn AND tool IS NOT NULL)) AS tool,
+            arg_max(ts,   rn) FILTER (WHERE rn >= brn) AS ts
+        FROM j
+        GROUP BY conv_id, turn_idx
+        HAVING arg_max(op, rn) FILTER (WHERE rn = brn) <> 'D'
     """
 
 
@@ -2153,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
+        "cdc_patch_replay": _cdc_patch_replay,
         "cdc_snapshot_pruned": _cdc_snapshot_pruned,
         "cdc_scd2_history": _cdc_scd2_history,
         "cdc_scd2_asof": _cdc_scd2_asof,
@@ -2264,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
     for sf in _CDC_SIZES:
         try:
             _ensure_changelog(sf)
+            _ensure_patch_changelog(sf)
         except Exception:
             pass
     # driver's correctness tier; GRAFT_ORACLE_SF lets local tooling align
@@ -2286,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
+        "cdc_patch_replay": _cdc_patch_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_scd2_history": _scd2_history_oracle_sql(sf),
         "cdc_scd2_asof": _scd2_asof_oracle_sql(sf),

@@ -109,6 +109,9 @@ _META_SCHEMA = pa.schema(
         pa.field("retained_path", pa.string()),
         #: JSON zone-map stats of the written file (state/zonemap shape)
         pa.field("zone_stats", pa.string()),
+        #: partial images (op="P") discarded by the patch fold: late, on a
+        #: deleted base, or with no base at all (never silent)
+        pa.field("patches_discarded", pa.int64()),
     ]
 )
 
@@ -208,6 +211,162 @@ def merge_partition_files(
     if not key_cols:
         return t  # PK-less (append-only) table: plain concat, no reduce
     return lww_reduce(t, key_cols, _lww_order(lake_sch, LSN_COL))
+
+
+def _has_patches(t: pa.Table) -> bool:
+    """True iff the change batch carries any PARTIAL row image (op="P")."""
+    return bool(pc.any(pc.equal(t.column("op"), "P")).as_py())
+
+
+def _pair_codes(t: pa.Table, key_cols: tuple[str, ...]) -> pa.ChunkedArray | pa.Array:
+    """String codes for composite-key membership tests (equal key tuples →
+    equal codes; keys are NULL-rejected upstream so the join is total)."""
+    parts = [t.column(k).cast(pa.string()) for k in key_cols]
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def _read_prior_rows(
+    files: list[str],
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    keys_of: pa.Table,
+) -> pa.Table:
+    """Per-key LWW winners (INCLUDING tombstones) from a partition's file
+    stack, restricted to the keys present in ``keys_of`` — the prior-state
+    lookup the patch fold resolves against. Row groups prune on the
+    leading key via parquet stats (base files are PK-sorted, so the
+    predicate decodes only the matching slices)."""
+    if not files:
+        return lake_sch.empty_table()
+    k0 = key_cols[0]
+    vals = pc.unique(keys_of.column(k0)).to_pylist()
+    tables = []
+    for f in files:
+        t = pq.read_table(f, filters=[(k0, "in", vals)])
+        if t.num_rows:
+            tables.append(normalize_table(t, lake_sch))
+    if not tables:
+        return lake_sch.empty_table()
+    t = pa.concat_tables(tables)
+    want = pc.unique(_pair_codes(keys_of, key_cols))
+    t = t.filter(pc.is_in(_pair_codes(t, key_cols), value_set=want))
+    return lww_reduce(t, key_cols, _lww_order(lake_sch, LSN_COL))
+
+
+def _fold_epoch_patches(
+    changes: pa.Table,
+    key_cols: tuple[str, ...],
+    existing: list[str],
+    lake_sch: pa.Schema,
+) -> tuple[pa.Table, int]:
+    """Patch-aware epoch fold: change rows (op ∈ I/U/D/P) → lake rows.
+
+    PARTIAL row images (op="P") carry only the changed payload columns;
+    NULL means "unchanged" (a patch can never set NULL — emit a full U
+    for that). Resolution semantics — equivalent to folding the key's
+    known events in (ts, lsn) order:
+
+    - the key's events fold against its current LWW state (``existing``
+      merge-on-read stack, tombstones included);
+    - the BASE is the greatest-(ts,lsn) full image (I/U/D or the prior
+      lake row); patches ordered after the base apply column-wise,
+      later patch winning per column;
+    - patches that do not reach the resolved image — at-or-below the
+      base (late or shadowed by a later full image), on a deleted base,
+      or with no base at all — are DISCARDED (returned count, never
+      silent);
+    - the resolved row is a FULL image stamped with the last applied
+      event's (ts, lsn), so downstream merge-on-read/changefeed/IVM see
+      ordinary rows and need no patch logic.
+
+    Cross-epoch caveat (documented semantics, same as the engine's
+    late-event rule): a full image arriving in a LATER epoch with
+    (ts, lsn) BELOW an already-resolved patch loses LWW at read time —
+    patches are resolved once, not retro-rebased. Keys without patches
+    take the plain vectorized LWW path; the pandas fold below touches
+    ONLY patch keys (trickle-sized by assumption).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.util import null_safe_from_pandas
+
+    chg_schema = changes.schema
+    order_cols = _lww_order(chg_schema, "lsn")
+    codes = _pair_codes(changes, key_cols)
+    patch_keys = pc.unique(pc.filter(codes, pc.equal(changes.column("op"), "P")))
+    member = pc.is_in(codes, value_set=patch_keys)
+    plain = changes.filter(pc.invert(member))
+    patch = changes.filter(member)
+
+    plain_rows = _changes_to_lake_rows(lww_reduce(plain, key_cols, order_cols), lake_sch)
+
+    prior = _read_prior_rows(existing, lake_sch, key_cols, patch)
+    pr_cols = []
+    for f in chg_schema:
+        if f.name == "lsn":
+            pr_cols.append(prior.column(LSN_COL).cast(pa.int64()))
+        elif f.name == "op":
+            pr_cols.append(
+                pc.if_else(prior.column(DELETED_COL), pa.scalar("D"), pa.scalar("U"))
+            )
+        elif f.name in prior.schema.names:
+            pr_cols.append(prior.column(f.name).cast(f.type))
+        else:
+            pr_cols.append(pa.nulls(prior.num_rows, f.type))
+    prior_chg = pa.Table.from_arrays(pr_cols, schema=chg_schema)
+
+    ev = patch.to_pandas()
+    ev["_src"] = 1  # epoch event
+    pr = prior_chg.to_pandas()
+    pr["_src"] = 0  # prior lake state (re-delivered duplicates sort after it)
+    df = pd.concat([pr, ev], ignore_index=True)
+    df = df.sort_values([*key_cols, *order_cols, "_src"], kind="stable", ignore_index=True)
+
+    n = len(df)
+    gid = df.groupby(list(key_cols), sort=False).ngroup().to_numpy()
+    idx = np.arange(n)
+    ops = df["op"].to_numpy()
+    is_p = ops == "P"
+    n_patches = int(is_p.sum())
+    base_idx = np.where(~is_p, idx, -1)
+    last_base = pd.Series(base_idx).groupby(gid).transform("max").to_numpy()
+    has_base = last_base >= 0
+    base_op = np.full(n, "", dtype=object)
+    base_op[has_base] = ops[last_base[has_base].astype(np.int64)]
+    # keep the base and everything after it; drop patches on a deleted base
+    keep = has_base & (idx >= last_base) & ~((base_op == "D") & is_p)
+
+    kept = df.loc[keep]
+    kgid = gid[keep]
+    n_applied = int(is_p[keep].sum())
+    payload = [
+        f.name
+        for f in chg_schema
+        if f.name not in ("lsn", "op", *key_cols, *order_cols)
+    ]
+    if payload and len(kept):
+        kept = kept.copy()
+        kept[payload] = kept.groupby(kgid)[payload].ffill()
+    last = np.zeros(len(kept), dtype=bool)
+    if len(kept):
+        last[-1] = True
+        last[:-1] = kgid[:-1] != kgid[1:]
+    res = kept.loc[last]
+    res = res[res["_src"] == 1]  # result == prior → nothing new to write
+    if len(res):
+        res = res.copy()
+        res.loc[res["op"] == "P", "op"] = "U"  # a resolved patch is a full update
+
+    folded = pa.Table.from_arrays(
+        [null_safe_from_pandas(res[f.name], f.type) for f in chg_schema],
+        schema=chg_schema,
+    )
+    out = pa.concat_tables([plain_rows, _changes_to_lake_rows(folded, lake_sch)])
+    out = out.sort_by([(k, "ascending") for k in key_cols])  # delta files are key-sorted
+    return out, n_patches - n_applied
 
 
 #: CDC file naming — files written by the engine are LWW-reduced and
@@ -399,10 +558,18 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
         pid = group.column("pid")[0].as_py()
         n_events = group.num_rows
 
-        changes = _changes_to_lake_rows(group.drop_columns(["pid"]), lake_sch)
-        changes = lww_reduce(changes, key_cols, _lww_order(lake_sch, LSN_COL))  # key-sorted
-
+        grp = group.drop_columns(["pid"])
         existing = ctx["part_files"].get(pid, [])
+        patches_discarded = 0
+        if _has_patches(grp):
+            changes, patches_discarded = _fold_epoch_patches(
+                grp, key_cols, existing, lake_sch
+            )
+        else:
+            changes = _changes_to_lake_rows(grp, lake_sch)
+            changes = lww_reduce(
+                changes, key_cols, _lww_order(lake_sch, LSN_COL)
+            )  # key-sorted
         compacting = len(existing) + 1 > ctx["compact_every"]
         mode = "base" if compacting else "delta"
         out_dir = os.path.join(
@@ -455,6 +622,7 @@ def make_partition_applier(ctx_ref: "ray.ObjectRef", key_cols: tuple[str, ...]):
                     "events": n_events,
                     "retained_path": retained_path,
                     "zone_stats": json.dumps(zstats),
+                    "patches_discarded": patches_discarded,
                 }
             ],
             schema=_META_SCHEMA,
@@ -607,9 +775,16 @@ def _prep_segment_task(
             rc,
         )
 
-    surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
-    if len(surv) > 0.9 * t.num_rows:
-        surv = np.arange(t.num_rows, dtype=np.int64)  # combiner wouldn't pay
+    if _has_patches(t):
+        # partial images (op="P") make the per-segment fold non-associative
+        # (another segment's patch may interleave between this segment's
+        # base and patches) — route rows unreduced; the per-partition
+        # reduce performs the exact patch-aware fold
+        surv = np.arange(t.num_rows, dtype=np.int64)
+    else:
+        surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
+        if len(surv) > 0.9 * t.num_rows:
+            surv = np.arange(t.num_rows, dtype=np.int64)  # combiner wouldn't pay
 
     # partition on the FIRST primary-key column only: all turns of a
     # conversation (all rows of an entity) co-locate, which is what makes
@@ -641,12 +816,17 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
     if not parts:
         return None
     changes = pa.concat_tables(parts)
-    changes = lww_reduce(changes, key_cols, _lww_order(changes.schema, "lsn"))
     lake_sch = ctx["lake_schema"]
-    changes = _changes_to_lake_rows(changes, lake_sch)
-    n_events = sum(p.num_rows for p in parts)
-
     existing = ctx["part_files"].get(pid, [])
+    patches_discarded = 0
+    if _has_patches(changes):
+        changes, patches_discarded = _fold_epoch_patches(
+            changes, key_cols, existing, lake_sch
+        )
+    else:
+        changes = lww_reduce(changes, key_cols, _lww_order(changes.schema, "lsn"))
+        changes = _changes_to_lake_rows(changes, lake_sch)
+    n_events = sum(p.num_rows for p in parts)
     compacting = len(existing) + 1 > ctx["compact_every"]
     mode = "base" if compacting else "delta"
     out_dir = os.path.join(
@@ -690,6 +870,7 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
         "events": n_events,
         "retained_path": retained_path,
         "zone_stats": zstats,
+        "patches_discarded": patches_discarded,
     }
 
 
@@ -1122,7 +1303,8 @@ class CDCEngine:
                         batch, checks, mode, failure_dir, table_name, key_cols,
                         f"epoch-{epoch_id:012d}-{uuid.uuid4().hex}", rc,
                     )
-                batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
+                if not _has_patches(batch):  # patch fold is reduce-side only
+                    batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
                 pid = salted_partition_ids(batch, key_cols, num_partitions, salt_map)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))
 
@@ -1208,6 +1390,9 @@ class CDCEngine:
                 "partitions_touched": len(metas),
                 "schema_changes": schema_changes,
                 "duration_s": round(dur, 4),
+                "patches_discarded": sum(
+                    int(m.get("patches_discarded") or 0) for m in metas
+                ),
                 **rc,
             }
         )

@@ -105,6 +105,15 @@ class HistoryEventTransform:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         op = t.column("op")
+        if pc.any(pc.equal(op, "P")).as_py():
+            # a partial image is not a version of the row — resolving it
+            # needs the key's prior state, which the history timeline
+            # derives at READ time; fail loud rather than record a
+            # mostly-NULL phantom version (resolve patches upstream, e.g.
+            # via the lake engine's patch fold)
+            raise ValueError(
+                "SCD2 history does not support partial row images (op='P')"
+            )
         t = t.append_column(CHANGE_OP_COL, op)
         t = t.append_column(
             VALID_FROM_LSN_COL, pc.cast(t.column("lsn"), pa.int64())

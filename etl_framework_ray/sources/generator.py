@@ -66,6 +66,11 @@ class GenConfig:
     text_pad: int = 96
     #: first LSN (> 0); lets callers generate a long log in chunks
     lsn_start: int = 1
+    #: fraction of UPDATE events emitted as PARTIAL row images (op="P"):
+    #: only the changed payload columns are set, the rest are NULL
+    #: (NULL means "unchanged" — a patch can never set NULL; use a full
+    #: U for that). Mirrors Debezium/Mongo patch-style updates.
+    patch_frac: float = 0.0
 
 
 def generate_changelog(cfg: GenConfig) -> pa.Table:
@@ -116,6 +121,35 @@ def generate_changelog(cfg: GenConfig) -> pa.Table:
     role = np.where(is_del, None, role)
     text = np.where(is_del, None, text)
     tool = np.where(is_del, None, tool)
+
+    if cfg.patch_frac > 0:
+        # partial row images: some updates carry only the changed columns.
+        # kind cycles by lsn: 0 → {text}, 1 → {tool}, 2 → {text, role}
+        is_patch = (op == "U") & (rng.random(n) < cfg.patch_frac)
+        op = np.where(is_patch, "P", op)
+        kind = lsn % 3
+        ptext = (
+            "patched conv="
+            + pd.Series(conv).astype(str)
+            + " turn="
+            + pd.Series(turn).astype(str)
+            + " rev="
+            + pd.Series(lsn).astype(str)
+            + " "
+            + pad
+        ).to_numpy(dtype=object)
+        set_text = (kind == 0) | (kind == 2)
+        set_role = kind == 2
+        set_tool = kind == 1
+        text = np.where(is_patch, np.where(set_text, ptext, None), text)
+        role = np.where(
+            is_patch,
+            np.where(set_role, ROLES[(turn + 1) % len(ROLES)].astype(object), None),
+            role,
+        )
+        tool = np.where(
+            is_patch, np.where(set_tool, TOOLS[lsn % len(TOOLS)].astype(object), None), tool
+        )
 
     order = np.arange(n)
     if cfg.out_of_order:
@@ -241,6 +275,16 @@ def oracle_replay(log: pa.Table, payload_cols: tuple[str, ...] = ("role", "text"
         k = (r["conv_id"], r["turn_idx"])
         if r["op"] == "D":
             state.pop(k, None)
+        elif r["op"] == "P":
+            # partial image: merge the set (non-NULL) columns onto the
+            # current row; a patch to an absent/deleted key is discarded
+            cur = state.get(k)
+            if cur is not None:
+                for c in payload_cols:
+                    v = r.get(c)
+                    if v is not None:
+                        cur[c] = v
+                cur["ts"] = r["ts"]
         else:
             state[k] = {c: r.get(c) for c in payload_cols} | {"ts": r["ts"]}
     return state
