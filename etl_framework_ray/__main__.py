@@ -346,6 +346,24 @@ def main(argv: list[str] | None = None) -> int:
     prs.add_argument("--table", required=True)
     prs.add_argument("--partitions", type=int, required=True)
 
+    pro = sub.add_parser(
+        "restore", help="roll the table back to an earlier manifest version (new commit)"
+    )
+    pro.add_argument("--table", required=True)
+    pro.add_argument("--version", type=int, required=True)
+
+    pcl = sub.add_parser(
+        "clone", help="clone the table into a new directory (deep by default)"
+    )
+    pcl.add_argument("--table", required=True)
+    pcl.add_argument("--dst", required=True)
+    pcl.add_argument("--version", type=int, default=None, help="clone an earlier version")
+    pcl.add_argument(
+        "--shallow", action="store_true",
+        help="reference the source's files in place (zero copy; breaks if the "
+        "source later vacuums/compacts — dev branches only)",
+    )
+
     pg = sub.add_parser(
         "mitigate-skew", help="detect hot keys from lineage metrics, salt + migrate them"
     )
@@ -686,6 +704,13 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)
         print(json.dumps(eng.reshard(args.partitions)))
+    elif args.cmd == "restore":
+        eng = _existing_engine(args.table)
+        print(json.dumps(eng.restore(args.version)))
+    elif args.cmd == "clone":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        print(json.dumps(eng.clone(args.dst, version=args.version, shallow=args.shallow)))
     elif args.cmd == "mitigate-skew":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

@@ -875,6 +875,21 @@ def _apply_pid_task(ctx: dict, pid: int, key_cols: tuple, *pieces: pa.Table):
 
 
 @ray.remote
+def _copy_files_task(srcs: list[str], dsts: list[str]) -> int:
+    """Deep-clone worker: copy one partition's data files into the clone's
+    layout (tmp + atomic rename — a killed clone leaves no half-file that
+    a retry would mistake for done). Returns the file count."""
+    import shutil
+
+    for s, d in zip(srcs, dsts):
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        tmp = f"{d}.tmp-{os.getpid()}"
+        shutil.copyfile(s, tmp)
+        os.replace(tmp, d)
+    return len(srcs)
+
+
+@ray.remote
 def _hot_keys_task(
     files: list, lake_sch: pa.Schema, key_cols: tuple, min_share: float
 ) -> list:
@@ -2088,6 +2103,166 @@ class CDCEngine:
         unreferenced files — pass a few minutes when other writers may be
         staging concurrently (see ``ManifestStore.vacuum``)."""
         return self.store.vacuum(self.manifest, grace_s=grace_s)
+
+    # -- table lifecycle: RESTORE / CLONE -------------------------------
+    def restore(self, version: int) -> dict:
+        """RESTORE the table to an earlier manifest version as a NEW
+        commit (Delta-style rollback: history is preserved, the rollback
+        itself is versioned and OCC-safe, readers flip atomically).
+
+        Semantics and contracts:
+
+        - the restored state is exactly ``snapshot(version=version)``;
+          ``applied_lsn`` rolls BACK, so a subsequent ``replay`` of the
+          same changelog re-applies the undone epochs (rebuilding the
+          timeline — which also means time travel into the ABANDONED
+          timeline is only sound until the next write, as re-applied
+          epochs deterministically overwrite the abandoned staged files);
+        - fails loud if vacuum already reclaimed any file the target
+          version references (vacuum ends time travel — and therefore
+          restore — to superseded versions);
+        - the changefeed retention registry is DROPPED and the floor
+          raised to the restored watermark: coverage across a timeline
+          rollback would be a lie, so lagging consumers get the loud
+          re-seed error, never silently inconsistent deltas. Maintained
+          views (IVM) ahead of the restored watermark refuse to advance
+          (their continuity guard) — ``rebuild()`` recovers them.
+        """
+        man = self.manifest
+        if version >= man.version:
+            raise ValueError(
+                f"restore target {version} is not an earlier version "
+                f"(current {man.version})"
+            )
+        old = self.store.load(version)
+        if old is None:
+            raise ValueError(f"version {version} not found for {man.table!r}")
+        missing = [f for f in old.data_files() if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"files were vacuumed (first: {os.path.basename(missing[0])!r})"
+            )
+        new_man = Manifest.from_json(old.to_json())
+        new_man.version = man.version + 1
+        # lineage continues from the CURRENT head — a restore is an event
+        # in this table's history, not a history rewrite
+        new_man.history = list(man.history)
+        new_man.history.append(
+            {
+                "op": "restore",
+                "version": new_man.version,
+                "restored_version": version,
+                "from_lsn": man.applied_lsn,
+                "to_lsn": old.applied_lsn,
+                **self.run_context.as_dict(),
+            }
+        )
+        new_man.properties.pop("retained_deltas", None)
+        new_man.properties.pop("retention_since_lsn", None)
+        new_man.properties["changefeed_floor"] = max(
+            int(new_man.properties.get("changefeed_floor", 0)), old.applied_lsn
+        )
+        # retention horizon is table config — keep the CURRENT setting,
+        # not the historical one (same rule as the ctor's INHERIT)
+        cur_ret = man.properties.get("changefeed_retention_lsn")
+        if cur_ret is None:
+            new_man.properties.pop("changefeed_retention_lsn", None)
+        else:
+            new_man.properties["changefeed_retention_lsn"] = cur_ret
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return {
+            "version": new_man.version,
+            "restored_version": version,
+            "applied_lsn": new_man.applied_lsn,
+        }
+
+    def clone(self, dst_dir: str, version: int | None = None, shallow: bool = False) -> dict:
+        """CLONE this table (at ``version``, default current) into a new
+        independent table at ``dst_dir`` — Delta-style CREATE TABLE CLONE.
+
+        - **deep** (default): data files copy into the clone's own layout,
+          one Ray task per partition — the clone shares nothing with the
+          source. Cost O(live bytes), embarrassingly parallel.
+        - **shallow**: the clone's manifest references the SOURCE's files
+          in place (zero copy, O(1)). Hazard — same as Delta shallow
+          clones: a later ``vacuum``/``compact`` on the SOURCE retires
+          files the clone still lists; ``fsck()`` on the clone detects
+          the breakage. Use for short-lived dev branches only.
+
+        Either way the clone is a full CDC table: writes (replay, merge,
+        compaction) land under ITS directory (copy-on-write), so the
+        source is never mutated through a clone. The changefeed retention
+        registry is not cloned (floor = cloned watermark: changefeed
+        coverage starts at the clone point). Returns the clone's commit
+        info; fails loud if ``dst_dir`` already holds a table.
+        """
+        src_man = self.store.load(version) if version is not None else self.manifest
+        if src_man is None:
+            raise ValueError(f"version {version} not found for {self.manifest.table!r}")
+        missing = [f for f in src_man.data_files() if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot clone version {src_man.version}: {len(missing)} data "
+                f"files were vacuumed (first: {os.path.basename(missing[0])!r})"
+            )
+        dst_store = ManifestStore(dst_dir)
+        if dst_store.load() is not None:
+            raise ValueError(f"{dst_dir!r} already holds a table — refusing to clone over it")
+
+        src_root = os.path.abspath(self.table_dir)
+        new_man = Manifest.from_json(src_man.to_json())
+        new_man.version = 1
+        files_copied = 0
+        if not shallow:
+            copy_refs = []
+            remap: dict[int, list[str]] = {}
+            for pid, part in src_man.partitions.items():
+                dsts = []
+                for f in part.files:
+                    rel = os.path.relpath(os.path.abspath(f), src_root)
+                    if rel.startswith(".."):
+                        # foreign path (e.g. cloning a shallow clone) —
+                        # flatten into the clone's own data dir
+                        rel = os.path.join(
+                            "data", f"part={pid:05d}", os.path.basename(f)
+                        )
+                    dsts.append(os.path.join(dst_dir, rel))
+                remap[pid] = dsts
+                copy_refs.append(_copy_files_task.remote(list(part.files), dsts))
+            files_copied = sum(ray.get(copy_refs))
+            for pid, part in new_man.partitions.items():
+                old_files = list(part.files)
+                part.files[:] = remap[pid]
+                part.file_stats = {
+                    new: part.file_stats[old]
+                    for old, new in zip(old_files, remap[pid])
+                    if old in part.file_stats
+                }
+        new_man.history = list(src_man.history)
+        new_man.history.append(
+            {
+                "op": "clone",
+                "src_table_dir": src_root,
+                "src_version": src_man.version,
+                "shallow": shallow,
+                **self.run_context.as_dict(),
+            }
+        )
+        new_man.properties.pop("retained_deltas", None)
+        new_man.properties.pop("retention_since_lsn", None)
+        new_man.properties["changefeed_floor"] = max(
+            int(new_man.properties.get("changefeed_floor", 0)), src_man.applied_lsn
+        )
+        dst_store.commit(new_man)
+        return {
+            "dst": dst_dir,
+            "src_version": src_man.version,
+            "shallow": shallow,
+            "files_copied": files_copied,
+            "applied_lsn": new_man.applied_lsn,
+        }
 
     def fsck(self) -> dict:
         """Consistency audit of the committed table — fsck for the lake.
