@@ -19,8 +19,12 @@ input file, pyarrow's JSON reader with an EXPLICIT schema (no
 per-block inference drift), all column work in Arrow kernels.
 
 Op mapping: ``c``/``r`` (create/snapshot-read) → ``I``, ``u`` → ``U``,
-``d`` → ``D``. Deletes take their row image from ``before`` (Debezium
-deletes carry no ``after``), which gives the tombstone its key columns.
+``d`` → ``D``, ``p`` (partial image — Mongo patch-style updates where
+``after`` carries ONLY the changed columns, absent/null = unchanged) →
+``P`` (resolved at apply time by the engine's patch fold,
+pipelines/cdc._fold_epoch_patches). Deletes take their row image from
+``before`` (Debezium deletes carry no ``after``), which gives the
+tombstone its key columns.
 
 LSN assignment: ``lsn_field="lsn"`` trusts ``source.lsn`` (uniqueness
 is validated per file; cross-file overlap is tolerated — replay's LWW
@@ -43,8 +47,8 @@ import ray
 
 from .changelog import ChangeLog
 
-_OPS_IN = ("c", "r", "u", "d")
-_OPS_OUT = ("I", "I", "U", "D")
+_OPS_IN = ("c", "r", "u", "d", "p")
+_OPS_OUT = ("I", "I", "U", "D", "P")
 
 
 def _envelope_schema(payload: pa.Schema, ts_field: str, lsn_field: str | None) -> pa.Schema:
@@ -185,7 +189,7 @@ def _convert_file_task(
         return {"paths": [], "quarantined": n_bad}
     t = t.combine_chunks()
 
-    # op: c/r -> I, u -> U, d -> D; anything else fails loud
+    # op: c/r -> I, u -> U, d -> D, p -> P; anything else fails loud
     idx = pc.index_in(t.column("op"), pa.array(_OPS_IN))
     if idx.null_count:
         bad = pc.unique(t.column("op").filter(pc.is_null(idx)))

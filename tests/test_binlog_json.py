@@ -37,6 +37,11 @@ def _to_envelopes(log: pa.Table, with_lsn: bool) -> list[str]:
         ts_ms = int(r["ts"].timestamp() * 1000)
         if r["op"] == "D":
             env = {"op": "d", "ts_ms": ts_ms, "before": row, "after": None}
+        elif r["op"] == "P":
+            # Mongo patch-style partial image: after carries ONLY the
+            # changed columns (absent = unchanged)
+            part = {k: v for k, v in row.items() if v is not None}
+            env = {"op": "p", "ts_ms": ts_ms, "before": None, "after": part}
         else:
             env = {
                 "op": "c" if r["op"] == "I" else "u",
@@ -87,6 +92,30 @@ def test_binlog_replay_matches_oracle(tmp_path, with_lsn):
     for r in got.to_pylist():
         o = oracle[(r["conv_id"], r["turn_idx"])]
         assert r["text"] == o["text"] and r["role"] == o["role"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binlog_patch_envelopes_replay_matches_oracle(tmp_path):
+    """Mongo patch-style partial images (op='p', after = changed columns
+    only) flow through the converter as op='P' and resolve via the
+    engine's patch fold — final state equals the oracle fold."""
+    log = generate_changelog(
+        GenConfig(
+            num_events=3000, num_conversations=30, seed=13, patch_frac=0.3
+        )
+    )
+    src = _write_feed(tmp_path, log, with_lsn=True)
+    clog = convert_json_binlog(
+        src, str(tmp_path / "clog"), PAYLOAD, lsn_field="lsn", segment_rows=500
+    )
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    eng.replay(clog, segments_per_epoch=2)
+    got = eng.snapshot_arrow()
+    oracle = oracle_replay(log)
+    assert got.num_rows == len(oracle)
+    for r in got.to_pylist():
+        o = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == o["text"] and r["role"] == o["role"] and r["tool"] == o["tool"]
 
 
 @pytest.mark.usefixtures("ray_session")
