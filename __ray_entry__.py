@@ -116,6 +116,31 @@ def _cdc_patch_replay(sf_dir: str):
     return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
 
 
+def _cdc_version_diff(sf_dir: str):
+    """Row-level diff between two committed versions (CDCEngine.diff):
+    replay the deterministic changelog (4 epochs → versions 2..5), then
+    diff version 3 (after the 2nd epoch, LSN watermark = n/2) against the
+    final state — I/U/D per key from a per-partition LWW compare."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_diff_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2, vacuum=False)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.diff(3).map_batches(narrow, batch_format="pyarrow")
+
+
 def _cdc_replay(sf_dir: str):
     """Flagship: replay the changelog into a fresh lake table, return the
     committed snapshot (public columns, utf8 for cross-engine compare)."""
@@ -448,6 +473,45 @@ def _cdc_patch_oracle_sql(sf_name: str) -> str:
         FROM j
         GROUP BY conv_id, turn_idx
         HAVING arg_max(op, rn) FILTER (WHERE rn = brn) <> 'D'
+    """
+
+
+def _cdc_version_diff_oracle_sql(sf_name: str) -> str:
+    """LWW winners of the half log (lsn <= n/2 — exactly version 3's
+    watermark: epochs are 2 segments of n/8 rows) vs the full log; a key
+    appears iff its live state differs, tagged I/U/D (D rows carry keys
+    only, payload NULL — same shape as CDCEngine.diff)."""
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    k = _CDC_SIZES[sf_name][0] // 2
+    return f"""
+        WITH full_r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn FROM read_parquet('{glob}')
+        ), full_w AS (SELECT * FROM full_r WHERE rn = 1),
+        half_r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn FROM read_parquet('{glob}') WHERE lsn <= {k}
+        ), half_w AS (SELECT * FROM half_r WHERE rn = 1)
+        SELECT 'I' AS diff_op, conv_id, turn_idx, role, text, tool, ts
+        FROM full_w f
+        WHERE f.op <> 'D' AND NOT EXISTS (
+            SELECT 1 FROM half_w h
+            WHERE h.conv_id = f.conv_id AND h.turn_idx = f.turn_idx AND h.op <> 'D')
+        UNION ALL
+        SELECT 'U', f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts
+        FROM full_w f JOIN half_w h
+          ON f.conv_id = h.conv_id AND f.turn_idx = h.turn_idx
+        WHERE f.op <> 'D' AND h.op <> 'D'
+          AND (f.ts <> h.ts OR f.lsn <> h.lsn)
+        UNION ALL
+        SELECT 'D', h.conv_id, h.turn_idx,
+               NULL, NULL, NULL, CAST(NULL AS TIMESTAMP)
+        FROM half_w h
+        WHERE h.op <> 'D' AND NOT EXISTS (
+            SELECT 1 FROM full_w f
+            WHERE f.conv_id = h.conv_id AND f.turn_idx = h.turn_idx AND f.op <> 'D')
     """
 
 
@@ -2242,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
         "cdc_patch_replay": _cdc_patch_replay,
+        "cdc_version_diff": _cdc_version_diff,
         "cdc_snapshot_pruned": _cdc_snapshot_pruned,
         "cdc_scd2_history": _cdc_scd2_history,
         "cdc_scd2_asof": _cdc_scd2_asof,
@@ -2377,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_patch_replay": _cdc_patch_oracle_sql(sf),
+        "cdc_version_diff": _cdc_version_diff_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_scd2_history": _scd2_history_oracle_sql(sf),
         "cdc_scd2_asof": _scd2_asof_oracle_sql(sf),

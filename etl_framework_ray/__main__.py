@@ -364,6 +364,14 @@ def main(argv: list[str] | None = None) -> int:
         "source later vacuums/compacts — dev branches only)",
     )
 
+    pdf = sub.add_parser(
+        "diff", help="row-level changes between two committed versions (I/U/D per key)"
+    )
+    pdf.add_argument("--table", required=True)
+    pdf.add_argument("--from-version", type=int, required=True)
+    pdf.add_argument("--to-version", type=int, default=None)
+    pdf.add_argument("--out", default=None, help="write the diff rows to parquet here")
+
     pg = sub.add_parser(
         "mitigate-skew", help="detect hot keys from lineage metrics, salt + migrate them"
     )
@@ -711,6 +719,22 @@ def main(argv: list[str] | None = None) -> int:
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)
         print(json.dumps(eng.clone(args.dst, version=args.version, shallow=args.shallow)))
+    elif args.cmd == "diff":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        ds = eng.diff(args.from_version, to_version=args.to_version)
+        if args.out:
+            ds = ds.materialize()
+            ds.write_parquet(args.out)
+        import pyarrow.compute as _pc
+
+        counts: dict = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):  # streaming count
+            for s in _pc.value_counts(b.column("diff_op")):
+                op_ = s["values"].as_py()
+                counts[op_] = counts.get(op_, 0) + int(s["counts"].as_py())
+        print(json.dumps({"rows": sum(counts.values()), "by_op": counts,
+                          "out": args.out}))
     elif args.cmd == "mitigate-skew":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

@@ -2264,6 +2264,120 @@ class CDCEngine:
             "applied_lsn": new_man.applied_lsn,
         }
 
+    def diff(
+        self, from_version: int, to_version: int | None = None
+    ) -> "ray.data.Dataset":
+        """Row-level DIFF between two committed versions (Delta's
+        ``table_changes`` by version): a streaming Dataset of every key
+        whose LWW state differs, tagged ``diff_op`` —
+
+        - ``"I"``: live in ``to`` but not in ``from`` (new row payload);
+        - ``"U"``: live in both with a different winning ``(ts, lsn)``
+          (new row payload);
+        - ``"D"``: live in ``from`` but deleted/absent in ``to`` (key
+          columns only, payload NULL).
+
+        Unlike :meth:`changefeed` this needs no retained deltas — it
+        compares the two manifests' merge-on-read stacks directly, one
+        task per partition (nothing lands on the driver), so it works
+        across any gap as long as ``vacuum`` has not reclaimed the older
+        version's files (fails loud if it has). Both versions must share
+        the partition layout (no reshard/salt change in between — fail
+        loud; diff across a reshard would need a full re-exchange).
+        Output schema: key columns + ``diff_op`` + public payload + ts.
+        """
+        man1 = self.store.load(to_version) if to_version is not None else self.manifest
+        man0 = self.store.load(from_version)
+        if man0 is None or man1 is None:
+            raise ValueError(
+                f"version not found (from={from_version}, to={to_version})"
+            )
+        if man0.num_partitions != man1.num_partitions or (
+            man0.properties.get("salt_map", {}) != man1.properties.get("salt_map", {})
+        ):
+            raise ValueError(
+                "diff across a reshard or salt-map change is not supported — "
+                "keys moved between partitions; use snapshot-level compare"
+            )
+        missing = [f for f in man0.data_files() if not os.path.exists(f)]
+        if missing:
+            raise ValueError(
+                f"cannot diff from version {from_version}: {len(missing)} data "
+                f"files were vacuumed (first: {os.path.basename(missing[0])!r})"
+            )
+        lake = man1.schema  # diff is reported in the NEWER schema
+        key_cols = self.key_cols
+        public = [f.name for f in lake if f.name not in (LSN_COL, DELETED_COL)]
+        out_schema = pa.schema(
+            [pa.field("diff_op", pa.string())]
+            + [lake.field(n) for n in public]
+        )
+        pids = sorted(set(man0.partitions) | set(man1.partitions))
+        parts = [
+            {
+                "pid": pid,
+                "files0": (man0.partitions.get(pid).files if pid in man0.partitions else []),
+                "files1": (man1.partitions.get(pid).files if pid in man1.partitions else []),
+            }
+            for pid in pids
+        ]
+        if not parts:
+            return ray.data.from_arrow(out_schema.empty_table())
+
+        def resolve(batch: pa.Table) -> "pa.Table":
+            import numpy as np
+            import pandas as pd
+
+            _single_threaded_arrow()
+            out: list[pa.Table] = []
+            for row in batch.to_pylist():
+                w0 = merge_partition_files(list(row["files0"]), lake, key_cols)
+                w1 = merge_partition_files(list(row["files1"]), lake, key_cols)
+                narrow = [*key_cols, "ts", LSN_COL, DELETED_COL]
+                n0 = w0.select(narrow).to_pandas()
+                n0["_i0"] = np.arange(len(n0))
+                n1 = w1.select(narrow).to_pandas()
+                n1["_i1"] = np.arange(len(n1))
+                m = n0.merge(n1, on=list(key_cols), how="outer", suffixes=("_0", "_1"))
+                # eq(False) is NaN-safe: an absent side is never "live"
+                live0 = m["_i0"].notna() & m[f"{DELETED_COL}_0"].eq(False)
+                live1 = m["_i1"].notna() & m[f"{DELETED_COL}_1"].eq(False)
+                ins = live1 & ~live0
+                upd = (
+                    live1
+                    & live0
+                    & ((m["ts_0"] != m["ts_1"]) | (m[f"{LSN_COL}_0"] != m[f"{LSN_COL}_1"]))
+                )
+                dele = live0 & ~live1
+                pieces: list[pa.Table] = []
+                for mask, tag in ((ins, "I"), (upd, "U")):
+                    idx = m.loc[mask, "_i1"].to_numpy(dtype=np.int64)
+                    if len(idx):
+                        rows = w1.select(public).take(pa.array(np.sort(idx)))
+                        pieces.append(
+                            rows.add_column(0, "diff_op", pa.array([tag] * len(idx)))
+                        )
+                if dele.any():
+                    kd = m.loc[dele, list(key_cols)].sort_values(list(key_cols))
+                    cols: dict = {"diff_op": pa.array(["D"] * len(kd))}
+                    for name in public:
+                        if name in key_cols:
+                            cols[name] = pa.Array.from_pandas(
+                                kd[name], type=lake.field(name).type
+                            )
+                        else:
+                            cols[name] = pa.nulls(len(kd), lake.field(name).type)
+                    pieces.append(pa.table(cols, schema=out_schema))
+                if pieces:
+                    out.append(pa.concat_tables(pieces))
+            return (
+                pa.concat_tables(out) if out else out_schema.empty_table()
+            )
+
+        return ray.data.from_items(parts).map_batches(
+            resolve, batch_format="pyarrow", batch_size=1
+        )
+
     def fsck(self) -> dict:
         """Consistency audit of the committed table — fsck for the lake.
 
