@@ -40,6 +40,15 @@ Ordering contract (what "merged" means for LWW):
   defined winner a priori (two masters wrote "simultaneously"); the
   merge makes the outcome deterministic and stable across crash-reruns
   (the state file pins the plan) by the interleave order above.
+- PARTIAL row images (op="P") compose with the merge only when each
+  key's cross-source events respect event-time order at segment
+  granularity (true when shards own disjoint key sets or disjoint time
+  ranges — the usual sharding shapes). When shards interleave a key's
+  timeline, epoch-ordered patch resolution (pipelines/cdc.
+  _fold_epoch_patches, which resolves each patch ONCE against the
+  then-current state) is still deterministic and crash-stable, but may
+  differ from a global event-time fold — the same class of multi-master
+  ambiguity as the same-timestamp edge above.
 """
 
 from __future__ import annotations

@@ -84,6 +84,42 @@ def test_merged_replay_equals_union_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_merged_patches_disjoint_time_ranges(tmp_path):
+    """Partial row images (op='P') compose with the merge when shards own
+    disjoint TIME ranges (shard B entirely after shard A): each key's
+    events then arrive in event-time order across epochs, so epoch-wise
+    patch resolution equals the global fold. (Interleaved-timeline
+    multi-master patches are the documented ambiguity in the module
+    docstring — not oracle-testable.)"""
+    log_a = generate_changelog(
+        GenConfig(num_events=3000, num_conversations=50, seed=31, patch_frac=0.3)
+    )
+    # B strictly AFTER A in event time (offset > A's full ts range)
+    log_b = _shift_ts(
+        generate_changelog(
+            GenConfig(num_events=1500, num_conversations=50, seed=32, patch_frac=0.3)
+        ),
+        10_000_000_000,
+    )
+    a = ChangeLog(str(tmp_path / "shard_a"))
+    a.write_segments(log_a, segment_rows=500)
+    b = ChangeLog(str(tmp_path / "shard_b"))
+    b.write_segments(log_b, segment_rows=500)
+    feed = MultiSourceFeed(
+        [str(tmp_path / "shard_a"), str(tmp_path / "shard_b")],
+        str(tmp_path / "merged"),
+    )
+    feed.merge_new()
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(feed, segments_per_epoch=3)
+    expect = _union_oracle(log_a, log_b)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in eng.snapshot_arrow().to_pylist()}
+    assert len(got) == len(expect)
+    for k, o in expect.items():
+        assert got[k]["text"] == o["text"] and got[k]["tool"] == o["tool"], k
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_incremental_polls_and_tail(tmp_path):
     """Shards grow between polls; tail over the merged feed converges to
     the union oracle; per-source order survives staggered arrival."""

@@ -191,6 +191,51 @@ def test_patch_after_delete_then_reinsert(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_patches_across_schema_evolution(tmp_path):
+    """Patches interact with mid-replay column adds exactly like full
+    images: a pre-evolution patch (no ``tool`` column in its segment)
+    normalizes to tool=NULL = unchanged; a post-evolution patch can set
+    the new column on a row whose base predates the evolution."""
+    from etl_framework_ray.state.schema import ColumnSpec, TableSpec
+
+    spec_v1 = TableSpec(
+        name="transcripts",
+        columns=(
+            ColumnSpec("conv_id", pa.string(), nullable=False),
+            ColumnSpec("turn_idx", pa.int32(), nullable=False),
+            ColumnSpec("role", pa.string()),
+            ColumnSpec("text", pa.large_string()),
+            ColumnSpec("ts", pa.timestamp("us"), nullable=False),
+        ),
+        primary_key=("conv_id", "turn_idx"),
+    )
+    from etl_framework_ray.sources.generator import generate_changelog as gen
+
+    log = gen(GenConfig(num_events=3000, num_conversations=60, seed=71, patch_frac=0.3))
+    half = 1500
+    early = log.slice(0, half).drop_columns(["tool"])
+    late = log.slice(half)
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(early, segment_rows=750)
+    clog.write_segments(late, segment_rows=750)
+    eng = CDCEngine(str(tmp_path / "tbl"), spec=spec_v1, num_partitions=4)
+    stats = eng.replay(clog, segments_per_epoch=1)
+    assert any("add tool" in c for c in stats.schema_changes)
+
+    # oracle over the log AS FED: early events carried no tool column
+    early_as_fed = log.slice(0, half).set_column(
+        log.schema.get_field_index("tool"), "tool", pa.nulls(half, pa.string())
+    )
+    fed_oracle = oracle_replay(pa.concat_tables([early_as_fed, late]))
+    rows = eng.snapshot_arrow().to_pylist()
+    assert len(rows) == len(fed_oracle)
+    for r in rows:
+        exp = fed_oracle[(r["conv_id"], r["turn_idx"])]
+        for c in ("text", "role", "tool"):
+            assert r[c] == exp[c], (r["conv_id"], r["turn_idx"], c)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_scd2_history_rejects_partial_images(tmp_path):
     from etl_framework_ray.pipelines.history import HistoryTable
 
