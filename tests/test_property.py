@@ -68,6 +68,92 @@ def test_replay_always_matches_oracle(tmp_path_factory, events, segment_rows, nu
         assert r["ts"] == exp["ts"]
 
 
+#: patch-bearing event: (conv, turn, op, ts, text, set_text, set_tool).
+#: For op="P" at least one of set_text/set_tool is forced on below.
+_PATCH_EVENT = st.tuples(
+    st.integers(0, 5),
+    st.integers(0, 3),
+    st.sampled_from(["I", "U", "D", "P", "P"]),  # patches oversampled
+    st.integers(0, 8),
+    st.text(alphabet="abcxyz", min_size=0, max_size=6),
+    st.booleans(),
+    st.booleans(),
+)
+
+
+def _to_patch_table(events: list[tuple]) -> pa.Table:
+    # patch resolution is defined for feeds delivering each key's events
+    # in nondecreasing (ts, lsn) order across epochs (binlog reality and
+    # the documented contract) — sort by ts, then lsn = delivery order;
+    # intra-epoch order still varies with segmentation
+    events = sorted(events, key=lambda e: e[3])
+    n = len(events)
+    text, role, tool, ops = [], [], [], []
+    for i, e in enumerate(events):
+        op = e[2]
+        if op == "P":
+            set_text = e[5] or not e[6]  # at least one column set
+            text.append(e[4] + "!" if set_text else None)
+            role.append(None)
+            tool.append(f"t{i % 3}" if e[6] else None)
+        elif op == "D":
+            text.append(None), role.append(None), tool.append(None)
+        else:
+            text.append(e[4]), role.append("user"), tool.append(None)
+        ops.append(op)
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(1, n + 1), pa.int64()),
+            pa.array(ops, pa.string()),
+            pa.array([e[3] * 1_000_000 for e in events], pa.timestamp("us")),
+            pa.array([f"c{e[0]}" for e in events], pa.string()),
+            pa.array([e[1] for e in events], pa.int32()),
+            pa.array(role, pa.string()),
+            pa.array(text, pa.large_string()),
+            pa.array(tool, pa.string()),
+        ],
+        schema=CHANGELOG_SCHEMA,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(_PATCH_EVENT, min_size=1, max_size=60),
+    segment_rows=st.sampled_from([7, 20, 100]),
+    num_partitions=st.sampled_from([1, 3]),
+    compact_every=st.sampled_from([1, 4]),
+)
+def test_patch_replay_always_matches_oracle(
+    tmp_path_factory, events, segment_rows, num_partitions, compact_every
+):
+    """Patch-fold property: for ANY in-(ts,lsn)-order event sequence with
+    partial images — patches to live, deleted, never-inserted or
+    shadowed keys, single- or multi-column, any segmentation/partition
+    count, with or without compaction folds — the committed state equals
+    the dict oracle's sequential fold."""
+    tmp = tmp_path_factory.mktemp("patchprop")
+    log = _to_patch_table(events)
+    clog = ChangeLog(str(tmp / "log"))
+    clog.write_segments(log, segment_rows=segment_rows)
+    eng = CDCEngine(
+        str(tmp / "tbl"), num_partitions=num_partitions, compact_every=compact_every
+    )
+    eng.replay(clog, segments_per_epoch=2)
+
+    oracle = oracle_replay(log)
+    got = eng.snapshot_arrow().to_pylist()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    assert len(got) == len(oracle)
+    for r in got:
+        exp = oracle[(r["conv_id"], r["turn_idx"])]
+        assert r["text"] == exp["text"]
+        assert r["tool"] == exp["tool"]
+        assert r["role"] == exp["role"]
+        assert r["ts"] == exp["ts"]
+
+
 @pytest.mark.usefixtures("ray_session")
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
