@@ -213,6 +213,133 @@ def merge_partition_files(
     return lww_reduce(t, key_cols, _lww_order(lake_sch, LSN_COL))
 
 
+def _iter_side_chunks(
+    files: list[str], lake_sch: pa.Schema, key_cols: tuple[str, ...], chunk_rows: int
+):
+    """Key-sorted, unique-key, key-COMPLETE chunk stream of one version's
+    partition stack: the streamed k-way merge when the layout allows
+    (engine-written files, ≤2-col PK), else one whole-partition chunk."""
+    if files and key_cols and len(key_cols) <= 2 and _is_cdc_sorted(list(files)):
+        yield from iter_merged_partition(list(files), lake_sch, key_cols, chunk_rows=chunk_rows)
+    else:
+        t = merge_partition_files(list(files), lake_sch, key_cols)
+        if t.num_rows:
+            yield t
+
+
+def _diff_tables(
+    w0: pa.Table,
+    w1: pa.Table,
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    public: list[str],
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """I/U/D compare of two key-aligned LWW states (tombstones included).
+    The join runs on NARROW columns only; I/U payload is gathered once
+    from the newer side."""
+    import numpy as np
+
+    narrow = [*key_cols, *(["ts"] if "ts" in lake_sch.names else []), LSN_COL, DELETED_COL]
+    n0 = w0.select(narrow).to_pandas()
+    n0["_i0"] = np.arange(len(n0))
+    n1 = w1.select(narrow).to_pandas()
+    n1["_i1"] = np.arange(len(n1))
+    m = n0.merge(n1, on=list(key_cols), how="outer", suffixes=("_0", "_1"))
+    # eq(False) is NaN-safe: an absent side is never "live"
+    live0 = m["_i0"].notna() & m[f"{DELETED_COL}_0"].eq(False)
+    live1 = m["_i1"].notna() & m[f"{DELETED_COL}_1"].eq(False)
+    changed = m[f"{LSN_COL}_0"] != m[f"{LSN_COL}_1"]
+    if "ts" in lake_sch.names:
+        changed |= m["ts_0"] != m["ts_1"]
+    ins = live1 & ~live0
+    upd = live1 & live0 & changed
+    dele = live0 & ~live1
+    pieces: list[pa.Table] = []
+    for mask, tag in ((ins, "I"), (upd, "U")):
+        idx = m.loc[mask, "_i1"].to_numpy(dtype=np.int64)
+        if len(idx):
+            rows = w1.select(public).take(pa.array(np.sort(idx)))
+            pieces.append(rows.add_column(0, "diff_op", pa.array([tag] * len(idx))))
+    if dele.any():
+        kd = m.loc[dele, list(key_cols)].sort_values(list(key_cols))
+        cols: dict = {"diff_op": pa.array(["D"] * len(kd))}
+        for name in public:
+            if name in key_cols:
+                cols[name] = pa.Array.from_pandas(kd[name], type=lake_sch.field(name).type)
+            else:
+                cols[name] = pa.nulls(len(kd), lake_sch.field(name).type)
+        pieces.append(pa.table(cols, schema=out_schema))
+    return pa.concat_tables(pieces) if pieces else out_schema.empty_table()
+
+
+def _diff_partition_chunks(
+    files0: list[str],
+    files1: list[str],
+    lake_sch: pa.Schema,
+    key_cols: tuple[str, ...],
+    public: list[str],
+    out_schema: pa.Schema,
+    chunk_rows: int = 65536,
+):
+    """STREAMING two-version diff of one partition: walk both stacks'
+    merged chunk streams in lockstep, slicing both at the lexicographic
+    min of their buffers' LAST keys — every key ≤ the pivot is complete
+    on BOTH sides (each stream is key-sorted with unique keys), so the
+    chunk compare is exact. Peak memory O(chunk × files per side), same
+    bound as the snapshot merge — a diff never holds a partition."""
+    import numpy as np
+
+    two = len(key_cols) == 2
+    sources = [
+        _iter_side_chunks(files0, lake_sch, key_cols, chunk_rows),
+        _iter_side_chunks(files1, lake_sch, key_cols, chunk_rows),
+    ]
+    bufs: list[pa.Table | None] = [None, None]
+
+    def refill(i: int) -> None:
+        if bufs[i] is not None and bufs[i].num_rows:
+            return
+        bufs[i] = next(sources[i], None)
+        while bufs[i] is not None and bufs[i].num_rows == 0:
+            bufs[i] = next(sources[i], None)
+
+    for i in (0, 1):
+        refill(i)
+    while True:
+        active = [i for i in (0, 1) if bufs[i] is not None]
+        if not active:
+            return
+        lasts = []
+        for i in active:
+            b = bufs[i]
+            k0 = b.column(key_cols[0])[b.num_rows - 1].as_py()
+            k1 = b.column(key_cols[1])[b.num_rows - 1].as_py() if two else None
+            lasts.append((k0, k1))
+        p0, p1 = min(lasts, key=lambda x: (x[0], x[1]) if two else (x[0],))
+        sides = []
+        for i in (0, 1):
+            b = bufs[i]
+            if b is None:
+                sides.append(lake_sch.empty_table())
+                continue
+            a0 = _np_col(b, key_cols[0])
+            if two:
+                j0 = int(np.searchsorted(a0, p0, "left"))
+                hi = int(np.searchsorted(a0, p0, "right"))
+                a1 = _np_col(b.slice(j0, hi - j0), key_cols[1])
+                cut = j0 + int(np.searchsorted(a1, p1, "right"))
+            else:
+                cut = int(np.searchsorted(a0, p0, "right"))
+            sides.append(b.slice(0, cut))
+            rest = b.slice(cut)
+            bufs[i] = rest if rest.num_rows else None
+            refill(i)
+        chunk = _diff_tables(sides[0], sides[1], lake_sch, key_cols, public, out_schema)
+        if chunk.num_rows:
+            yield chunk
+
+
 def _has_patches(t: pa.Table) -> bool:
     """True iff the change batch carries any PARTIAL row image (op="P")."""
     return bool(pc.any(pc.equal(t.column("op"), "P")).as_py())
@@ -2324,55 +2451,18 @@ class CDCEngine:
         if not parts:
             return ray.data.from_arrow(out_schema.empty_table())
 
-        def resolve(batch: pa.Table) -> "pa.Table":
-            import numpy as np
-            import pandas as pd
-
+        def resolve(batch: pa.Table):
             _single_threaded_arrow()
-            out: list[pa.Table] = []
+            yielded = False
             for row in batch.to_pylist():
-                w0 = merge_partition_files(list(row["files0"]), lake, key_cols)
-                w1 = merge_partition_files(list(row["files1"]), lake, key_cols)
-                narrow = [*key_cols, "ts", LSN_COL, DELETED_COL]
-                n0 = w0.select(narrow).to_pandas()
-                n0["_i0"] = np.arange(len(n0))
-                n1 = w1.select(narrow).to_pandas()
-                n1["_i1"] = np.arange(len(n1))
-                m = n0.merge(n1, on=list(key_cols), how="outer", suffixes=("_0", "_1"))
-                # eq(False) is NaN-safe: an absent side is never "live"
-                live0 = m["_i0"].notna() & m[f"{DELETED_COL}_0"].eq(False)
-                live1 = m["_i1"].notna() & m[f"{DELETED_COL}_1"].eq(False)
-                ins = live1 & ~live0
-                upd = (
-                    live1
-                    & live0
-                    & ((m["ts_0"] != m["ts_1"]) | (m[f"{LSN_COL}_0"] != m[f"{LSN_COL}_1"]))
-                )
-                dele = live0 & ~live1
-                pieces: list[pa.Table] = []
-                for mask, tag in ((ins, "I"), (upd, "U")):
-                    idx = m.loc[mask, "_i1"].to_numpy(dtype=np.int64)
-                    if len(idx):
-                        rows = w1.select(public).take(pa.array(np.sort(idx)))
-                        pieces.append(
-                            rows.add_column(0, "diff_op", pa.array([tag] * len(idx)))
-                        )
-                if dele.any():
-                    kd = m.loc[dele, list(key_cols)].sort_values(list(key_cols))
-                    cols: dict = {"diff_op": pa.array(["D"] * len(kd))}
-                    for name in public:
-                        if name in key_cols:
-                            cols[name] = pa.Array.from_pandas(
-                                kd[name], type=lake.field(name).type
-                            )
-                        else:
-                            cols[name] = pa.nulls(len(kd), lake.field(name).type)
-                    pieces.append(pa.table(cols, schema=out_schema))
-                if pieces:
-                    out.append(pa.concat_tables(pieces))
-            return (
-                pa.concat_tables(out) if out else out_schema.empty_table()
-            )
+                for chunk in _diff_partition_chunks(
+                    list(row["files0"]), list(row["files1"]),
+                    lake, key_cols, public, out_schema,
+                ):
+                    yielded = True
+                    yield chunk
+            if not yielded:
+                yield out_schema.empty_table()
 
         return ray.data.from_items(parts).map_batches(
             resolve, batch_format="pyarrow", batch_size=1

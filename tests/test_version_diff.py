@@ -72,6 +72,43 @@ def test_diff_explicit_to_version_and_identity(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_diff_streamed_chunks_equal_whole_partition(tmp_path):
+    """The streaming two-stream walker with a tiny chunk size (keys
+    forced to straddle chunk boundaries on both sides) yields exactly
+    the same diff as the default chunking — no key is compared twice or
+    dropped at a pivot."""
+    import pyarrow as pa
+
+    from etl_framework_ray.pipelines.cdc import (
+        LSN_COL,
+        DELETED_COL,
+        _diff_partition_chunks,
+    )
+
+    _, _, eng = _setup(tmp_path, seed=64)
+    man0 = eng.store.load(3)
+    man1 = eng.manifest
+    lake = man1.schema
+    public = [f.name for f in lake if f.name not in (LSN_COL, DELETED_COL)]
+    out_schema = pa.schema(
+        [pa.field("diff_op", pa.string())] + [lake.field(n) for n in public]
+    )
+    key_cols = eng.key_cols
+    rows_small, rows_big = [], []
+    for pid in sorted(set(man0.partitions) | set(man1.partitions)):
+        f0 = man0.partitions[pid].files if pid in man0.partitions else []
+        f1 = man1.partitions[pid].files if pid in man1.partitions else []
+        for chunk_rows, acc in ((64, rows_small), (1 << 20, rows_big)):
+            for c in _diff_partition_chunks(
+                list(f0), list(f1), lake, key_cols, public, out_schema, chunk_rows
+            ):
+                acc.extend(c.to_pylist())
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    assert sorted(rows_small, key=key) == sorted(rows_big, key=key)
+    assert len(rows_small) > 100
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_diff_guards(tmp_path):
     _, _, eng = _setup(tmp_path, seed=63, compact_every=1)
     with pytest.raises(FileNotFoundError, match="does not exist"):
