@@ -902,16 +902,26 @@ def _prep_segment_task(
             rc,
         )
 
+    surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
     if _has_patches(t):
-        # partial images (op="P") make the per-segment fold non-associative
-        # (another segment's patch may interleave between this segment's
-        # base and patches) — route rows unreduced; the per-partition
-        # reduce performs the exact patch-aware fold
-        surv = np.arange(t.num_rows, dtype=np.int64)
-    else:
-        surv = lww_survivor_indices(t, key_cols, _lww_order(chg_schema, "lsn"))
-        if len(surv) > 0.9 * t.num_rows:
-            surv = np.arange(t.num_rows, dtype=np.int64)  # combiner wouldn't pay
+        # partial images (op="P") make the per-key fold non-associative
+        # across segments (another segment's patch may interleave between
+        # this segment's base and patches) — so PATCH KEYS route all their
+        # rows unreduced while every other key still combines (a trickle
+        # of patches must not disable the hot-key combiner for a whole
+        # 500k-row segment); the per-partition reduce performs the exact
+        # patch-aware fold
+        member = pc.is_in(
+            _pair_codes(t, key_cols),
+            value_set=pc.unique(
+                pc.filter(_pair_codes(t, key_cols), pc.equal(t.column("op"), "P"))
+            ),
+        ).to_numpy(zero_copy_only=False)
+        surv = np.union1d(
+            surv[~member[surv]].astype(np.int64), np.flatnonzero(member)
+        )
+    if len(surv) > 0.9 * t.num_rows:
+        surv = np.arange(t.num_rows, dtype=np.int64)  # combiner wouldn't pay
 
     # partition on the FIRST primary-key column only: all turns of a
     # conversation (all rows of an entity) co-locate, which is what makes
@@ -1445,7 +1455,27 @@ class CDCEngine:
                         batch, checks, mode, failure_dir, table_name, key_cols,
                         f"epoch-{epoch_id:012d}-{uuid.uuid4().hex}", rc,
                     )
-                if not _has_patches(batch):  # patch fold is reduce-side only
+                if _has_patches(batch):
+                    # patch keys route unreduced (reduce-side exact fold);
+                    # everything else still combines — see _prep_segment_task
+                    codes = _pair_codes(batch, key_cols)
+                    member = pc.is_in(
+                        codes,
+                        value_set=pc.unique(
+                            pc.filter(codes, pc.equal(batch.column("op"), "P"))
+                        ),
+                    )
+                    batch = pa.concat_tables(
+                        [
+                            lww_reduce(
+                                batch.filter(pc.invert(member)),
+                                key_cols,
+                                _lww_order(chg_schema, "lsn"),
+                            ),
+                            batch.filter(member),
+                        ]
+                    )
+                else:
                     batch = lww_reduce(batch, key_cols, _lww_order(chg_schema, "lsn"))  # shuffle combiner
                 pid = salted_partition_ids(batch, key_cols, num_partitions, salt_map)
                 return batch.append_column("pid", pa.array(pid, pa.int64()))
