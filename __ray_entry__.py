@@ -411,6 +411,72 @@ def _cdc_rollup_incremental(sf_dir: str):
     return _half_log_ivm(sf_dir, "IncrementalRollup", "ivm")
 
 
+#: cdc_stats_incremental's configurable aggregate spec (StatsKernel):
+#: exercises COUNT(*) vs COUNT(col), min/max on timestamp and int, and
+#: exact (sum, count)-pair averages — one entry per supported fn
+_STATS_AGGS = (
+    ("n_turns", "count", "*"),
+    ("n_tool_turns", "count", "tool"),
+    ("first_ts", "min", "ts"),
+    ("last_ts", "max", "ts"),
+    ("max_turn_idx", "max", "turn_idx"),
+    ("total_chars", "sum", "chars"),
+    ("avg_chars", "avg", "chars"),
+)
+
+
+def _cdc_stats_incremental(sf_dir: str):
+    """User-configurable aggregate view (IVM): a StatsKernel spec — no
+    kernel class — maintained over the half-log/rest-of-log windows like
+    the other incremental queries; the final view must equal the
+    full-recompute SQL. ``avg_chars`` snaps to 6 decimals on both sides
+    (CLAUDE.md float-aggregate rule)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    view = _half_log_ivm(
+        sf_dir,
+        "IncrementalStats",
+        "stats",
+        result="__view__",
+        view_kwargs={"aggs": _STATS_AGGS},
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("avg_chars")
+        snapped = pc.divide(
+            pc.round(pc.multiply(batch.column("avg_chars"), pa.scalar(1e6))).cast(
+                pa.int64()
+            ),
+            pa.scalar(1e6),
+        )
+        return batch.set_column(i, "avg_chars", snapped)
+
+    return view.read().map_batches(snap, batch_format="pyarrow")
+
+
+def _cdc_stats_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               COUNT(tool) AS n_tool_turns,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx,
+               CAST(SUM(length(text)) AS DOUBLE) AS total_chars,
+               CAST(ROUND(AVG(length(text)) * 1000000) AS BIGINT) / 1000000.0
+                   AS avg_chars
+        FROM live GROUP BY conv_id
+    """
+
+
 def _cdc_changefeed_oracle_sql(sf_name: str) -> str:
     glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
     watermark = _CDC_SIZES[sf_name][0] // 2
@@ -2312,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_asof": _cdc_scd2_asof,
         "cdc_rollup": _cdc_rollup,
         "cdc_rollup_incremental": _cdc_rollup_incremental,
+        "cdc_stats_incremental": _cdc_stats_incremental,
         "cdc_changefeed": _cdc_changefeed,
         "cdc_corpus_incremental": _cdc_corpus_incremental,
         "cdc_dedup_incremental": _cdc_dedup_incremental,
@@ -2448,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_asof": _scd2_asof_oracle_sql(sf),
         "cdc_rollup": _cdc_rollup_oracle_sql(sf),
         "cdc_rollup_incremental": _cdc_rollup_oracle_sql(sf),
+        "cdc_stats_incremental": _cdc_stats_oracle_sql(sf),
         "cdc_changefeed": _cdc_changefeed_oracle_sql(sf),
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),

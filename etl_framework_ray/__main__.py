@@ -37,6 +37,7 @@ def _view_kinds() -> dict:
         IncrementalMinHash,
         IncrementalRoleStats,
         IncrementalRollup,
+        IncrementalStats,
         IncrementalTextIndex,
         IncrementalToolUsage,
     )
@@ -50,10 +51,28 @@ def _view_kinds() -> dict:
         "curation": IncrementalCuration,
         "textindex": IncrementalTextIndex,
         "rolestats": IncrementalRoleStats,
+        "stats": IncrementalStats,
     }
 
 
-_VIEW_KIND_CHOICES = ("rollup", "corpus", "tool-usage", "dedup", "minhash", "curation", "textindex", "rolestats")
+_VIEW_KIND_CHOICES = (
+    "rollup", "corpus", "tool-usage", "dedup", "minhash", "curation",
+    "textindex", "rolestats", "stats",
+)
+
+
+def _parse_aggs(exprs: list | None):
+    """``NAME:FN:COL`` strings -> StatsKernel agg tuples (None = kernel
+    defaults)."""
+    if not exprs:
+        return None
+    out = []
+    for e in exprs:
+        parts = e.split(":")
+        if len(parts) != 3:
+            raise SystemExit(f"--agg expects NAME:FN:COL, got {e!r}")
+        out.append(tuple(parts))
+    return tuple(out)
 
 
 def _parse_where(exprs: list | None) -> list | None:
@@ -412,6 +431,12 @@ def main(argv: list[str] | None = None) -> int:
         help="curation kind only: quality gate's minimum redacted length",
     )
     pi.add_argument(
+        "--agg", action="append", default=None, metavar="NAME:FN:COL",
+        help="stats kind only (repeatable): output column NAME = FN(COL), "
+        "FN in count/sum/min/max/avg; COL '*' (count) or 'chars' "
+        "(utf8 length of text); part of the view's kernel fingerprint",
+    )
+    pi.add_argument(
         "--right-table",
         help="join kind only: the dimension table's dir (--table is the "
         "fact side; both must share the leading PK column and partition count)",
@@ -768,6 +793,8 @@ def main(argv: list[str] | None = None) -> int:
             kw = {"emit_changes": args.emit_changes}
             if args.kind == "curation":
                 kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
+            if args.kind == "stats" and args.agg:
+                kw["aggs"] = _parse_aggs(args.agg)
             view = cls(eng, args.view, **kw)
         if args.fsck:
             r = view.fsck()

@@ -1451,6 +1451,150 @@ class IncrementalRoleStats(IncrementalRollup):
         )
 
 
+#: StatsKernel aggregate functions — each decomposes into associative
+#: partials, which is what makes the kernel exact under chunked reads
+_STATS_FNS = ("count", "sum", "min", "max", "avg")
+
+#: default Arrow output types for min/max columns of the transcript
+#: table; ``column_types`` overrides for other tables
+_STATS_TYPES = {
+    "turn_idx": pa.int64(),
+    "ts": pa.timestamp("us"),
+    "chars": pa.int64(),
+}
+
+
+class StatsKernel:
+    """CONFIGURABLE per-conversation aggregate view kernel: define a
+    custom incrementally-maintained rollup as data instead of code.
+    ``aggs`` is a tuple of ``(out_name, fn, col)``:
+
+    - ``("n", "count", "*")`` — row count; ``("n", "count", col)`` —
+      NON-NULL values of ``col`` (SQL ``COUNT(col)`` parity);
+    - ``sum`` / ``avg`` — numeric ``col`` or the derived ``"chars"``
+      (``utf8_length(text)``; NULL text contributes NULL — SQL
+      ``length()`` parity). All-NULL groups yield NULL, never 0
+      (SQL ``SUM``/``AVG`` parity);
+    - ``min`` / ``max`` — any orderable ``col`` (timestamps included).
+
+    Every fn decomposes into associative partials (``avg`` keeps a
+    (sum, count) pair), so partials stay O(conversations per chunk) and
+    the combine is exact. Output types: count → int64, sum/avg →
+    float64, min/max → the column's Arrow type (``column_types``
+    extends/overrides :data:`_STATS_TYPES` for non-transcript tables).
+    The kernel fingerprint covers the agg config, so a view directory
+    built with one spec refuses advances from another."""
+
+    def __init__(
+        self,
+        aggs: tuple = (
+            ("n_turns", "count", "*"),
+            ("total_chars", "sum", "chars"),
+            ("last_ts", "max", "ts"),
+        ),
+        column_types: dict | None = None,
+    ):
+        self.aggs = tuple((str(n), str(f), str(c)) for n, f, c in aggs)
+        types = dict(_STATS_TYPES)
+        types.update(column_types or {})
+        if not self.aggs:
+            raise ValueError("StatsKernel needs at least one aggregate")
+        fields = [pa.field("conv_id", pa.string())]
+        seen = {"conv_id"}
+        for name, fn, col in self.aggs:
+            if fn not in _STATS_FNS:
+                raise ValueError(f"unknown aggregate fn {fn!r} (use {_STATS_FNS})")
+            if name in seen:
+                raise ValueError(f"duplicate output column {name!r}")
+            if fn == "count" and col == "*":
+                pass
+            elif fn in ("min", "max") and col not in types:
+                raise ValueError(
+                    f"min/max needs an output type for {col!r} — pass column_types"
+                )
+            seen.add(name)
+            if fn == "count":
+                fields.append(pa.field(name, pa.int64()))
+            elif fn in ("sum", "avg"):
+                fields.append(pa.field(name, pa.float64()))
+            else:
+                fields.append(pa.field(name, types[col]))
+        self.schema = pa.schema(fields)
+        self._types = types
+
+    def fingerprint(self) -> str:
+        return ";".join(f"{n}={f}({c})" for n, f, c in self.aggs)
+
+    def _series(self, live: pa.Table, col: str) -> pd.Series:
+        if col == "chars":
+            # NULL text stays NULL (SQL length() parity — no coalesce)
+            return pc.utf8_length(live.column("text")).to_pandas()
+        return live.column(col).to_pandas()
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        cols = {"conv_id": live.column("conv_id").to_pandas()}
+        for _, fn, col in self.aggs:
+            if col != "*" and col not in cols:
+                cols[col] = self._series(live, col)
+        df = pd.DataFrame(cols)
+        g = df.groupby("conv_id", sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        for name, fn, col in self.aggs:
+            if fn == "count":
+                out[name] = g.size() if col == "*" else g[col].count()
+            elif fn == "sum":
+                out[f"{name}__s"] = g[col].sum(min_count=1)
+            elif fn == "min":
+                out[name] = g[col].min()
+            elif fn == "max":
+                out[name] = g[col].max()
+            else:  # avg → exact (sum, count) partial pair
+                out[f"{name}__s"] = g[col].sum(min_count=1)
+                out[f"{name}__c"] = g[col].count()
+        return out
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        from ..stages.util import null_safe_from_pandas
+
+        if not partials:
+            return self.schema.empty_table()
+        df = pd.concat(partials)
+        g = df.groupby(level=0, sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        for name, fn, col in self.aggs:
+            if fn == "count":
+                out[name] = g[name].sum().astype("int64")
+            elif fn == "sum":
+                out[name] = g[f"{name}__s"].sum(min_count=1)
+            elif fn == "min":
+                out[name] = g[name].min()
+            elif fn == "max":
+                out[name] = g[name].max()
+            else:
+                s = g[f"{name}__s"].sum(min_count=1)
+                c = g[f"{name}__c"].sum()
+                out[name] = s / c.where(c > 0)
+        out = out.reset_index()
+        return pa.Table.from_arrays(
+            [null_safe_from_pandas(out[f.name], f.type) for f in self.schema],
+            schema=self.schema,
+        )
+
+
+class IncrementalStats(IncrementalRollup):
+    """Incrementally-maintained CUSTOM per-conversation aggregates
+    (:class:`StatsKernel`): the user-extension form of the rollup view —
+    any count/sum/min/max/avg spec stays fresh at O(touched
+    conversations) per ``advance()``, no kernel class required. Same
+    durable-state, rebuild, changefeed and fsck contracts as
+    :class:`IncrementalRollup`; CLI ``ivm --kind stats --agg
+    NAME:FN:COL`` (repeatable)."""
+
+    def __init__(self, engine, view_dir: str, aggs=None, emit_changes: bool = False):
+        kernel = StatsKernel(aggs) if aggs is not None else StatsKernel()
+        super().__init__(engine, view_dir, kernel=kernel, emit_changes=emit_changes)
+
+
 class IncrementalTextIndex(IncrementalRollup):
     """Incrementally-maintained FULL-TEXT INDEX over the CDC changefeed:
     the lake's conversations stay BM25-searchable without rebuilding an
