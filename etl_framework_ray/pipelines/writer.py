@@ -311,6 +311,26 @@ class LakeWriter:
             # columns are nulled, a missing ts is stamped once with the
             # delete time so the tombstone wins (ts,lsn) LWW "now"
             required = list(self.spec.primary_key)
+        elif op == "P":
+            # partial images carry the key + ANY subset of payload columns
+            # (absent = unchanged); an unknown column is a typo that would
+            # otherwise silently mean "unchanged" — fail loud
+            required = list(self.spec.primary_key)
+            unknown = sorted(schema_names - set(names))
+            if unknown:
+                raise ValueError(
+                    f"patch source has columns {unknown} not declared on "
+                    f"table {self.spec.name!r}"
+                )
+            payload = [
+                n
+                for n in schema_names
+                if n not in self.spec.primary_key and n != "ts"
+            ]
+            if not payload:
+                raise ValueError(
+                    "patch source sets no payload column — nothing to update"
+                )
         else:
             required = names
         missing = [n for n in required if n not in schema_names]
@@ -320,16 +340,20 @@ class LakeWriter:
             )
         ts_stamp = None
         if "ts" in names and "ts" not in schema_names:
-            # only reachable for op='D' (non-D ops require every declared
-            # column, enforced above): one wall-clock stamp for the whole
-            # write, raised per key to the lake max below
+            # only reachable for op='D'/'P' (full-image ops require every
+            # declared column, enforced above): one wall-clock stamp for
+            # the whole write, raised per key to the lake max below
             import datetime
 
             ts_stamp = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         gate = self._make_gate()
         # tombstones have no payload to validate — gating them against
-        # payload rules would spuriously trip NOT NULL checks
+        # payload rules would spuriously trip NOT NULL checks. Patches are
+        # gated exactly on the columns they SET (absent columns are
+        # "unchanged" — their rules judged the value that set them).
         checks = build_checks(self.spec) if op != "D" else []
+        if op == "P":
+            checks = [c for c in checks if c.column in schema_names]
         key_cols = tuple(self.spec.primary_key) or (names[0],)
         rc = self.run_context.as_dict()
         t0 = _time.perf_counter()
@@ -345,7 +369,7 @@ class LakeWriter:
                 blocks.append((ref, int(nr)))
         dtypes = {n: self.spec.column(n).dtype for n in names}
         key_ts_ref = None
-        if op == "D" and ts_stamp is not None:
+        if op in ("D", "P") and ts_stamp is not None:
             # ts-less DELETE on a ts-ordered table: a tombstone stamped with
             # wall-clock "now" silently loses LWW to a lake row whose event
             # time is ahead of this writer's clock (skew / future-dated
@@ -507,6 +531,30 @@ class LakeWriter:
             return {}  # empty source is a no-op merge
         info = self.engine.apply_epoch(epoch)
         return info or {}
+
+    def patch(self, ds: "ray.data.Dataset") -> dict:
+        """Partial-column UPDATE by primary key: source rows carry the PK
+        plus ANY subset of declared payload columns — absent columns stay
+        unchanged (staged as op='P' partial images, resolved by the
+        engine's patch fold against each key's prior LWW state). A patch
+        to an absent or deleted key is discarded and counted in the
+        commit history, never applied as a phantom insert. A missing
+        ``ts`` stamps per key ``max(now, lake max ts)`` — the delete
+        rule — so "patch it now" wins LWW even against future-dated
+        committed rows. NULL values in a provided column also mean
+        "unchanged" (a patch can never set NULL — use :meth:`merge`);
+        unknown source columns fail loud (a typo'd name would otherwise
+        silently mean "unchanged"). DQ rules gate exactly the columns the
+        patch sets. Extends the reference writer surface — its MERGE has
+        only whole-row update semantics."""
+        if not self.spec.primary_key:
+            raise ValueError(
+                f"PATCH requires a primary key on table {self.spec.name!r}"
+            )
+        epoch = self._stage_changelog(ds, op="P")
+        if epoch is None:
+            return {}
+        return self.engine.apply_epoch(epoch) or {}
 
     def delete(self, ds: "ray.data.Dataset") -> dict:
         """Delete by primary key: stages ``op='D'`` tombstone events for

@@ -528,3 +528,95 @@ def test_delete_without_ts_fails_loud_on_scan_error(tmp_path):
     # nothing committed: the row is still live
     w2 = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
     assert w2.engine.snapshot_arrow().column("k").to_pylist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_updates_subset_of_columns(tmp_path):
+    """LakeWriter.patch: PK + any subset of payload columns updates just
+    those columns (absent/NULL = unchanged); future-dated rows still
+    patchable via the per-key max-ts stamp; patches to absent keys are
+    discarded, never phantom-inserted; unknown columns fail loud."""
+    import datetime
+
+    import ray.data
+
+    spec = TableSpec(
+        name="tst",
+        columns=(
+            ColumnSpec("k", pa.int64(), nullable=False),
+            ColumnSpec("v", pa.string()),
+            ColumnSpec("w", pa.string()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+        primary_key=("k",),
+    )
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    tomorrow = datetime.datetime.now(
+        datetime.timezone.utc
+    ).replace(tzinfo=None) + datetime.timedelta(days=1)
+    t0 = datetime.datetime(2020, 1, 1)
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["v1", "v2"]),
+        "w": pa.array(["w1", "w2"]),
+        "ts": pa.array([tomorrow, t0], pa.timestamp("us")),
+    })))
+
+    # patch v on key 1 (future-dated: the max-ts stamp must still win)
+    # and on the absent key 9 (discarded)
+    w.patch(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 9], pa.int64()),
+        "v": pa.array(["v1-patched", "ghost"]),
+    })))
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["v"] == "v1-patched" and rows[1]["w"] == "w1"
+    assert rows[2] == rows[2] | {"v": "v2", "w": "w2"}
+    assert w.engine.manifest.history[-1]["patches_discarded"] == 1
+
+    # NULL in a provided column means unchanged, not "set NULL"
+    w.patch(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "w": pa.array(["w1-patched", None]),
+    })))
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert rows[1]["w"] == "w1-patched" and rows[1]["v"] == "v1-patched"
+    assert rows[2]["w"] == "w2"
+
+    with pytest.raises(ValueError, match="not declared"):
+        w.patch(ray.data.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()), "vv": pa.array(["typo"]),
+        })))
+    with pytest.raises(ValueError, match="no payload column"):
+        w.patch(ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())})))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_gates_only_set_columns(tmp_path):
+    """DQ rules judge exactly the columns a patch sets: a patch that
+    leaves the gated column untouched passes; one that sets a bad value
+    aborts with nothing staged."""
+    import glob
+    import os
+
+    import ray.data
+
+    w = LakeWriter(str(tmp_path / "g"), GATED_SPEC, num_partitions=2)
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "price": pa.array([5.0]),
+    })))
+    # gated column untouched → no spurious NOT-NULL/range failure
+    w.patch(ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()), "price": pa.array([7.0]),
+    })))
+    assert w.engine.snapshot_arrow().column("price").to_pylist() == [7.0]
+    with pytest.raises(DQError):
+        w.patch(ray.data.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()), "price": pa.array([-1.0]),
+        })))
+    # the aborted attempt's staged segment (lsn 3, above the applied
+    # watermark) is removed; earlier APPLIED epochs keep theirs
+    assert not glob.glob(
+        os.path.join(str(tmp_path / "g"), "_writer_log", "segment-000000000003-*")
+    )
+    assert w.engine.snapshot_arrow().column("price").to_pylist() == [7.0]
