@@ -502,6 +502,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pf.add_argument("--table", required=True)
 
+    pds = sub.add_parser(
+        "describe", help="operational summary from the manifest (rows, files, "
+        "bytes, merge depth, retention, last commit); no data reads"
+    )
+    pds.add_argument("--table", required=True)
+
     pr = sub.add_parser(
         "replica-follow",
         help="drain a view-changefeed sink (view-changes / ViewDeltaConsumer "
@@ -740,6 +746,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "restore":
         eng = _existing_engine(args.table)
         print(json.dumps(eng.restore(args.version)))
+    elif args.cmd == "describe":
+        eng = _existing_engine(args.table)
+        print(json.dumps(eng.describe()))
     elif args.cmd == "clone":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

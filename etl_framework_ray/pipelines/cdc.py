@@ -2261,6 +2261,57 @@ class CDCEngine:
         staging concurrently (see ``ManifestStore.vacuum``)."""
         return self.store.vacuum(self.manifest, grace_s=grace_s)
 
+    def describe(self) -> dict:
+        """Operational table summary from the MANIFEST alone (plus file
+        ``stat`` + parquet FOOTER reads — never row data, safe on a live
+        table): identity,
+        version/watermark, partition/file/byte totals, merge-on-read
+        depth (files per partition — the compaction health signal),
+        retention state, salt map, and the last commit. The ops
+        counterpart of :meth:`fsck` (which verifies; this reports)."""
+        man = self.manifest
+        n_files = 0
+        n_bytes = 0
+        rows_physical = 0
+        depth_max = 0
+        missing = 0
+        for part in man.partitions.values():
+            n_files += len(part.files)
+            depth_max = max(depth_max, len(part.files))
+            for f in part.files:
+                try:
+                    n_bytes += os.path.getsize(f)
+                    # footer metadata only — physical rows INCLUDE
+                    # superseded versions + tombstones in the delta stack
+                    # (exact LIVE rows require the merge: snapshot().count())
+                    rows_physical += pq.ParquetFile(f).metadata.num_rows
+                except OSError:
+                    missing += 1
+        retained = man.properties.get("retained_deltas", []) or []
+        return {
+            "table": man.table,
+            "table_dir": self.table_dir,
+            "version": man.version,
+            "schema_version": man.schema_version,
+            "applied_lsn": man.applied_lsn,
+            "num_partitions": man.num_partitions,
+            "partitions_populated": len(man.partitions),
+            "primary_key": list(man.primary_key),
+            "columns": list(man.schema.names),
+            "rows_physical": rows_physical,
+            "data_files": n_files,
+            "data_bytes": n_bytes,
+            "files_missing": missing,  # nonzero → run fsck
+            "max_files_per_partition": depth_max,  # merge-on-read depth
+            "compact_every": self.compact_every,
+            "retained_deltas": len(retained),
+            "changefeed_floor": int(man.properties.get("changefeed_floor", 0)),
+            "changefeed_retention_lsn": man.properties.get("changefeed_retention_lsn"),
+            "salted_keys": len(self.salt_map),
+            "commits": len(man.history),
+            "last_commit": (man.history[-1] if man.history else None),
+        }
+
     # -- table lifecycle: RESTORE / CLONE -------------------------------
     def restore(self, version: int) -> dict:
         """RESTORE the table to an earlier manifest version as a NEW

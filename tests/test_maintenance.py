@@ -413,3 +413,33 @@ def test_fsck_non_conv_table_and_reshard_and_orphans(tmp_path):
     os.remove(os.path.join(str(tmp_path / "view"), "_view_manifest.json"))
     r = view.fsck()
     assert not r["ok"] and any("no view manifest" in i for i in r["issues"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_describe_reports_manifest_truth(tmp_path):
+    """describe() is manifest-only reporting: totals agree with the
+    committed state, merge depth reflects the delta stack, and a deleted
+    file surfaces as files_missing (the run-fsck signal)."""
+    import os
+
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    log = generate_changelog(GenConfig(num_events=2000, seed=91))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    eng.replay(clog, segments_per_epoch=1)
+
+    d = eng.describe()
+    assert d["applied_lsn"] == 2000 and d["num_partitions"] == 4
+    # physical rows (footer metadata: superseded versions + tombstones
+    # included) bound the live rows from above
+    assert d["rows_physical"] >= eng.snapshot_arrow().num_rows
+    assert d["data_files"] == len(eng.manifest.data_files())
+    assert d["data_bytes"] > 0 and d["files_missing"] == 0
+    assert d["max_files_per_partition"] >= 1
+    assert d["primary_key"] == ["conv_id", "turn_idx"]
+    assert d["last_commit"]["epoch_id"] == 2000
+
+    os.remove(eng.manifest.data_files()[0])
+    assert eng.describe()["files_missing"] == 1
