@@ -2402,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": m.events_props_k,
         "pricing_summary": m.pricing_summary,
         "pricing_rollup": m.pricing_rollup,
+        "lineitem_price_stats": m.lineitem_price_stats,
         "forecast_revenue": m.forecast_revenue,
         "late_shipment_priority": m.late_shipment_priority,
         "promo_revenue": m.promo_revenue,
@@ -2719,6 +2720,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sum_base_price,
                    CAST(ROUND(AVG(l_extendedprice) * 100) AS BIGINT) / 100.0 AS avg_price
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "lineitem_price_stats": """
+            SELECT l_returnflag,
+                   CAST(COUNT(l_extendedprice) AS BIGINT) AS n_price,
+                   CAST(ROUND(var_samp(l_extendedprice) * 100) AS BIGINT) / 100.0 AS var_price,
+                   CAST(ROUND(stddev_samp(l_extendedprice) * 100) AS BIGINT) / 100.0 AS std_price,
+                   CAST(ROUND(var_pop(l_quantity) * 100) AS BIGINT) / 100.0 AS varp_qty
+            FROM lineitem GROUP BY l_returnflag""",
         "events_timeliness": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 1 ELSE 0 END) AS BIGINT)

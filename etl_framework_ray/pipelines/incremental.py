@@ -1453,7 +1453,14 @@ class IncrementalRoleStats(IncrementalRollup):
 
 #: StatsKernel aggregate functions — each decomposes into associative
 #: partials, which is what makes the kernel exact under chunked reads
-_STATS_FNS = ("count", "sum", "min", "max", "avg")
+_STATS_FNS = (
+    "count", "sum", "min", "max", "avg",
+    "var_samp", "var_pop", "stddev_samp", "stddev_pop",
+)
+
+#: second-moment fns — partial triple (Σx, Σx², n); SQL gates: sample
+#: variants NULL below 2 non-null values, population variants 0 at one
+_STATS_VAR_FNS = ("var_samp", "var_pop", "stddev_samp", "stddev_pop")
 
 #: default Arrow output types for min/max columns of the transcript
 #: table; ``column_types`` overrides for other tables
@@ -1475,7 +1482,11 @@ class StatsKernel:
       (``utf8_length(text)``; NULL text contributes NULL — SQL
       ``length()`` parity). All-NULL groups yield NULL, never 0
       (SQL ``SUM``/``AVG`` parity);
-    - ``min`` / ``max`` — any orderable ``col`` (timestamps included).
+    - ``min`` / ``max`` — any orderable ``col`` (timestamps included);
+    - ``var_samp`` / ``var_pop`` / ``stddev_samp`` / ``stddev_pop`` —
+      exact second moments from a ``(Σx, Σx², n)`` partial triple; SQL
+      gates (sample NULL below 2 values, population 0 at one, all-NULL
+      → NULL) match DuckDB.
 
     Every fn decomposes into associative partials (``avg`` keeps a
     (sum, count) pair), so partials stay O(conversations per chunk) and
@@ -1515,7 +1526,7 @@ class StatsKernel:
             seen.add(name)
             if fn == "count":
                 fields.append(pa.field(name, pa.int64()))
-            elif fn in ("sum", "avg"):
+            elif fn in ("sum", "avg") or fn in _STATS_VAR_FNS:
                 fields.append(pa.field(name, pa.float64()))
             else:
                 fields.append(pa.field(name, types[col]))
@@ -1548,6 +1559,12 @@ class StatsKernel:
                 out[name] = g[col].min()
             elif fn == "max":
                 out[name] = g[col].max()
+            elif fn in _STATS_VAR_FNS:  # (Σx, Σx², n) partial triple
+                xs = df[col].astype("float64")
+                grp = xs.groupby(df["conv_id"], sort=False)
+                out[f"{name}__s"] = grp.sum(min_count=1)
+                out[f"{name}__q"] = (xs**2).groupby(df["conv_id"], sort=False).sum(min_count=1)
+                out[f"{name}__c"] = grp.count()
             else:  # avg → exact (sum, count) partial pair
                 out[f"{name}__s"] = g[col].sum(min_count=1)
                 out[f"{name}__c"] = g[col].count()
@@ -1570,6 +1587,19 @@ class StatsKernel:
                 out[name] = g[name].min()
             elif fn == "max":
                 out[name] = g[name].max()
+            elif fn in _STATS_VAR_FNS:
+                import numpy as _np
+
+                s = g[f"{name}__s"].sum(min_count=1).astype("float64")
+                q = g[f"{name}__q"].sum(min_count=1).astype("float64")
+                c = g[f"{name}__c"].sum().astype("float64")
+                denom = c - 1 if fn in ("var_samp", "stddev_samp") else c
+                with _np.errstate(invalid="ignore", divide="ignore"):
+                    v = _np.maximum(q - s * s / c, 0.0) / denom
+                    if fn.startswith("stddev"):
+                        v = _np.sqrt(v)
+                floor = 2 if fn in ("var_samp", "stddev_samp") else 1
+                out[name] = pd.Series(v, index=c.index).where(c >= floor)
             else:
                 s = g[f"{name}__s"].sum(min_count=1)
                 c = g[f"{name}__c"].sum()

@@ -406,6 +406,32 @@ def pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def lineitem_price_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Dispersion report: exact second-moment aggregates (var_samp /
+    stddev_samp / var_pop) per return flag from mergeable (n, Σx, Σx²)
+    partials — the grouping_sets machinery with a single set, so the raw
+    240k-row columns never shuffle, only 3 partial rows per block. Snap
+    at cents on both sides (pairwise summation keeps the cancellation
+    error ~1e-4 absolute on ~5e8 variances — far inside the snap)."""
+    from ..stages.rollup import grouping_sets
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouping_sets(
+        ds,
+        [("l_returnflag",)],
+        {
+            "n_price": ("count_col", "l_extendedprice"),
+            "var_price": ("var_samp", "l_extendedprice"),
+            "std_price": ("stddev_samp", "l_extendedprice"),
+            "varp_qty": ("var_pop", "l_quantity"),
+        },
+    )
+    snap = _round_cols(["var_price", "std_price", "varp_qty"])
+    return out.map_batches(
+        lambda b: snap(b.drop_columns(["grouping_id"])), batch_format="pyarrow"
+    )
+
+
 def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q6 shape: pure filter + global sum — the query every engine
     must make I/O-bound. Pruned 4-column read, one vectorized filter +

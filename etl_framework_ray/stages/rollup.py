@@ -23,6 +23,13 @@ Semantics (SQL parity, checked against DuckDB):
 - ``count`` counts rows; ``count_col`` counts non-null values; ``sum`` /
   ``min`` / ``max`` / ``avg`` are NULL when a group has no non-null
   values; ``avg`` is float64.
+- ``var_samp`` / ``var_pop`` / ``stddev_samp`` / ``stddev_pop`` are
+  exact second-moment aggregates from mergeable ``(n, Σx, Σx²)``
+  partials (float64): sample variants are NULL below 2 non-null values,
+  population variants 0 at one — DuckDB's behavior. Cancellation guard:
+  the merged value clips at 0, and the partial Σ run numpy pairwise
+  summation, so parity with a stable one-pass oracle holds to ~1e-9
+  relative on realistic magnitudes (snap both sides when hash-comparing).
 - Empty input emits one row per ZERO-column grouping set (count 0,
   sums NULL) — exactly DuckDB's behavior — and nothing for keyed sets.
 """
@@ -42,7 +49,12 @@ from .analytic import _sum_dtype
 from .joins import _direct_grouped_apply, _mat_arrow_unified
 from .util import null_safe_from_pandas
 
-_FNS = ("count", "count_col", "sum", "min", "max", "avg")
+_FNS = (
+    "count", "count_col", "sum", "min", "max", "avg",
+    "var_samp", "var_pop", "stddev_samp", "stddev_pop",
+)
+#: aggregates that need the Σx² quadratic partial
+_VAR_FNS = ("var_samp", "var_pop", "stddev_samp", "stddev_pop")
 #: routing-key encoding: unit separator between columns; NUL-prefixed
 #: sentinel for "null key" so it cannot collide with a real string value
 _SEP = "\x1f"
@@ -74,7 +86,8 @@ def grouping_sets(
     """Aggregate ``ds`` at every granularity in ``sets`` in one pass.
 
     ``aggs``: output column name -> ``(fn, col)`` with fn in
-    ``count | count_col | sum | min | max | avg`` (``count`` ignores col).
+    ``count | count_col | sum | min | max | avg | var_samp | var_pop |
+    stddev_samp | stddev_pop`` (``count`` ignores col).
     Output columns: the ordered union of set columns (NULL where a row's
     set aggregates the column away), ``grouping_col`` (int64 SQL
     ``GROUPING()`` id), then one column per agg. Returns a streaming
@@ -119,8 +132,11 @@ def grouping_sets(
     # merge plan over partial columns (one partial set per distinct source
     # column per need, shared across aggs)
     need_n = any(fn == "count" for fn, _ in aggs.values())
-    need_ns = sorted({c for fn, c in aggs.values() if fn in ("count_col", "sum", "avg")})
-    need_s = sorted({c for fn, c in aggs.values() if fn in ("sum", "avg")})
+    need_ns = sorted(
+        {c for fn, c in aggs.values() if fn in ("count_col", "sum", "avg") or fn in _VAR_FNS}
+    )
+    need_s = sorted({c for fn, c in aggs.values() if fn in ("sum", "avg") or fn in _VAR_FNS})
+    need_q = sorted({c for fn, c in aggs.values() if fn in _VAR_FNS})
     need_mn = sorted({c for fn, c in aggs.values() if fn == "min"})
     need_mx = sorted({c for fn, c in aggs.values() if fn == "max"})
     # an all-NULL column arrives Arrow `null`-typed: every sum/avg over
@@ -136,6 +152,7 @@ def grouping_sets(
         + ([("_n", pa.int64())] if need_n else [])
         + [(f"_ns_{c}", pa.int64()) for c in need_ns]
         + [(f"_s_{c}", sum_ts[c]) for c in need_s]
+        + [(f"_q_{c}", pa.float64()) for c in need_q]
         + [(f"_mn_{c}", in_types[c]) for c in need_mn]
         + [(f"_mx_{c}", in_types[c]) for c in need_mx]
     )
@@ -161,11 +178,15 @@ def grouping_sets(
         if batch.num_rows == 0:
             return part_schema.empty_table()
         df = batch.select(list(dict.fromkeys(group_cols + val_cols))).to_pandas()
+        for c in need_q:  # quadratic partial: NaN-propagating square, summed skipna
+            df[f"_qsrc_{c}"] = df[c].astype(np.float64) ** 2
         spec: dict[str, tuple] = {}
         for c in need_ns:
             spec[f"_ns_{c}"] = (c, "count")
         for c in need_s:
             spec[f"_s_{c}"] = (c, "sum")
+        for c in need_q:
+            spec[f"_q_{c}"] = (f"_qsrc_{c}", "sum")
         for c in need_mn:
             spec[f"_mn_{c}"] = (c, "min")
         for c in need_mx:
@@ -185,6 +206,8 @@ def grouping_sets(
                 fine[f"_ns_{c}"] = df[c].count()
             for c in need_s:
                 fine[f"_s_{c}"] = df[c].sum(min_count=1)
+            for c in need_q:
+                fine[f"_q_{c}"] = df[f"_qsrc_{c}"].sum()
             for c in need_mn:
                 fine[f"_mn_{c}"] = df[c].min()
             for c in need_mx:
@@ -211,7 +234,7 @@ def grouping_sets(
             out_fields.append((name, pa.int64()))
         elif fn == "sum":
             out_fields.append((name, sum_ts[col]))
-        elif fn == "avg":
+        elif fn == "avg" or fn in _VAR_FNS:
             out_fields.append((name, pa.float64()))
         else:
             out_fields.append((name, in_types[col]))
@@ -226,6 +249,8 @@ def grouping_sets(
             merge[f"_ns_{c}"] = (f"_ns_{c}", "sum")
         for c in need_s:
             merge[f"_s_{c}"] = (f"_s_{c}", "sum")
+        for c in need_q:
+            merge[f"_q_{c}"] = (f"_q_{c}", "sum")
         for c in need_mn:
             merge[f"_mn_{c}"] = (f"_mn_{c}", "min")
         for c in need_mx:
@@ -254,6 +279,23 @@ def grouping_sets(
                     av = g[f"_s_{col}"].to_numpy(np.float64) / ns
                 out[name] = pc.if_else(
                     pa.array(ns > 0), pa.array(av, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                )
+            elif fn in _VAR_FNS:
+                ns = g[f"_ns_{col}"].to_numpy(np.int64)
+                s = g[f"_s_{col}"].to_numpy(np.float64)
+                q = g[f"_q_{col}"].to_numpy(np.float64)
+                denom = ns - 1 if fn in ("var_samp", "stddev_samp") else ns
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    # clip: Σx² − (Σx)²/n can go ~-1e-12 on constant groups
+                    v = np.maximum(q - s * s / ns, 0.0) / denom
+                    if fn.startswith("stddev"):
+                        v = np.sqrt(v)
+                # SQL gates: sample variants NULL below 2 non-null values,
+                # population variants 0 at one, all NULL on empty groups
+                valid = ns >= (2 if fn in ("var_samp", "stddev_samp") else 1)
+                out[name] = pc.if_else(
+                    pa.array(valid), pa.array(np.where(valid, v, 0.0), pa.float64()),
                     pa.scalar(None, pa.float64()),
                 )
             else:  # min / max: pandas NaN for all-null groups -> Arrow null

@@ -139,3 +139,58 @@ def test_helpers_and_validation():
         grouping_sets(ds, [("a",)], {"z": ("sum", None)})
     with pytest.raises(KeyError):
         grouping_sets(ds, [("nope",)], AGGS)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_variance_family_matches_duckdb():
+    """var_samp / var_pop / stddev_samp / stddev_pop vs DuckDB, including
+    the SQL gates: a single-row group (samp NULL, pop 0), a constant
+    group (both 0, cancellation clipped), all-NULL values, and int input."""
+    df = _frame(seed=7, n=3000)
+    extra = pd.DataFrame(
+        {
+            "a": ["solo", "const", "const", "const"],
+            "b": [None, "u", "u", "u"],
+            "x": [3.5, 7.0, 7.0, 7.0],
+            "i": [1, 2, 3, 4],
+        }
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    aggs = {
+        "n_vals": ("count_col", "x"),
+        "vs_x": ("var_samp", "x"),
+        "vp_x": ("var_pop", "x"),
+        "ss_x": ("stddev_samp", "x"),
+        "sp_x": ("stddev_pop", "x"),
+        "vs_i": ("var_samp", "i"),
+    }
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = grouping_sets(ds, rollup_sets(["a", "b"]), aggs).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql(
+        """SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grouping_id,
+                  CAST(COUNT(x) AS BIGINT) AS n_vals,
+                  var_samp(x) AS vs_x, var_pop(x) AS vp_x,
+                  stddev_samp(x) AS ss_x, stddev_pop(x) AS sp_x,
+                  var_samp(i) AS vs_i
+           FROM t GROUP BY ROLLUP(a, b)"""
+    ).df()
+
+    def norm(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        for c in ("vs_x", "vp_x", "ss_x", "sp_x", "vs_i"):
+            d[c] = d[c].astype("float64").round(8)
+        return (
+            d.sort_values(["grouping_id", "a", "b"], na_position="first")
+            .reset_index(drop=True)
+            .astype({"grouping_id": "int64", "n_vals": "int64"})
+        )
+
+    g, e = norm(got), norm(exp)
+    pd.testing.assert_frame_equal(g[e.columns], e)
+    # spot-check the gates explicitly
+    solo = g[(g["a"] == "solo") & (g["grouping_id"] == 0)].iloc[0]
+    assert pd.isna(solo["vs_x"]) and solo["vp_x"] == 0.0
+    const = g[(g["a"] == "const") & (g["grouping_id"] == 0)].iloc[0]
+    assert const["vs_x"] == 0.0 and const["sp_x"] == 0.0

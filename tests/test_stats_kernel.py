@@ -132,3 +132,40 @@ def test_incremental_stats_advance_equals_rebuild(tmp_path):
     other = IncrementalStats(eng, str(tmp_path / "view"), aggs=AGGS[:2])
     with pytest.raises(Exception, match="kernel"):
         other.advance()
+
+
+def test_variance_family_matches_sql_and_is_chunk_invariant():
+    """var/stddev aggregates from the (Σx, Σx², n) partial triple: SQL
+    parity (DuckDB), the sample-vs-population gates, and exactness under
+    arbitrary chunking — including a conversation split across chunks."""
+    k = StatsKernel(
+        (
+            ("var_chars", "var_samp", "chars"),
+            ("std_chars", "stddev_samp", "chars"),
+            ("varp_turn", "var_pop", "turn_idx"),
+            ("stdp_turn", "stddev_pop", "turn_idx"),
+        )
+    )
+    t = _live_table(with_all_null_conv=True)
+    con = duckdb.connect()
+    con.register("live", t)
+    exp = con.execute(
+        """
+        SELECT conv_id,
+               var_samp(length(text)) AS var_chars,
+               stddev_samp(length(text)) AS std_chars,
+               var_pop(turn_idx) AS varp_turn,
+               stddev_pop(turn_idx) AS stdp_turn
+        FROM live GROUP BY conv_id ORDER BY conv_id
+        """
+    ).fetchdf()
+    whole = _kernel_result(k, [t])
+    pd.testing.assert_frame_equal(whole, exp, check_dtype=False)
+    # gates: conv b has ONE non-null text → var_samp NULL; conv z has a
+    # single row → var_pop(turn_idx)=0; all-NULL chars → NULL both ways
+    assert pd.isna(whole.loc[whole["conv_id"] == "b", "var_chars"]).all()
+    assert (whole.loc[whole["conv_id"] == "z", "varp_turn"] == 0.0).all()
+    assert pd.isna(whole.loc[whole["conv_id"] == "z", "var_chars"]).all()
+    for cut in (1, 2, 3):
+        parts = [t.slice(0, cut), t.slice(cut)]
+        pd.testing.assert_frame_equal(_kernel_result(k, parts), exp, check_dtype=False)

@@ -116,8 +116,11 @@ def main(sf_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    only = set(os.environ["GRAFT_ONLY"].split(",")) if os.environ.get("GRAFT_ONLY") else None
     fails = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = to_df(fn(sf_dir))
