@@ -576,6 +576,132 @@ class LakeWriter:
             return {}
         return self.engine.apply_epoch(epoch) or {}
 
+    def delete_where(self, predicate: list | None) -> dict:
+        """Predicate DELETE — SQL ``DELETE FROM t WHERE <conjunction>``
+        as self-sourced change capture: one zone-map-pruned snapshot scan
+        (``predicate`` is the same ``(col, op, value)`` conjunct list as
+        :meth:`CDCEngine.snapshot`; ``None`` deletes every row) finds the
+        matching CURRENT rows, and their keys feed :meth:`delete` — so the
+        operation is an ordinary exactly-once epoch commit that the
+        changefeed, IVM views, SCD2 history and consumers all observe as
+        plain tombstones. Nothing bespoke downstream.
+
+        Determinism: each tombstone is stamped with the matched row's OWN
+        ``ts`` (the key's current LWW maximum by construction), never the
+        wall clock — the delete wins via its fresh LSN on the (ts, lsn)
+        tie, a later higher-``ts`` event can still legitimately re-insert
+        the key, and a re-run against the same table state stages
+        byte-identical tombstones. Concurrency inherits the engine's
+        serializable fail-loud commit: a commit racing between the scan
+        and the apply raises ``CommitConflict`` rather than deleting from
+        a stale match set."""
+        if not self.spec.primary_key:
+            raise ValueError(
+                f"DELETE WHERE requires a primary key on table {self.spec.name!r}"
+            )
+        cols = list(self.spec.primary_key)
+        if "ts" in self.spec.column_names:
+            cols.append("ts")
+        return self.delete(self.engine.snapshot(columns=cols, predicate=predicate))
+
+    def update_where(
+        self,
+        predicate: list | None,
+        assignments: dict,
+        read_columns: list | None = None,
+    ) -> dict:
+        """Predicate UPDATE — SQL ``UPDATE t SET c = v, ... WHERE
+        <conjunction>`` as self-sourced change capture: the zone-map-pruned
+        snapshot scan finds the matching current rows, each becomes an
+        op='P' PARTIAL image carrying the PK plus ONLY the assigned
+        columns (via :meth:`patch`), so unassigned columns never leave the
+        lake and downstream (changefeed, IVM, consumers) sees ordinary
+        full-row updates after the fold.
+
+        ``assignments``: column -> constant, or callable
+        ``(pa.Table) -> array-like`` evaluated per matched batch (the
+        batch carries the PK, ``ts``, every assigned column's current
+        value, and ``read_columns`` extras — so ``{"value": lambda b:
+        pc.multiply(b.column("value"), 2)}`` expresses ``SET value =
+        value * 2``). PK and ``ts`` are not assignable (keys are
+        immutable; event time belongs to the source). An assignment may
+        never produce NULL — patch semantics reserve NULL for
+        "unchanged" — so a NULL result fails loud instead of silently
+        not updating. Rows keep their own ``ts`` (see
+        :meth:`delete_where`); the fresh LSN orders the update last."""
+        if not self.spec.primary_key:
+            raise ValueError(
+                f"UPDATE WHERE requires a primary key on table {self.spec.name!r}"
+            )
+        if not assignments:
+            raise ValueError("UPDATE WHERE needs at least one assignment")
+        names = self.spec.column_names
+        pk = list(self.spec.primary_key)
+        for c in assignments:
+            if c not in names:
+                raise ValueError(
+                    f"assignment target {c!r} is not a declared column of "
+                    f"table {self.spec.name!r}"
+                )
+            if c in pk or c == "ts":
+                raise ValueError(
+                    f"assignment target {c!r} is not updatable (primary-key "
+                    "columns are immutable; ts is the source's event time)"
+                )
+        for c, v in assignments.items():
+            if not callable(v) and v is None:
+                raise ValueError(
+                    f"assignment {c!r} = NULL: a patch cannot set NULL "
+                    "(NULL means 'unchanged') — use merge() with full rows"
+                )
+        unknown = sorted(set(read_columns or []) - set(names))
+        if unknown:
+            raise ValueError(f"read_columns {unknown} not declared on the table")
+        cols = list(
+            dict.fromkeys(
+                pk
+                + (["ts"] if "ts" in names else [])
+                + sorted(assignments)
+                + sorted(read_columns or [])
+            )
+        )
+        dtypes = {c: self.spec.column(c).dtype for c in assignments}
+        keep = pk + (["ts"] if "ts" in names else [])
+        assign = dict(assignments)  # capture a stable copy for the tasks
+
+        def build_patch(batch: pa.Table) -> pa.Table:
+            out = {c: batch.column(c) for c in keep}
+            if batch.num_rows == 0:  # callables need not handle empty blocks
+                out.update({c: pa.array([], type=dtypes[c]) for c in sorted(assign)})
+                return pa.table(out)
+            for c in sorted(assign):
+                v = assign[c]
+                if callable(v):
+                    arr = v(batch)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    if not isinstance(arr, pa.Array):
+                        arr = pa.array(arr)
+                    arr = arr.cast(dtypes[c])
+                    if len(arr) != batch.num_rows:
+                        raise ValueError(
+                            f"assignment {c!r} returned {len(arr)} values "
+                            f"for {batch.num_rows} rows"
+                        )
+                else:
+                    arr = pa.array([v] * batch.num_rows).cast(dtypes[c])
+                if arr.null_count:
+                    raise ValueError(
+                        f"assignment {c!r} produced NULL for {arr.null_count} "
+                        "row(s) — a patch cannot set NULL (NULL means "
+                        "'unchanged'); use merge() with full rows"
+                    )
+                out[c] = arr
+            return pa.table(out)
+
+        matched = self.engine.snapshot(columns=cols, predicate=predicate)
+        return self.patch(matched.map_batches(build_patch, batch_format="pyarrow"))
+
     def append(self, ds: "ray.data.Dataset") -> int:
         """Append rows (PK-less audit-table semantics): new delta files join
         the manifest; no LWW on read. DQ gate fused into the staging pass

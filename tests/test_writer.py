@@ -620,3 +620,111 @@ def test_patch_gates_only_set_columns(tmp_path):
         os.path.join(str(tmp_path / "g"), "_writer_log", "segment-000000000003-*")
     )
     assert w.engine.snapshot_arrow().column("price").to_pylist() == [7.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delete_where_removes_matching_rows_deterministically(tmp_path):
+    """Predicate DELETE: matching current rows tombstone with their OWN ts
+    (no wall clock), non-matching rows survive, a later higher-ts event
+    re-inserts the key, and an empty match is a no-op commit."""
+    import datetime
+
+    import ray.data
+
+    spec = TableSpec(
+        name="dml",
+        columns=(
+            ColumnSpec("k", pa.int64(), nullable=False),
+            ColumnSpec("v", pa.string()),
+            ColumnSpec("n", pa.int64()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+        primary_key=("k",),
+    )
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    t = lambda d: datetime.datetime(2024, 1, d)
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["hot", "cold", "hot", "cold"]),
+        "n": pa.array([10, 20, 30, 40], pa.int64()),
+        "ts": pa.array([t(1), t(2), t(3), t(4)], pa.timestamp("us")),
+    })))
+
+    w.delete_where([("v", "==", "hot")])
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert set(rows) == {2, 4}
+
+    # empty match: no-op (no rows staged, state unchanged)
+    assert w.delete_where([("n", ">", 1000)]) == {}
+    assert {r["k"] for r in w.engine.snapshot_arrow().to_pylist()} == {2, 4}
+
+    # the tombstone carried the row's own ts, so a LATER event re-inserts
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array(["reborn"]),
+        "n": pa.array([11], pa.int64()),
+        "ts": pa.array([t(9)], pa.timestamp("us")),
+    })))
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert rows[1]["v"] == "reborn" and set(rows) == {1, 2, 4}
+
+    with pytest.raises(ValueError, match="primary key"):
+        LakeWriter(str(tmp_path / "nopk"), AUDIT_SPEC).delete_where(None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_update_where_patches_assigned_columns_only(tmp_path):
+    """Predicate UPDATE: constant and computed (SET n = n + 100)
+    assignments touch ONLY the assigned columns, rows keep their event
+    time, and the guards (PK/ts targets, NULL results, unknown columns)
+    fail loud."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    spec = TableSpec(
+        name="dml2",
+        columns=(
+            ColumnSpec("k", pa.int64(), nullable=False),
+            ColumnSpec("v", pa.string()),
+            ColumnSpec("n", pa.int64()),
+            ColumnSpec("ts", pa.timestamp("us")),
+        ),
+        primary_key=("k",),
+    )
+    w = LakeWriter(str(tmp_path / "t"), spec, num_partitions=2)
+    t = lambda d: datetime.datetime(2024, 1, d)
+    w.merge(ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["hot", "cold", "hot"]),
+        "n": pa.array([10, 20, 30], pa.int64()),
+        "ts": pa.array([t(1), t(2), t(3)], pa.timestamp("us")),
+    })))
+
+    w.update_where(
+        [("v", "==", "hot")],
+        {"v": "warm", "n": lambda b: pc.add(b.column("n"), 100)},
+    )
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert rows[1] == rows[1] | {"v": "warm", "n": 110, "ts": t(1)}
+    assert rows[3] == rows[3] | {"v": "warm", "n": 130, "ts": t(3)}
+    assert rows[2] == rows[2] | {"v": "cold", "n": 20, "ts": t(2)}
+
+    # guards
+    with pytest.raises(ValueError, match="not updatable"):
+        w.update_where(None, {"k": 9})
+    with pytest.raises(ValueError, match="not updatable"):
+        w.update_where(None, {"ts": t(5)})
+    with pytest.raises(ValueError, match="cannot set NULL"):
+        w.update_where(None, {"v": None})
+    with pytest.raises(ValueError, match="not a declared column"):
+        w.update_where(None, {"zzz": 1})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        w.update_where(None, {})
+    import ray as _ray
+    with pytest.raises(_ray.exceptions.RayTaskError, match="produced NULL"):
+        w.update_where([("k", "==", 2)], {"v": lambda b: pa.nulls(b.num_rows, pa.string())})
+    # the failed update staged nothing
+    rows = {r["k"]: r for r in w.engine.snapshot_arrow().to_pylist()}
+    assert rows[2]["v"] == "cold"
