@@ -141,6 +141,68 @@ def _cdc_version_diff(sf_dir: str):
     return eng.diff(3).map_batches(narrow, batch_format="pyarrow")
 
 
+def _cdc_predicate_dml(sf_dir: str):
+    """Predicate DML over the replayed lake (LakeWriter.delete_where /
+    update_where): DELETE WHERE role='tool', then UPDATE WHERE role='user'
+    SET tool='flagged', text = text || '!'. Both run as self-sourced
+    change capture (snapshot scan → tombstones / op='P' patches through
+    ordinary exactly-once epochs); the committed snapshot must equal the
+    SQL DELETE+UPDATE applied to the LWW-replayed state."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.pipelines.writer import LakeWriter
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_dml_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    w = LakeWriter.from_engine(eng)
+    w.delete_where([("role", "==", "tool")])
+    bang = pa.scalar("!", pa.large_string())
+    empty = pa.scalar("", pa.large_string())
+    w.update_where(
+        [("role", "==", "user")],
+        {
+            "tool": "flagged",
+            "text": lambda b: pc.binary_join_element_wise(
+                b.column("text"), bang, empty
+            ),
+        },
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_predicate_dml_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), state AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN role = 'user' THEN text || '!' ELSE text END AS text,
+               CASE WHEN role = 'user' THEN 'flagged' ELSE tool END AS tool,
+               ts
+        FROM state WHERE role <> 'tool'
+    """
+
+
 def _cdc_replay(sf_dir: str):
     """Flagship: replay the changelog into a fresh lake table, return the
     committed snapshot (public columns, utf8 for cross-engine compare)."""
@@ -2372,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the north-star pipeline)
         "cdc_replay": _cdc_replay,
         "cdc_patch_replay": _cdc_patch_replay,
+        "cdc_predicate_dml": _cdc_predicate_dml,
         "cdc_version_diff": _cdc_version_diff,
         "cdc_snapshot_pruned": _cdc_snapshot_pruned,
         "cdc_scd2_history": _cdc_scd2_history,
@@ -2510,6 +2573,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_patch_replay": _cdc_patch_oracle_sql(sf),
+        "cdc_predicate_dml": _cdc_predicate_dml_oracle_sql(sf),
         "cdc_version_diff": _cdc_version_diff_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_scd2_history": _scd2_history_oracle_sql(sf),
