@@ -203,6 +203,56 @@ def _cdc_predicate_dml_oracle_sql(sf_name: str) -> str:
     """
 
 
+def _cdc_purge(sf_dir: str):
+    """Right-to-be-forgotten hard delete (CDCEngine.purge): replay the
+    changelog, then purge every conversation whose id ends in '7' —
+    physically rewriting the touched files and vacuuming superseded
+    versions. The committed snapshot must equal the LWW final state with
+    those conversations absent (the oracle applies the same predicate);
+    the purge path itself (file rewrite + manifest/registry/salt-map
+    scrub + physical-erasure audit) is covered by tests/test_purge.py."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+
+    sf = _sf_name(sf_dir)
+    clog = ChangeLog(_ensure_changelog(sf))
+    lake = tempfile.mkdtemp(prefix=f"etl_lake_purge_{sf}_")
+    eng = CDCEngine(os.path.join(lake, "transcripts"), num_partitions=32)
+    eng.replay(clog, segments_per_epoch=2)
+    victims: set = set()
+    for b in eng.snapshot(columns=["conv_id"]).iter_batches(batch_format="pyarrow"):
+        col = b.column("conv_id")
+        victims.update(
+            pc.unique(col.filter(pc.ends_with(col, pattern="7"))).to_pylist()
+        )
+    eng.purge(sorted(victims))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", batch.column("text").cast(pa.string()))
+
+    return eng.snapshot().map_batches(narrow, batch_format="pyarrow")
+
+
+def _cdc_purge_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D' AND conv_id NOT LIKE '%7'
+    """
+
+
 def _cdc_replay(sf_dir: str):
     """Flagship: replay the changelog into a fresh lake table, return the
     committed snapshot (public columns, utf8 for cross-engine compare)."""
@@ -2435,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _cdc_replay,
         "cdc_patch_replay": _cdc_patch_replay,
         "cdc_predicate_dml": _cdc_predicate_dml,
+        "cdc_purge": _cdc_purge,
         "cdc_version_diff": _cdc_version_diff,
         "cdc_snapshot_pruned": _cdc_snapshot_pruned,
         "cdc_scd2_history": _cdc_scd2_history,
@@ -2574,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _cdc_oracle_sql(sf),
         "cdc_patch_replay": _cdc_patch_oracle_sql(sf),
         "cdc_predicate_dml": _cdc_predicate_dml_oracle_sql(sf),
+        "cdc_purge": _cdc_purge_oracle_sql(sf),
         "cdc_version_diff": _cdc_version_diff_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_scd2_history": _scd2_history_oracle_sql(sf),

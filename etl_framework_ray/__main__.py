@@ -402,6 +402,21 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--table", required=True)
     pl.add_argument("--key", required=True, help="comma-separated leading-PK values")
 
+    ppu = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten HARD delete: physically remove every row "
+        "of the given key(s) from all files, versions and the changefeed "
+        "retention registry, then vacuum (ends time travel to older versions)",
+    )
+    ppu.add_argument("--table", required=True)
+    ppu.add_argument("--key", required=True, help="comma-separated leading-PK values")
+    ppu.add_argument(
+        "--vacuum-grace-s",
+        type=float,
+        default=0.0,
+        help="spare unreferenced files younger than this (concurrent-writer staging)",
+    )
+
     pi = sub.add_parser(
         "ivm", help="advance (or rebuild) an incremental view: rollup aggregate, SFT corpus, tool-usage counts, exact-dedup or near-dup (minhash) index"
     )
@@ -778,6 +793,14 @@ def main(argv: list[str] | None = None) -> int:
         eng = _existing_engine(args.table)
         t = eng.lookup(args.key.split(","))
         print(json.dumps({"rows": t.num_rows, "result": t.to_pylist()}, default=str))
+    elif args.cmd == "purge":
+        started_ray = _init_ray(args.num_cpus)
+        eng = _existing_engine(args.table)
+        print(
+            json.dumps(
+                eng.purge(args.key.split(","), vacuum_grace_s=args.vacuum_grace_s)
+            )
+        )
     elif args.cmd == "ivm":
         started_ray = _init_ray(args.num_cpus)
         eng = _existing_engine(args.table)

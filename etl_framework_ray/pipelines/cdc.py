@@ -1027,6 +1027,76 @@ def _copy_files_task(srcs: list[str], dsts: list[str]) -> int:
 
 
 @ray.remote
+def _purge_pid_task(
+    table_dir: str,
+    pid: int,
+    files: list[tuple[str, str]],
+    key0: str,
+    vals: list,
+    lake_sch: pa.Schema,
+    new_version: int,
+) -> list[dict]:
+    """Rewrite one partition's files with every row of the purged keys
+    physically removed (tombstones included — the key VALUE itself must
+    not survive). ``files`` is ``(path, kind)`` with kind ``"live"``
+    (manifest-listed) or ``"retained"`` (changefeed-retention registry).
+
+    Returns one dict per file that actually contained a purged key:
+    ``{"old", "new" (None = every row purged → drop the file), "kind",
+    "live_removed", "rows", "zstats"}``. Files without a match are not
+    reported — they stay in the manifest by path identity, untouched.
+    Idempotent: deterministic output path + atomic replace."""
+    _single_threaded_arrow()
+    key_set = pa.array(sorted(vals), lake_sch.field(key0).type)
+    zcols = _zone_cols(lake_sch)
+    out: list[dict] = []
+    out_dir = os.path.join(
+        table_dir, "data", f"part={pid:05d}", f"purge=v{new_version:08d}"
+    )
+    for path, kind in files:
+        t = normalize_table(pq.read_table(path), lake_sch)
+        mask = pc.is_in(t.column(key0), value_set=key_set)
+        n_match = pc.sum(mask).as_py() or 0
+        if not n_match:
+            continue
+        kept = t.filter(pc.invert(mask))
+        dropped = t.filter(mask)
+        live_removed = int(
+            dropped.num_rows - (pc.sum(dropped.column(DELETED_COL)).as_py() or 0)
+        )
+        if kept.num_rows == 0:
+            out.append(
+                {
+                    "old": path,
+                    "new": None,
+                    "kind": kind,
+                    "live_removed": live_removed,
+                    "rows": 0,
+                    "zstats": None,
+                }
+            )
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        new_path = os.path.join(out_dir, os.path.basename(path))
+        tmp = f"{new_path}.tmp-{os.getpid()}"
+        pq.write_table(kept, tmp)
+        os.replace(tmp, new_path)
+        out.append(
+            {
+                "old": path,
+                "new": new_path,
+                "kind": kind,
+                "live_removed": live_removed,
+                "rows": int(
+                    kept.num_rows - (pc.sum(kept.column(DELETED_COL)).as_py() or 0)
+                ),
+                "zstats": zone.table_stats(kept, zcols),
+            }
+        )
+    return out
+
+
+@ray.remote
 def _hot_keys_task(
     files: list, lake_sch: pa.Schema, key_cols: tuple, min_share: float
 ) -> list:
@@ -2261,6 +2331,173 @@ class CDCEngine:
         staging concurrently (see ``ManifestStore.vacuum``)."""
         return self.store.vacuum(self.manifest, grace_s=grace_s)
 
+    def purge(self, keys: list, vacuum_grace_s: float = 0.0) -> dict:
+        """Right-to-be-forgotten HARD delete by leading primary-key
+        value(s): physically remove every row of the given keys —
+        current versions, superseded versions and tombstones alike —
+        from the table directory. Unlike a CDC delete event (which
+        writes a tombstone that *records the key* forever), after a
+        purge the key value itself no longer exists in any file the
+        table owns.
+
+        Mechanics: keys route to partitions exactly like :meth:`lookup`
+        (salt fanout included); one Ray task per touched partition
+        rewrites ONLY the files whose zone maps / content actually
+        contain a purged key (basename preserved — epoch lineage and the
+        merge-on-read stack order survive; a file whose every row is
+        purged is dropped from the manifest), covering both the live
+        stack and the changefeed retention registry. Purged keys leave
+        the salt map (keeping the VALUE there would defeat the purge).
+        One OCC manifest commit publishes the result, then an immediate
+        :meth:`vacuum` erases every superseded file — this is the point,
+        not a side effect: without it, pre-purge versions would still
+        hold the data. Consequences, by design:
+
+        - time travel / RESTORE to pre-purge versions fails loud
+          (vacuum's documented contract);
+        - downstream consumers and maintained views that already read
+          the key hold copies this table cannot reach — IVM views must
+          be ``rebuild()``-ed, exported changefeed windows re-created;
+        - shallow clones referencing this table's files break (their
+          ``fsck`` pinpoints it) — deep-clone before purging if needed;
+        - the history row records COUNTS only, never the key values.
+
+        ``vacuum_grace_s`` > 0 spares young unreferenced files when
+        concurrent writers may be staging (their grace rule) — the purge
+        of committed data is still immediate.
+
+        Returns counts: rows/files touched, plus ``vacuumed``."""
+        import numpy as np
+
+        if not self.key_cols:
+            raise ValueError("purge requires a primary-keyed table")
+        if not keys:
+            return {"rows_removed": 0, "files_rewritten": 0, "vacuumed": 0}
+        man = self.manifest
+        lake = man.schema
+        key0 = self.key_cols[0]
+        arr = self._coerce_key_array(keys)
+        vals = arr.to_pylist()
+        h = stable_hash_array(arr)
+        salt_map = self.salt_map
+        per_pid: dict[int, set] = {}
+        for i, v in enumerate(vals):
+            fan = int(salt_map.get(v) or salt_map.get(str(v)) or 1)
+            for s in range(fan):
+                pid = int((h[i] + np.uint64(s)) % np.uint64(man.num_partitions))
+                per_pid.setdefault(pid, set()).add(v)
+        # retained changefeed deltas live outside partitions[].files but
+        # still carry the rows — route them by the pid in their basename
+        retained_by_pid: dict[int, list[str]] = {}
+        for e in man.properties.get("retained_deltas", []) or []:
+            m = _CDC_FILE_RE.match(os.path.basename(e["path"]))
+            if m:
+                retained_by_pid.setdefault(int(m.group(2)), []).append(e["path"])
+        new_version = man.version + 1
+        task = _purge_pid_task
+        futs = []
+        for pid in sorted(per_pid):
+            pfiles: list[tuple[str, str]] = []
+            ps = man.partitions.get(pid)
+            flt = [(key0, "in", sorted(per_pid[pid]))]
+            if ps is not None:
+                fstats = ps.pruned_stats()
+                pfiles += [
+                    (f, "live")
+                    for f in ps.files
+                    if zone.file_can_match(fstats.get(f), flt)
+                ]
+            pfiles += [(f, "retained") for f in retained_by_pid.get(pid, [])]
+            if pfiles:
+                futs.append(
+                    task.remote(
+                        self.table_dir,
+                        pid,
+                        pfiles,
+                        key0,
+                        sorted(per_pid[pid]),
+                        lake,
+                        new_version,
+                    )
+                )
+        results = [r for rs in ray.get(futs) for r in rs]
+        if not results:
+            # keys absent from the current stack — nothing to commit, but
+            # superseded versions may still hold them: vacuum regardless
+            return {
+                "rows_removed": 0,
+                "files_rewritten": 0,
+                "files_dropped": 0,
+                "partitions_touched": 0,
+                "vacuumed": self.store.vacuum(man, grace_s=vacuum_grace_s),
+            }
+        live_repl = {r["old"]: r for r in results if r["kind"] == "live"}
+        ret_repl = {r["old"]: r for r in results if r["kind"] == "retained"}
+        new_man = Manifest.from_json(man.to_json())
+        new_man.version = new_version
+        pids_touched = set()
+        rows_removed = 0
+        for pid, ps in new_man.partitions.items():
+            if not any(f in live_repl for f in ps.files):
+                continue
+            pids_touched.add(pid)
+            new_files: list[str] = []
+            for f in ps.files:
+                r = live_repl.get(f)
+                if r is None:
+                    new_files.append(f)
+                    continue
+                ps.file_stats.pop(f, None)
+                ps.rows -= r["live_removed"]
+                rows_removed += r["live_removed"]
+                if r["new"] is not None:
+                    new_files.append(r["new"])
+                    if r["zstats"]:
+                        ps.file_stats[r["new"]] = r["zstats"]
+            ps.files = new_files
+        if ret_repl:
+            kept_entries = []
+            for e in new_man.properties.get("retained_deltas", []):
+                r = ret_repl.get(e["path"])
+                if r is None:
+                    kept_entries.append(e)
+                elif r["new"] is not None:
+                    kept_entries.append({**e, "path": r["new"]})
+                # fully-purged retained delta: nothing left to serve
+            new_man.properties["retained_deltas"] = kept_entries
+        sm = dict(new_man.properties.get("salt_map", {}) or {})
+        before = len(sm)
+        for v in vals:
+            sm.pop(v, None)
+            sm.pop(str(v), None)
+        if len(sm) != before:
+            if sm:
+                new_man.properties["salt_map"] = sm
+            else:
+                new_man.properties.pop("salt_map", None)
+        new_man.history.append(
+            {
+                "op": "purge",
+                "version": new_man.version,
+                "keys": len(vals),  # counts only — never the values
+                "rows_removed": rows_removed,
+                "files_rewritten": sum(1 for r in results if r["new"] is not None),
+                "files_dropped": sum(1 for r in results if r["new"] is None),
+                **self.run_context.as_dict(),
+            }
+        )
+        self.store.commit(new_man)
+        self.manifest = new_man
+        return {
+            "version": new_man.version,
+            "rows_removed": rows_removed,
+            "files_rewritten": sum(1 for r in results if r["new"] is not None),
+            "files_dropped": sum(1 for r in results if r["new"] is None),
+            "retained_rewritten": len(ret_repl),
+            "partitions_touched": len(pids_touched),
+            "vacuumed": self.store.vacuum(new_man, grace_s=vacuum_grace_s),
+        }
+
     def describe(self) -> dict:
         """Operational table summary from the MANIFEST alone (plus file
         ``stat`` + parquet FOOTER reads — never row data, safe on a live
@@ -2767,6 +3004,30 @@ class CDCEngine:
         t = pa.concat_tables([normalize_table(pq.read_table(f), lake) for f in delta_files])
         return lww_reduce(t, self.key_cols, _lww_order(lake, LSN_COL))
 
+    def _coerce_key_array(self, keys: list) -> pa.Array:
+        """Coerce leading-PK value(s) to the key column's dtype. CLI /
+        JSON callers pass strings; the coercion mirrors the manifest-JSON
+        round-trip ``salted_partition_ids`` handles
+        (functions/hashing.py:66-73)."""
+        lake = self.manifest.schema
+        key0 = self.key_cols[0]
+        ktype = lake.field(key0).type
+        vals = list(keys)
+        try:
+            return pa.array(vals, ktype)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            try:
+                if pa.types.is_integer(ktype):
+                    vals = [int(v) for v in vals]
+                elif pa.types.is_floating(ktype):
+                    vals = [float(v) for v in vals]
+                return pa.array(vals, ktype)
+            except ValueError as e:
+                raise ValueError(
+                    f"key(s) {vals!r} not coercible to key column "
+                    f"{key0!r} of type {ktype}"
+                ) from e
+
     def lookup(self, keys: list) -> pa.Table:
         """Point read by LEADING primary-key value(s) — the CDC lake's
         key-value GET. Touches ONLY the partitions the keys hash to (salt
@@ -2790,25 +3051,7 @@ class CDCEngine:
         key0 = self.key_cols[0]
         if not keys:
             return public.empty_table()
-        ktype = lake.field(key0).type
-        vals = list(keys)
-        try:
-            arr = pa.array(vals, ktype)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # CLI / JSON callers pass strings; coerce to the key column's
-            # dtype (the same manifest-JSON round-trip salted_partition_ids
-            # handles, functions/hashing.py:66-73)
-            try:
-                if pa.types.is_integer(ktype):
-                    vals = [int(v) for v in vals]
-                elif pa.types.is_floating(ktype):
-                    vals = [float(v) for v in vals]
-                arr = pa.array(vals, ktype)
-            except ValueError as e:
-                raise ValueError(
-                    f"lookup key(s) {vals!r} not coercible to key column "
-                    f"{key0!r} of type {ktype}"
-                ) from e
+        arr = self._coerce_key_array(keys)
         h = stable_hash_array(arr)
         salt_map = self.salt_map
         per_pid: dict[int, set] = {}
