@@ -808,6 +808,22 @@ def _cdc_bm25_incremental(sf_dir: str):
     return view.search(_BM25_CDC_QUERIES, k=_BM25_K)
 
 
+def _cdc_vector_search(sf_dir: str):
+    """Incrementally-maintained VECTOR index (IVM over the changefeed):
+    bootstrap the embedding view at half the log, advance over the rest —
+    only touched conversations re-embed — then answer cosine top-k from
+    the maintained index (exact tier: radius=None scores every row; the
+    LSH multiprobe tier and the advance≡rebuild/brute-force equalities are
+    pytest-verified in tests/test_vector_index.py). Rows-only: the
+    feature-hashing embedding is not SQL-expressible."""
+    view = _half_log_ivm(sf_dir, "IncrementalVectorIndex", "ivmv", result="__view__")
+    return view.search(
+        ["assistant: here is the plan", "user: please summarize the results"],
+        k=10,
+        radius=None,
+    )
+
+
 def _cdc_dedup_incremental(sf_dir: str):
     """Incrementally-maintained EXACT-DEDUP index (IVM over the
     changefeed): bootstrap the fingerprint view at half the log, advance
@@ -2499,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_minhash_incremental": _cdc_minhash_incremental,
         "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_bm25_incremental": _cdc_bm25_incremental,
+        "cdc_vector_search": _cdc_vector_search,
         "cdc_role_rollup_sets": _cdc_role_rollup_sets,
         "cdc_role_rollup_incremental": _cdc_role_rollup_incremental,
         "cdc_view_changes": _cdc_view_changes,

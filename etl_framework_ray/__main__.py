@@ -40,6 +40,7 @@ def _view_kinds() -> dict:
         IncrementalStats,
         IncrementalTextIndex,
         IncrementalToolUsage,
+        IncrementalVectorIndex,
     )
 
     return {
@@ -52,12 +53,13 @@ def _view_kinds() -> dict:
         "textindex": IncrementalTextIndex,
         "rolestats": IncrementalRoleStats,
         "stats": IncrementalStats,
+        "vector": IncrementalVectorIndex,
     }
 
 
 _VIEW_KIND_CHOICES = (
     "rollup", "corpus", "tool-usage", "dedup", "minhash", "curation",
-    "textindex", "rolestats", "stats",
+    "textindex", "rolestats", "stats", "vector",
 )
 
 
@@ -446,6 +448,18 @@ def main(argv: list[str] | None = None) -> int:
         help="curation kind only: quality gate's minimum redacted length",
     )
     pi.add_argument(
+        "--dim", type=int, default=64,
+        help="vector kind only: embedding dimensions (kernel fingerprint)",
+    )
+    pi.add_argument(
+        "--planes", type=int, default=12,
+        help="vector kind only: hyperplane-LSH bucket bits (kernel fingerprint)",
+    )
+    pi.add_argument(
+        "--vec-seed", type=int, default=7,
+        help="vector kind only: embedding/hyperplane seed (kernel fingerprint)",
+    )
+    pi.add_argument(
         "--agg", action="append", default=None, metavar="NAME:FN:COL",
         help="stats kind only (repeatable): output column NAME = FN(COL), "
         "FN in count/sum/min/max/avg; COL '*' (count) or 'chars' "
@@ -827,6 +841,8 @@ def main(argv: list[str] | None = None) -> int:
                 kw.update(min_turns=args.min_turns, min_chars=args.min_chars)
             if args.kind == "stats" and args.agg:
                 kw["aggs"] = _parse_aggs(args.agg)
+            if args.kind == "vector":
+                kw.update(dim=args.dim, planes=args.planes, seed=args.vec_seed)
             view = cls(eng, args.view, **kw)
         if args.fsck:
             r = view.fsck()

@@ -1147,6 +1147,205 @@ class IncrementalMinHash(IncrementalRollup):
         )
 
 
+class VectorIndexKernel(CorpusKernel):
+    """View kernel for the incremental VECTOR (similarity-search) index:
+    per conversation, a deterministic feature-hashing embedding of its
+    assembled dialogue (``stages/similarity.hash_embed`` — no trained
+    state, so touched-only recompute agrees with a rebuild bit-for-bit)
+    plus its seeded hyperplane-LSH bucket
+    (``stages/similarity.hyperplane_buckets``). The view holds ``dim × 4``
+    bytes + one int64 per conversation; dialogue text never leaves the
+    partition task. Queries read only the buckets their multiprobe ball
+    hashes to (see :meth:`IncrementalVectorIndex.search`)."""
+
+    def __init__(self, dim: int = 64, planes: int = 12, seed: int = 7):
+        self.dim = int(dim)
+        self.planes = int(planes)
+        self.seed = int(seed)
+
+    def fingerprint(self) -> str:
+        return f"dim={self.dim},planes={self.planes},seed={self.seed}"
+
+    @property
+    def schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("bucket", pa.int64()),
+                pa.field("vec", pa.list_(pa.float32(), self.dim)),
+            ]
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        from ..stages.similarity import hash_embed, hyperplane_buckets
+
+        if not partials:
+            return self.schema.empty_table()
+        t = CorpusKernel.combine(self, partials)  # (conv_id, n_turns, dialogue)
+        vecs = hash_embed(t.column("dialogue").to_pandas(), self.dim, self.seed)
+        buckets = hyperplane_buckets(vecs, self.planes, self.seed)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), pa.float32()), self.dim
+                ),
+            }
+        )
+
+
+class IncrementalVectorIndex(IncrementalRollup):
+    """Incrementally-maintained similarity-search (ANN) index over the CDC
+    changefeed — the embedding sibling of :class:`IncrementalTextIndex`:
+    the live lake stays vector-searchable at O(touched conversations) per
+    ``advance()``.
+
+    Two query tiers share one scoring rule (cosine over the SAME
+    deterministic embedding, scores snapped before ranking so ties are
+    ULP-insensitive):
+
+    - ``radius=None`` — exact: every view row scores (the oracle tier;
+      one matmul per block, per-block partial top-k, tiny driver merge);
+    - ``radius=r`` — LSH multiprobe: only rows whose bucket falls in a
+      query's Hamming-``r`` ball around its own bucket are candidates
+      (the 100 TB path: candidates per query ≈ corpus / 2^planes ×
+      ball size; a planted near-duplicate lands in the ball with
+      probability rising steeply with its cosine).
+
+    Same durable-state, rebuild, reshard, retention-floor and kernel-
+    fingerprint contracts as :class:`IncrementalRollup`."""
+
+    def __init__(
+        self,
+        engine,
+        view_dir: str,
+        dim: int = 64,
+        planes: int = 12,
+        seed: int = 7,
+        emit_changes: bool = False,
+    ):
+        super().__init__(
+            engine,
+            view_dir,
+            kernel=VectorIndexKernel(dim=dim, planes=planes, seed=seed),
+            emit_changes=emit_changes,
+        )
+
+    def search(
+        self,
+        query_texts: list[str],
+        k: int = 10,
+        radius: int | None = 1,
+        round_to: int | None = 6,
+    ) -> pa.Table:
+        """Top-``k`` most-similar conversations per query text. Returns
+        ``(query, conv_id, score, rank)`` sorted by (query, rank); ties
+        break by conv_id ascending on snapped scores."""
+        from ..stages.similarity import (
+            hamming_ball_buckets,
+            hash_embed,
+            hyperplane_buckets,
+        )
+
+        kern: VectorIndexKernel = self.kernel
+        out_schema = pa.schema(
+            [
+                pa.field("query", pa.string()),
+                pa.field("conv_id", pa.string()),
+                pa.field("score", pa.float64()),
+                pa.field("rank", pa.int64()),
+            ]
+        )
+        if not query_texts:
+            return out_schema.empty_table()
+        Q = hash_embed(pd.Series(query_texts), kern.dim, kern.seed)  # (q, dim)
+        if radius is None:
+            balls = None
+        else:
+            qb = hyperplane_buckets(Q, kern.planes, kern.seed)
+            balls = [
+                hamming_ball_buckets(int(b), kern.planes, radius) for b in qb
+            ]
+        ref = ray.put((Q, balls))
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            Qm, bls = ray.get(ref)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "qi": pa.array([], pa.int64()),
+                        "conv_id": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            V = np.asarray(
+                batch.column("vec").combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=np.float32,
+            ).reshape(batch.num_rows, -1)
+            S = (V @ Qm.T).astype(np.float64)  # (rows, q)
+            bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+            qi_out: list[np.ndarray] = []
+            row_out: list[np.ndarray] = []
+            sc_out: list[np.ndarray] = []
+            for j in range(Qm.shape[0]):
+                rows = (
+                    np.arange(batch.num_rows)
+                    if bls is None
+                    else np.flatnonzero(np.isin(bk, bls[j]))
+                )
+                if not len(rows):
+                    continue
+                s = S[rows, j]
+                top = rows[np.argsort(-s, kind="stable")[:k]]
+                qi_out.append(np.full(len(top), j, np.int64))
+                row_out.append(top)
+                sc_out.append(S[top, j])
+            if not qi_out:
+                return pa.table(
+                    {
+                        "qi": pa.array([], pa.int64()),
+                        "conv_id": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            rows_all = np.concatenate(row_out)
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(qi_out)),
+                    "conv_id": batch.column("conv_id").take(pa.array(rows_all)),
+                    "score": pa.array(np.concatenate(sc_out)),
+                }
+            )
+
+        # per-block partials are k-bounded per query — the driver merge is
+        # O(blocks × queries × k), never O(corpus)
+        parts = self.read().map_batches(partial_topk, batch_format="pyarrow").take_all()
+        if not parts:
+            return out_schema.empty_table()
+        df = pd.DataFrame(parts)
+        if round_to is not None:
+            scale = float(10**round_to)
+            df["score"] = np.round(df["score"].to_numpy() * scale).astype(np.int64) / scale
+        df = df.sort_values(
+            ["qi", "score", "conv_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.groupby("qi", sort=True).head(k)
+        df["rank"] = df.groupby("qi", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "query": pa.array(
+                    [query_texts[i] for i in df["qi"].to_numpy()], pa.string()
+                ),
+                "conv_id": pa.array(df["conv_id"].to_numpy(dtype=object), pa.string()),
+                "score": pa.array(df["score"].to_numpy(np.float64)),
+                "rank": pa.array(df["rank"].to_numpy(np.int64)),
+            }
+        )
+
+
 class CurationKernel(CorpusKernel):
     """View kernel for the incrementally-maintained CURATED corpus: per
     conversation, the full pretraining-prep funnel run inside the

@@ -498,3 +498,72 @@ def cluster_embeddings(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# -- deterministic text embeddings (feature hashing) -----------------------
+
+
+def hash_embed(texts, dim: int = 64, seed: int = 0) -> np.ndarray:
+    """Deterministic feature-hashing ("hashing trick") embedding of texts:
+    each token (lowercased ``TOKEN_PATTERN``, the tokenizer every text
+    stage shares) hashes to one of ``dim`` signed coordinates
+    (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning", ICML 2009); rows are L2-normalized so dot product =
+    cosine. No trained state, no vocabulary: two processes embed the
+    same text to the SAME vector, which is what lets an incrementally
+    maintained vector index recompute only touched rows and still agree
+    with a from-scratch rebuild bit-for-bit.
+
+    Returns a ``(len(texts), dim) float32`` matrix (all-zero rows for
+    token-less texts stay all-zero — cosine 0 against everything)."""
+    from ..functions.text import TOKEN_PATTERN
+
+    s = pd.Series(texts).reset_index(drop=True).fillna("").astype(str)
+    toks = s.str.lower().str.findall(TOKEN_PATTERN)
+    M = np.zeros((len(s), dim), np.float32)
+    ex = toks.explode().dropna()
+    if len(ex):
+        rows = ex.index.to_numpy(np.int64)
+        # pandas siphash with its fixed default key — deterministic across
+        # processes/machines; the seed folds in as a splitmix-style xor
+        h = pd.util.hash_array(ex.to_numpy(dtype=object), categorize=False)
+        h = h ^ np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where(
+            (h >> np.uint64(32)) & np.uint64(1), np.float32(1.0), np.float32(-1.0)
+        )
+        np.add.at(M, (rows, idx), sign)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return (M / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+def hyperplane_buckets(vecs: np.ndarray, planes: int, seed: int = 0) -> np.ndarray:
+    """Seeded random-hyperplane LSH bucket per row (sign pattern packed
+    into an int64; Charikar, "Similarity estimation techniques from
+    rounding algorithms", STOC 2002). ``planes == 0`` puts everything in
+    bucket 0 (the exact tier). The hyperplanes are regenerated from the
+    seed wherever needed — no trained state to persist or drift."""
+    n, dim = vecs.shape
+    if planes == 0:
+        return np.zeros(n, np.int64)
+    if planes > 62:
+        raise ValueError("planes must fit an int64 bucket (<= 62)")
+    H = np.random.default_rng(seed).standard_normal((dim, planes)).astype(np.float32)
+    bits = (vecs @ H) > 0
+    weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+    return (bits.astype(np.uint64) @ weights).astype(np.int64)
+
+
+def hamming_ball_buckets(bucket: int, planes: int, radius: int) -> np.ndarray:
+    """All bucket ids within Hamming distance ``radius`` of ``bucket``
+    (multiprobe candidate set; O(planes^radius) ids — radius 1 or 2)."""
+    from itertools import combinations
+
+    out = [bucket]
+    for r in range(1, radius + 1):
+        for flip in combinations(range(planes), r):
+            b = bucket
+            for i in flip:
+                b ^= 1 << i
+            out.append(b)
+    return np.array(sorted(set(out)), np.int64)
