@@ -2266,6 +2266,57 @@ def _q_customer_order_ranks(sf_dir: str):
     )
 
 
+def _q_customer_rolling_spend(sf_dir: str):
+    """Trailing-rows window frames (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW) in one pass: per customer ordered by (o_orderdate, o_orderkey),
+    the rolling 5-order spend sum/avg/min/max/count in exact integer
+    cents — the moving-average family SQL engines take for granted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from etl_framework_ray.stages.analytic import (
+        rolling_avg,
+        rolling_count,
+        rolling_max,
+        rolling_min,
+        rolling_sum,
+        window,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64())
+        return batch.drop_columns(["o_totalprice"]).append_column("price_cents", c)
+
+    out = window(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        [
+            rolling_sum("price_cents", 5, "spend_5"),
+            rolling_avg("price_cents", 5, "avg_5"),
+            rolling_min("price_cents", 5, "min_5"),
+            rolling_max("price_cents", 5, "max_5"),
+            rolling_count("price_cents", 5, "n_5"),
+        ],
+    )
+
+    def snap(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("avg_5")
+        v = pc.divide(
+            pc.cast(pc.round(pc.multiply(batch.column("avg_5"), 1e6), 0), pa.int64()),
+            pa.scalar(1e6),
+        )
+        return batch.set_column(i, "avg_5", v)
+
+    return out.map_batches(snap, batch_format="pyarrow")
+
+
 def _q_turn_gaps(sf_dir: str):
     """Window functions over the ENGINE's committed snapshot: per
     conversation (ordered by turn_idx) — sequence position, previous
@@ -2530,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_brand": m.revenue_by_brand,
         "revenue_by_mktsegment": m.revenue_by_mktsegment,
         "shipping_priority": m.shipping_priority,
+        "segment_order_coverage": m.segment_order_coverage,
         "events_props_k": m.events_props_k,
         "pricing_summary": m.pricing_summary,
         "pricing_rollup": m.pricing_rollup,
@@ -2550,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytic (window) functions — stages/analytic.py
         "event_gaps": _q_event_gaps,
         "customer_order_ranks": _q_customer_order_ranks,
+        "customer_rolling_spend": _q_customer_rolling_spend,
         "global_quantity_ranks": _q_global_quantity_ranks,
         "turn_gaps": _q_turn_gaps,
         "order_vs_ship_by_date": _q_order_vs_ship_by_date,
@@ -2687,6 +2740,22 @@ def oracle_sql() -> dict[str, str]:
                        AS date_pct_rank
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "customer_rolling_spend": """
+            WITH c AS (
+                SELECT o_orderkey, o_custkey, o_orderdate,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate, price_cents,
+                   SUM(price_cents) OVER w5 AS spend_5,
+                   CAST(ROUND(AVG(price_cents) OVER w5 * 1000000) AS BIGINT)
+                       / 1000000.0 AS avg_5,
+                   MIN(price_cents) OVER w5 AS min_5,
+                   MAX(price_cents) OVER w5 AS max_5,
+                   CAST(COUNT(price_cents) OVER w5 AS BIGINT) AS n_5
+            FROM c
+            WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "global_quantity_ranks": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    CAST(ROW_NUMBER() OVER (ORDER BY l_quantity DESC NULLS LAST,
@@ -2806,6 +2875,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey DESC LIMIT 10""",
+        "segment_order_coverage": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CASE WHEN o.o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM (SELECT * FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-06-01') o
+            RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment""",
         "events_props_k": """
             SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
                    CAST(COUNT(*) AS BIGINT) AS n,

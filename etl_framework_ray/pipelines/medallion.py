@@ -199,6 +199,48 @@ def revenue_by_mktsegment(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def segment_order_coverage(sf_dir: str, cutoff: str = "1995-06-01") -> "ray.data.Dataset":
+    """RIGHT OUTER join: recent orders ⋈ customer on custkey with EVERY
+    customer preserved — per market segment, how many customers exist and
+    how many recent orders they placed (customers with none still count,
+    via the NULL left payload a right join keeps). Exercises
+    ``equi_join(how="right")`` end-to-end against a SQL RIGHT JOIN."""
+    import datetime as _dt
+
+    from ..stages.joins import equi_join
+
+    cut = _dt.date.fromisoformat(cutoff)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cut))),
+        batch_format="pyarrow",
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = equi_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_mktsegment"], how="right",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .cdc import _single_threaded_arrow
+
+        _single_threaded_arrow()
+        seg = batch.column("r_c_mktsegment")
+        has_order = pc.is_valid(batch.column("o_orderdate")).cast(pa.int64())
+        t = pa.table({"c_mktsegment": seg, "n_orders": has_order})
+        g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("n_orders", "sum"), ("n_orders", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_orders", "n_rows"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("n_rows", alias_name="n_rows"))
+    )
+
+
 def shipping_priority(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-01-01") -> "ray.data.Dataset":
     """TPC-H Q3-shaped composition: filter + broadcast semi-join + shuffle
     join + grouped aggregate + global top-k.

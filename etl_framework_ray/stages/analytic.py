@@ -135,6 +135,46 @@ def ntile(buckets: int, name: str = "ntile") -> WinSpec:
     return WinSpec("ntile", name, offset=buckets)
 
 
+def _rolling(kind: str, col: str, window: int, name: str | None) -> WinSpec:
+    if window < 1:
+        raise ValueError("rolling window must be >= 1 row")
+    if window > 65536:
+        # the min/max kernels hold an O(rows × window) value matrix per
+        # bucket; a frame that wide wants the running (UNBOUNDED) forms
+        raise ValueError("rolling window capped at 65536 rows")
+    return WinSpec(kind, name or f"{kind}_{col}", col, window)
+
+
+def rolling_sum(col: str, window: int, name: str | None = None) -> WinSpec:
+    """SQL ``SUM(col) OVER (... ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``: NULLs are skipped; NULL when the frame holds no valid
+    value."""
+    return _rolling("rolling_sum", col, window, name)
+
+
+def rolling_avg(col: str, window: int, name: str | None = None) -> WinSpec:
+    """SQL ``AVG(col)`` over the same trailing-rows frame (float64)."""
+    return _rolling("rolling_avg", col, window, name)
+
+
+def rolling_count(col: str, window: int, name: str | None = None) -> WinSpec:
+    """SQL ``COUNT(col)`` over the trailing-rows frame (valid values
+    only, never NULL)."""
+    return _rolling("rolling_count", col, window, name)
+
+
+def rolling_min(col: str, window: int, name: str | None = None) -> WinSpec:
+    """SQL ``MIN(col)`` over the trailing-rows frame. Numeric and
+    timestamp columns (exact — no float round-trip for int64)."""
+    return _rolling("rolling_min", col, window, name)
+
+
+def rolling_max(col: str, window: int, name: str | None = None) -> WinSpec:
+    """SQL ``MAX(col)`` over the trailing-rows frame (types as
+    :func:`rolling_min`)."""
+    return _rolling("rolling_max", col, window, name)
+
+
 def _adjacent_change(arr: pa.Array) -> np.ndarray:
     """Boolean mask, True where row i differs from row i-1 (index 0 is
     always True). Two NULLs compare EQUAL (SQL DISTINCT semantics for
@@ -209,6 +249,30 @@ def window(
             )
             if s.kind in ("lag", "lead") and s.offset < 1:
                 raise ValueError("lag/lead offset must be >= 1")
+        elif s.kind in (
+            "rolling_sum", "rolling_avg", "rolling_count", "rolling_min", "rolling_max"
+        ):
+            if s.col not in in_types:
+                raise KeyError(f"column {s.col!r} not in dataset schema")
+            t = in_types[s.col]
+            if s.kind == "rolling_sum":
+                out_fields[s.name] = _sum_dtype(t)
+            elif s.kind == "rolling_avg":
+                _sum_dtype(t)  # numeric check
+                out_fields[s.name] = pa.float64()
+            elif s.kind == "rolling_count":
+                out_fields[s.name] = pa.int64()
+            else:  # min/max keep the input type, exactly
+                if not (
+                    t in _INT_SUM
+                    or pa.types.is_floating(t)
+                    or pa.types.is_timestamp(t)
+                    or pa.types.is_date(t)
+                ):
+                    raise TypeError(
+                        f"rolling_min/max needs a numeric/temporal column, got {t}"
+                    )
+                out_fields[s.name] = t
         elif s.kind in ("row_number", "rank", "dense_rank", "ntile",
                         "percent_rank", "cume_dist"):
             out_fields[s.name] = (
@@ -325,6 +389,79 @@ def window(
                 taken = pc.take(cols[s.col], pa.array(np.where(valid, src, 0)))
                 result[s.name] = pc.if_else(
                     pa.array(valid), taken, pa.scalar(None, in_types[s.col])
+                )
+            elif s.kind in ("rolling_sum", "rolling_avg", "rolling_count"):
+                # trailing-rows frame via two prefix sums: frame(i) =
+                # [start, i] with start = max(partition start, i-w+1)
+                w = s.offset
+                a = cols[s.col]
+                m = pc.is_valid(a).to_numpy(zero_copy_only=False).astype(np.int64)
+                t_sum = _sum_dtype(in_types[s.col])
+                v = pc.fill_null(a, 0).cast(t_sum).to_numpy(zero_copy_only=False)
+                start = np.maximum(ps, arange - w + 1)
+                cs = np.cumsum(v)
+                nv = np.cumsum(m)
+                fsum = cs - cs[start] + v[start]
+                fcnt = nv - nv[start] + m[start]
+                if s.kind == "rolling_count":
+                    result[s.name] = pa.array(fcnt, type=pa.int64())
+                else:
+                    if s.kind == "rolling_avg":
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            out_v = pa.array(
+                                fsum.astype(np.float64) / np.maximum(fcnt, 1),
+                                type=pa.float64(),
+                            )
+                    else:
+                        out_v = pa.array(fsum, type=out_fields[s.name])
+                    result[s.name] = pc.if_else(
+                        pa.array(fcnt > 0), out_v, pa.scalar(None, out_fields[s.name])
+                    )
+            elif s.kind in ("rolling_min", "rolling_max"):
+                # exact sliding extremum: an O(rows × window) value matrix
+                # per bucket (ctor-capped window) — NULLs and rows before
+                # the partition start mask to the identity sentinel, so
+                # int64/timestamps never round-trip through float
+                w = s.offset
+                typ = in_types[s.col]
+                a = cols[s.col]
+                m = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                is_float = pa.types.is_floating(typ)
+                if is_float:
+                    v = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
+                    sent = np.inf if s.kind == "rolling_min" else -np.inf
+                    v = np.where(m, v, sent)
+                else:
+                    phys = pa.int64() if typ.bit_width == 64 else pa.int32()
+                    info = np.iinfo(np.int64)
+                    sent = info.max if s.kind == "rolling_min" else info.min
+                    # fill nulls BEFORE to_numpy: a nullable int array would
+                    # otherwise convert via float64 and lose exactness
+                    v = pc.fill_null(a.view(phys).cast(pa.int64()), int(sent)).to_numpy(
+                        zero_copy_only=False
+                    )
+                pad = np.full(w - 1, sent, dtype=v.dtype)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    np.concatenate([pad, v]), w
+                )
+                # column k of row i holds position i-w+1+k: mask positions
+                # before the row's partition start
+                head = (w - 1 - (arange - ps))[:, None]
+                masked = np.where(np.arange(w)[None, :] >= head, win, sent)
+                ext = masked.min(axis=1) if s.kind == "rolling_min" else masked.max(axis=1)
+                # frame-valid mask (shares the prefix-count trick above)
+                nv = np.cumsum(m.astype(np.int64))
+                start = np.maximum(ps, arange - w + 1)
+                fcnt = nv - nv[start] + m[start].astype(np.int64)
+                if is_float:
+                    out_v = pa.array(ext, type=pa.float64()).cast(typ)
+                else:
+                    out_v = pa.array(ext, type=pa.int64())
+                    if not typ.equals(pa.int64()):
+                        phys = pa.int64() if typ.bit_width == 64 else pa.int32()
+                        out_v = out_v.cast(phys).view(typ)
+                result[s.name] = pc.if_else(
+                    pa.array(fcnt > 0), out_v, pa.scalar(None, typ)
                 )
             else:  # running_sum
                 t_out = out_fields[s.name]

@@ -497,6 +497,10 @@ def equi_join(
       left match (left payload NULL) — and the LEFT key column carries
       the COALESCEd key (``COALESCE(l.key, r.key)``) so right-only rows
       stay addressable; mirror with the same COALESCE in oracle SQL.
+    - ``"right"`` — RIGHT OUTER: every right row survives (same output
+      shape and COALESCEd key column as ``outer``), unmatched LEFT rows
+      drop. Provided so callers never have to swap sides and lose the
+      left-columns-plus-``r_<col>`` output contract.
     - ``"semi"`` / ``"anti"`` — output is the left rows with at least one
       / no right match, left columns only, never multiplied
       (``right_cols`` must be empty; only the right KEY ships through the
@@ -528,13 +532,15 @@ def equi_join(
     is the UNION. Not supported for ``how="outer"`` (right-only hot
     rows would need cross-block dedup). ``stats_out`` receives
     ``skew_hot_keys`` / ``skew_broadcast_rows``."""
-    if how not in ("inner", "left", "outer", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'outer', 'semi' or 'anti'")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(
+            "how must be 'inner', 'left', 'right', 'outer', 'semi' or 'anti'"
+        )
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"{how} join carries no right payload; pass right_cols=[]")
     if skew is not None:
-        if how == "outer":
-            raise ValueError("skew hot-key hybrid does not support how='outer'")
+        if how in ("outer", "right"):
+            raise ValueError(f"skew hot-key hybrid does not support how={how!r}")
         return _skew_equi_join(
             left, right, left_on, right_on, right_cols, how, shuffle_buckets,
             skew, skew_factor, max_broadcast_rows, stats_out,
@@ -554,20 +560,21 @@ def equi_join(
             out = ldf[member if how == "semi" else ~member]
             return _typed_out(out.reset_index(drop=True), l_names, l_types, {})
         ren = {c: f"r_{c}" for c in r_cols}
-        if how == "outer":
-            # FULL OUTER with SQL NULL semantics: null keys never match
-            # (pandas merge would pair NaN with NaN) but BOTH sides' rows
-            # survive unmatched, and the left key column carries the
-            # coalesced key so right-only rows stay addressable.
+        if how in ("outer", "right"):
+            # FULL OUTER / RIGHT OUTER with SQL NULL semantics: null keys
+            # never match (pandas merge would pair NaN with NaN) but the
+            # unmatched rows of the preserved side(s) survive, and the
+            # left key column carries the coalesced key so right-only
+            # rows stay addressable. RIGHT = OUTER minus unmatched-left.
             rdf = rdf.rename(columns=ren) if len(rdf) else pd.DataFrame(
                 {"_key": pd.Series(dtype=object)}
             )
             out = pd.concat(
                 [
                     ldf[ldf["_key"].notna()].merge(
-                        rdf[rdf["_key"].notna()], on="_key", how="outer"
+                        rdf[rdf["_key"].notna()], on="_key", how=how
                     ),
-                    ldf[ldf["_key"].isna()],
+                    *([ldf[ldf["_key"].isna()]] if how == "outer" else []),
                     rdf[rdf["_key"].isna()],
                 ],
                 ignore_index=True,

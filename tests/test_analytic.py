@@ -207,3 +207,93 @@ def test_ntile_remainder_sizing_matches_duckdb():
     ).df()
     assert out["n3"].tolist() == exp["n3"].tolist()
     assert out["n5"].tolist() == exp["n5"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_frames_match_duckdb():
+    """ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW aggregates — sum/avg/
+    count/min/max — vs DuckDB, with NULL values, a NULL partition key,
+    tied order values and an int64 column big enough to break a float64
+    round-trip."""
+    import ray.data
+
+    from etl_framework_ray.stages.analytic import (
+        rolling_avg,
+        rolling_count,
+        rolling_max,
+        rolling_min,
+        rolling_sum,
+    )
+
+    big = 2**55  # exactness canary: 2**55 + k is not float64-representable
+    t = pa.table(
+        {
+            "pid": pa.array([1, 1, 1, 1, 1, 2, None, None], pa.int64()),
+            "u": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "v": pa.array([1.5, None, 2.0, -4.0, 9.0, 1.0, None, 3.0], pa.float64()),
+            "b": pa.array(
+                [big + 3, big + 1, None, big + 7, big + 2, big, big + 9, big + 4],
+                pa.int64(),
+            ),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-0%d" % d for d in (5, 3, 8, 1, 2, 4, 6, 7)]
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = (
+        window(
+            ray.data.from_arrow(t).repartition(3),
+            "pid",
+            ["u"],
+            [
+                rolling_sum("v", 3, "sv"),
+                rolling_avg("v", 3, "av"),
+                rolling_count("v", 3, "cv"),
+                rolling_min("b", 2, "mnb"),
+                rolling_max("b", 2, "mxb"),
+                rolling_min("ts", 3, "mnts"),
+                rolling_sum("v", 1, "sv1"),  # frame of exactly one row
+            ],
+            shuffle_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """
+        SELECT u,
+            SUM(v)   OVER w3 AS sv,
+            AVG(v)   OVER w3 AS av,
+            CAST(COUNT(v) OVER w3 AS BIGINT) AS cv,
+            MIN(b)   OVER w2 AS mnb,
+            MAX(b)   OVER w2 AS mxb,
+            MIN(ts)  OVER w3 AS mnts,
+            SUM(v)   OVER (PARTITION BY pid ORDER BY u
+                           ROWS BETWEEN 0 PRECEDING AND CURRENT ROW) AS sv1
+        FROM t
+        WINDOW
+          w3 AS (PARTITION BY pid ORDER BY u
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+          w2 AS (PARTITION BY pid ORDER BY u
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        ORDER BY u
+        """
+    ).df()
+    for c in ("sv", "av", "cv", "mnb", "mxb", "mnts", "sv1"):
+        a = [x if pd.notna(x) else None for x in got[c]]
+        b = [x if pd.notna(x) else None for x in exp[c]]
+        assert a == b, (c, a, b)
+    # int64 exactness: values near 2**55 came through un-rounded
+    assert got["mnb"].dropna().astype("int64").min() == big
+
+    with pytest.raises(ValueError, match="rolling window"):
+        rolling_sum("v", 0)
+    t2 = t.append_column("s", pa.array(list("abcdefgh"), pa.string()))
+    with pytest.raises(TypeError, match="numeric"):
+        window(ray.data.from_arrow(t2), "pid", ["u"], [rolling_min("s", 2, "x")])

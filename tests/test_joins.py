@@ -769,3 +769,62 @@ def test_equi_join_outer_empty_sides():
     assert out2["k"].tolist() == [1, 7]
     assert out2["x"].tolist()[0] == "a" and pd.isna(out2["x"][1])
     assert pd.isna(out2["r_v"][0]) and out2["r_v"][1] == 70.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_equi_join_right_matches_duckdb():
+    import duckdb
+    import ray.data
+
+    from etl_framework_ray.stages.joins import equi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "x": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2, 3, None], pa.int64()),
+            "v": pa.array([20.0, 30.0, 99.0], pa.float64()),
+        }
+    )
+    got = (
+        equi_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            left_on="k",
+            right_on="k",
+            right_cols=["v"],
+            how="right",
+            shuffle_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "r_v"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql(
+        """
+        SELECT COALESCE(l.k, r.k) AS k, l.x, r.v AS r_v
+        FROM l RIGHT JOIN r ON l.k = r.k
+        ORDER BY k NULLS LAST, x NULLS LAST, r_v NULLS LAST
+        """
+    ).df()
+    # 2 matches (2x b, 2x c), right-only 3, right NULL key -> 4 rows
+    assert len(got) == len(exp) == 4
+    for c in ("k", "x", "r_v"):
+        a = [x if pd.notna(x) else None for x in got[c]]
+        b = [x if pd.notna(x) else None for x in exp[c]]
+        assert a == b, c
+
+    # empty right -> empty result (unlike outer, left rows drop)
+    out = equi_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right.slice(0, 0)),
+        left_on="k", right_on="k", right_cols=["v"], how="right", shuffle_buckets=2,
+    ).to_pandas()
+    assert len(out) == 0
