@@ -808,6 +808,35 @@ def _cdc_bm25_incremental(sf_dir: str):
     return view.search(_BM25_CDC_QUERIES, k=_BM25_K)
 
 
+def _cdc_window_incremental(sf_dir: str):
+    """Incrementally-maintained TUMBLING-WINDOW view (IVM over the
+    changefeed): bootstrap the (conversation, hour-window) activity view
+    at half the log, advance over the rest — only touched conversations
+    recompute. Must equal the date_trunc GROUP BY oracle over the
+    LWW-resolved final state."""
+    return _half_log_ivm(
+        sf_dir, "IncrementalTimeRollup", "ivmw", view_kwargs={"window_s": 3600}
+    )
+
+
+def _cdc_window_incremental_oracle_sql(sf_name: str) -> str:
+    glob = os.path.join(_changelog_dir(sf_name), "segment-*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC
+            ) AS rn
+            FROM read_parquet('{glob}')
+        ), snap AS (
+            SELECT conv_id, text, ts FROM ranked WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT conv_id, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars
+        FROM snap GROUP BY conv_id, date_trunc('hour', ts)
+    """
+
+
 def _cdc_vector_search(sf_dir: str):
     """Incrementally-maintained VECTOR index (IVM over the changefeed):
     bootstrap the embedding view at half the log, advance over the rest —
@@ -2567,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_curation_incremental": _cdc_curation_incremental,
         "cdc_bm25_incremental": _cdc_bm25_incremental,
         "cdc_vector_search": _cdc_vector_search,
+        "cdc_window_incremental": _cdc_window_incremental,
         "cdc_role_rollup_sets": _cdc_role_rollup_sets,
         "cdc_role_rollup_incremental": _cdc_role_rollup_incremental,
         "cdc_view_changes": _cdc_view_changes,
@@ -2696,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_replay": _cdc_patch_oracle_sql(sf),
         "cdc_predicate_dml": _cdc_predicate_dml_oracle_sql(sf),
         "cdc_purge": _cdc_purge_oracle_sql(sf),
+        "cdc_window_incremental": _cdc_window_incremental_oracle_sql(sf),
         "cdc_version_diff": _cdc_version_diff_oracle_sql(sf),
         "cdc_snapshot_pruned": _cdc_pruned_oracle_sql(sf),
         "cdc_scd2_history": _scd2_history_oracle_sql(sf),

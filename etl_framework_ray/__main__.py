@@ -39,6 +39,7 @@ def _view_kinds() -> dict:
         IncrementalRollup,
         IncrementalStats,
         IncrementalTextIndex,
+        IncrementalTimeRollup,
         IncrementalToolUsage,
         IncrementalVectorIndex,
     )
@@ -54,12 +55,13 @@ def _view_kinds() -> dict:
         "rolestats": IncrementalRoleStats,
         "stats": IncrementalStats,
         "vector": IncrementalVectorIndex,
+        "windows": IncrementalTimeRollup,
     }
 
 
 _VIEW_KIND_CHOICES = (
     "rollup", "corpus", "tool-usage", "dedup", "minhash", "curation",
-    "textindex", "rolestats", "stats", "vector",
+    "textindex", "rolestats", "stats", "vector", "windows",
 )
 
 
@@ -446,6 +448,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument(
         "--min-chars", type=int, default=20,
         help="curation kind only: quality gate's minimum redacted length",
+    )
+    pi.add_argument(
+        "--window-s", type=int, default=3600,
+        help="windows kind only: tumbling window width in seconds "
+        "(kernel fingerprint)",
     )
     pi.add_argument(
         "--dim", type=int, default=64,
@@ -843,6 +850,8 @@ def main(argv: list[str] | None = None) -> int:
                 kw["aggs"] = _parse_aggs(args.agg)
             if args.kind == "vector":
                 kw.update(dim=args.dim, planes=args.planes, seed=args.vec_seed)
+            if args.kind == "windows":
+                kw.update(window_s=args.window_s)
             view = cls(eng, args.view, **kw)
         if args.fsck:
             r = view.fsck()

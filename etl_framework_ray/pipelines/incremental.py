@@ -1147,6 +1147,123 @@ class IncrementalMinHash(IncrementalRollup):
         )
 
 
+class TimeWindowKernel(CorpusKernel):
+    """View kernel for incrementally-maintained TUMBLING-WINDOW counts:
+    per (conversation, window_start) — turn count and char volume, where
+    ``window_start`` floors the turn's event time to ``window_s``
+    seconds. The view stays keyed by ``conv_id`` so the inherited
+    touched-partition splice applies unchanged (several rows per
+    conversation, like :class:`ToolUsageKernel`); the GLOBAL per-window
+    report (events per hour across the corpus) derives from the view
+    with one tiny read-time aggregate (:meth:`IncrementalTimeRollup.
+    windows`), never from raw turns — the IVM form of
+    ``pipelines/windows.tumbling_counts``."""
+
+    def __init__(self, window_s: int = 3600):
+        if window_s < 1:
+            raise ValueError("window_s must be >= 1 second")
+        self.window_s = int(window_s)
+
+    def fingerprint(self) -> str:
+        return f"window_s={self.window_s}"
+
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("window_start", pa.timestamp("us")),
+            pa.field("n_turns", pa.int64()),
+            pa.field("total_chars", pa.int64()),
+        ]
+    )
+
+    def partial(self, live: pa.Table) -> pd.DataFrame:
+        ts = live.column("ts").to_pandas()
+        df = pd.DataFrame(
+            {
+                "conv_id": live.column("conv_id").to_pandas(),
+                "window_start": ts.dt.floor(f"{self.window_s}s"),
+                "chars": pc.utf8_length(
+                    pc.coalesce(live.column("text"), pa.scalar("", pa.large_string()))
+                ).to_pandas(),
+            }
+        )
+        return df.groupby(["conv_id", "window_start"], sort=False, dropna=False).agg(
+            n_turns=("chars", "size"), total_chars=("chars", "sum")
+        )
+
+    def combine(self, partials: list[pd.DataFrame]) -> pa.Table:
+        if not partials:
+            return self.schema.empty_table()
+        out = (
+            pd.concat(partials)
+            .groupby(level=[0, 1], sort=False, dropna=False)
+            .agg(n_turns=("n_turns", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.Array.from_pandas(out["conv_id"], type=pa.string()),
+                "window_start": pa.Array.from_pandas(
+                    out["window_start"], type=pa.timestamp("us")
+                ),
+                "n_turns": pa.Array.from_pandas(out["n_turns"], type=pa.int64()),
+                "total_chars": pa.Array.from_pandas(out["total_chars"], type=pa.int64()),
+            }
+        )
+
+
+class IncrementalTimeRollup(IncrementalRollup):
+    """Incrementally-maintained tumbling-window activity view
+    (:class:`TimeWindowKernel`): only touched conversations recompute per
+    ``advance()``; :meth:`windows` derives the global per-window report
+    (turns, chars, active conversations per window) from the VIEW alone —
+    the lake's raw turns are never re-scanned. The CDC × windowed-
+    aggregate composition: a live "events per hour" dashboard over a
+    trickle-updated 100 TB lake prices each refresh at O(touched
+    conversations), not O(corpus)."""
+
+    def __init__(self, engine, view_dir: str, window_s: int = 3600, emit_changes: bool = False):
+        super().__init__(
+            engine, view_dir, kernel=TimeWindowKernel(window_s), emit_changes=emit_changes
+        )
+
+    def windows(self, shuffle_buckets: int | None = None) -> "ray.data.Dataset":
+        """Global per-window report from the maintained view: one row per
+        ``window_start`` with total turns, total chars and the number of
+        active conversations."""
+        from ..stages.joins import _direct_grouped_apply
+
+        def kern(df: pd.DataFrame) -> pa.Table:
+            if not len(df):
+                return pa.table(
+                    {
+                        "window_start": pa.array([], pa.timestamp("us")),
+                        "n_turns": pa.array([], pa.int64()),
+                        "total_chars": pa.array([], pa.int64()),
+                        "n_conversations": pa.array([], pa.int64()),
+                    }
+                )
+            g = df.groupby("window_start", sort=True).agg(
+                n_turns=("n_turns", "sum"),
+                total_chars=("total_chars", "sum"),
+                n_conversations=("conv_id", "nunique"),
+            ).reset_index()
+            return pa.table(
+                {
+                    "window_start": pa.Array.from_pandas(
+                        g["window_start"], type=pa.timestamp("us")
+                    ),
+                    "n_turns": pa.Array.from_pandas(g["n_turns"], type=pa.int64()),
+                    "total_chars": pa.Array.from_pandas(g["total_chars"], type=pa.int64()),
+                    "n_conversations": pa.Array.from_pandas(
+                        g["n_conversations"], type=pa.int64()
+                    ),
+                }
+            )
+
+        return _direct_grouped_apply(self.read(), "window_start", kern, shuffle_buckets)
+
+
 class VectorIndexKernel(CorpusKernel):
     """View kernel for the incremental VECTOR (similarity-search) index:
     per conversation, a deterministic feature-hashing embedding of its

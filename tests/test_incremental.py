@@ -914,3 +914,75 @@ def test_view_metrics_record_every_advance(tmp_path):
     assert (m["seconds"] > 0).all()
     assert m["watermark_lsn"].iloc[1] == eng.manifest.applied_lsn
     assert m["touched_convs"].iloc[1] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_time_rollup_matches_recompute(tmp_path):
+    """Tumbling-window IVM: the (conv, window) view and the derived
+    global per-window report both equal a driver-side recompute from the
+    committed snapshot, across bootstrap + trickle advance + delete."""
+    from etl_framework_ray.pipelines.incremental import IncrementalTimeRollup
+
+    clog, eng = _setup(tmp_path)
+    epochs = clog.epochs(1)
+    for ep in epochs[:3]:
+        eng.apply_epoch(ep)
+    view = IncrementalTimeRollup(eng, str(tmp_path / "view"), window_s=1800)
+    view.advance()
+
+    def expected_view() -> pd.DataFrame:
+        snap = eng.snapshot_arrow().to_pandas()
+        snap["window_start"] = snap["ts"].dt.floor("1800s")
+        snap["chars"] = snap["text"].fillna("").str.len()
+        return (
+            snap.groupby(["conv_id", "window_start"], sort=True)
+            .agg(n_turns=("chars", "size"), total_chars=("chars", "sum"))
+            .reset_index()
+            .astype({"n_turns": "int64", "total_chars": "int64"})
+        )
+
+    def got_view() -> pd.DataFrame:
+        return (
+            view.read_arrow()
+            .to_pandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(got_view(), expected_view())
+
+    for ep in epochs[3:]:
+        eng.apply_epoch(ep)
+    s2 = view.advance()
+    assert 0 < s2["touched_convs"]
+    pd.testing.assert_frame_equal(got_view(), expected_view())
+
+    # derived global report == recompute from the snapshot
+    snap = eng.snapshot_arrow().to_pandas()
+    snap["window_start"] = snap["ts"].dt.floor("1800s")
+    snap["chars"] = snap["text"].fillna("").str.len()
+    want = (
+        snap.groupby("window_start", sort=True)
+        .agg(
+            n_turns=("chars", "size"),
+            total_chars=("chars", "sum"),
+            n_conversations=("conv_id", "nunique"),
+        )
+        .reset_index()
+        .astype(
+            {"n_turns": "int64", "total_chars": "int64", "n_conversations": "int64"}
+        )
+    )
+    got = (
+        view.windows(shuffle_buckets=4)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # config is part of the kernel fingerprint
+    from etl_framework_ray.pipelines.incremental import IncrementalTimeRollup as V
+
+    with pytest.raises(RuntimeError, match="kernel"):
+        V(eng, str(tmp_path / "view"), window_s=3600).advance()
