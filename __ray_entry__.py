@@ -472,7 +472,7 @@ def _cdc_changefeed(sf_dir: str):
 
 def _half_log_ivm(
     sf_dir: str,
-    view_cls_name: str,
+    view_cls_name: str | tuple[str, ...],
     prefix: str,
     result: str = "read",
     view_kwargs: dict | None = None,
@@ -482,16 +482,18 @@ def _half_log_ivm(
     rest, replay + advance (touched conversations only), return the
     view's ``read()`` or ``labels()``. One definition so the staging
     protocol (partition count, epoch granularity, compaction threshold)
-    cannot drift between the view kinds."""
+    cannot drift between the view kinds. A tuple of class names maintains
+    SEVERAL views over the one engine/replay (each advanced at both the
+    bootstrap and incremental points) and returns them as a tuple —
+    ``result`` must then be ``"__view__"``."""
     import importlib
     import tempfile
 
     from etl_framework_ray.pipelines.cdc import CDCEngine
     from etl_framework_ray.sources.changelog import ChangeLog
 
-    view_cls = getattr(
-        importlib.import_module("etl_framework_ray.pipelines.incremental"), view_cls_name
-    )
+    names = (view_cls_name,) if isinstance(view_cls_name, str) else tuple(view_cls_name)
+    mod = importlib.import_module("etl_framework_ray.pipelines.incremental")
     sf = _sf_name(sf_dir)
     _ensure_changelog(sf)
     work = tempfile.mkdtemp(prefix=f"etl_{prefix}_{sf}_")
@@ -503,16 +505,27 @@ def _half_log_ivm(
     eng = CDCEngine(
         os.path.join(work, "transcripts"), num_partitions=32, compact_every=1_000_000
     )
-    view = view_cls(eng, os.path.join(work, "view"), **(view_kwargs or {}))
+    views = [
+        getattr(mod, name)(
+            eng, os.path.join(work, f"view{i}"), **(view_kwargs or {})
+        )
+        for i, name in enumerate(names)
+    ]
     eng.replay(ChangeLog(staged), segments_per_epoch=1)
-    view.advance()  # bootstrap at the half-log state
+    for v in views:
+        v.advance()  # bootstrap at the half-log state
     for f in rest:
         os.symlink(f, os.path.join(staged, os.path.basename(f)))
     eng.replay(ChangeLog(staged), segments_per_epoch=1)  # resumes from watermark
-    view.advance()  # incremental window: touched conversations only
+    for v in views:
+        v.advance()  # incremental window: touched conversations only
+    if not isinstance(view_cls_name, str):
+        if result != "__view__":
+            raise ValueError("multi-view staging returns views only")
+        return tuple(views)
     if result == "__view__":
-        return view
-    return getattr(view, result)()
+        return views[0]
+    return getattr(views[0], result)()
 
 
 def _cdc_rollup_incremental(sf_dir: str):
@@ -837,20 +850,101 @@ def _cdc_window_incremental_oracle_sql(sf_name: str) -> str:
     """
 
 
+#: cdc_vector_search query texts / k — shared by the Ray query and the
+#: parquet artifacts its oracle reads
+_VEC_QUERIES = ["assistant: here is the plan", "user: please summarize the results"]
+_VEC_K = 10
+
+
+def _vecsearch_dir(sf_name: str) -> str:
+    return os.path.join(CDC_CACHE_ROOT, sf_name, "vecsearch")
+
+
 def _cdc_vector_search(sf_dir: str):
     """Incrementally-maintained VECTOR index (IVM over the changefeed):
     bootstrap the embedding view at half the log, advance over the rest —
     only touched conversations re-embed — then answer cosine top-k from
-    the maintained index (exact tier: radius=None scores every row; the
-    LSH multiprobe tier and the advance≡rebuild/brute-force equalities are
-    pytest-verified in tests/test_vector_index.py). Rows-only: the
-    feature-hashing embedding is not SQL-expressible."""
+    the maintained index (exact tier: radius=None scores every row).
+
+    ORACLE-CHECKED: ``hash_embed`` is deterministic, so the query
+    materializes two driver-tier parquet artifacts the SQL oracle reads —
+    (a) embeddings recomputed FROM SCRATCH off the engine's committed
+    snapshot (independent of the IVM view machinery: a maintenance bug in
+    the view shifts the Ray top-k away from the oracle's) and (b) the
+    query embeddings — and DuckDB reproduces the exact tier end-to-end
+    (list_dot_product over the L2-normalized vectors = cosine, snapped to
+    1e-6 BEFORE ranking on both sides, ties broken by conv_id). The LSH
+    multiprobe tier and the advance≡rebuild equality stay pytest-verified
+    (tests/test_vector_index.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.stages.similarity import hash_embed
+
     view = _half_log_ivm(sf_dir, "IncrementalVectorIndex", "ivmv", result="__view__")
-    return view.search(
-        ["assistant: here is the plan", "user: please summarize the results"],
-        k=10,
-        radius=None,
+    res = view.search(_VEC_QUERIES, k=_VEC_K, radius=None)
+
+    # oracle artifacts (driver tier: O(convs) rows, 64 floats each)
+    kern = view.kernel
+    snap = view.engine.snapshot_arrow().to_pandas()
+    snap["line"] = snap["role"].fillna("") + ": " + snap["text"].fillna("")
+    snap = snap.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    docs = (
+        snap.groupby("conv_id", sort=True)["line"]
+        .apply("\n".join)
+        .rename("dialogue")
+        .reset_index()
     )
+    V = hash_embed(docs["dialogue"], kern.dim, kern.seed)
+    Q = hash_embed(_VEC_QUERIES, kern.dim, kern.seed)
+    d = _vecsearch_dir(_sf_name(sf_dir))
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(docs["conv_id"], pa.string()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V.ravel(), pa.float32()), kern.dim
+                ),
+            }
+        ),
+        os.path.join(d, "index_vecs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "query": pa.array(_VEC_QUERIES, pa.string()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Q.ravel(), pa.float32()), kern.dim
+                ),
+            }
+        ),
+        os.path.join(d, "query_vecs.parquet"),
+    )
+    return res
+
+
+def _vector_search_oracle_sql(sf_name: str) -> str:
+    d = _vecsearch_dir(sf_name)
+    return f"""
+        WITH d AS (
+            SELECT conv_id, CAST(vec AS DOUBLE[]) AS v
+            FROM read_parquet('{os.path.join(d, "index_vecs.parquet")}')
+        ), q AS (
+            SELECT query, CAST(vec AS DOUBLE[]) AS v
+            FROM read_parquet('{os.path.join(d, "query_vecs.parquet")}')
+        ), s AS (
+            SELECT q.query, d.conv_id,
+                   CAST(ROUND(list_dot_product(q.v, d.v) * 1000000) AS BIGINT)
+                       / 1000000.0 AS score
+            FROM q CROSS JOIN d
+        )
+        SELECT query, conv_id, score,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+        FROM s
+        WINDOW w AS (PARTITION BY query ORDER BY score DESC, conv_id)
+        QUALIFY ROW_NUMBER() OVER w <= {_VEC_K}
+    """
 
 
 def _cdc_dedup_incremental(sf_dir: str):
@@ -892,10 +986,49 @@ def _cdc_minhash_incremental(sf_dir: str):
     over the rest (touched conversations re-sign only), then derive
     cluster labels from the signatures alone — banding + co-partitioned
     signature-Jaccard verify + distributed CC, never re-reading text.
-    Rows-only check (MinHash has no SQL oracle); accuracy is
-    pytest-verified on planted near-dups
-    (tests/test_incremental.py::test_incremental_minhash_near_dup_lifecycle)."""
-    return _half_log_ivm(sf_dir, "IncrementalMinHash", "ivmm", result="labels")
+
+    ORACLE-CHECKED via the exact-duplicate INVARIANT: identical dialogues
+    have identical signatures, so any correct LSH pipeline must put every
+    conversation in the same cluster as its exact-dup canonical. The query
+    maintains the exact-fingerprint view (IncrementalDedup) beside the
+    signature view over the SAME engine/replay, emits per conversation the
+    SQL-checkable exact-dedup columns plus ``lsh_groups_exact_dups`` —
+    cluster(conv) == cluster(exact canonical) — and the oracle asserts it
+    TRUE for every row (a banding / verify / connected-components
+    regression that splits identical signatures flips it). Near-dup
+    recall beyond the exact subset stays pytest-verified on planted
+    near-dups (tests/test_incremental.py) and measured at 10× scale by
+    ``bench --dedup-scale``. The driver tier lifts the verify bucket cap
+    (the capped path is the recall-tested 100 TB tier) so the invariant
+    is exact, not probabilistic."""
+    import pyarrow as pa
+
+    mh_view, ex_view = _half_log_ivm(
+        sf_dir, ("IncrementalMinHash", "IncrementalDedup"), "ivmm", result="__view__"
+    )
+    mh = mh_view.labels(max_bucket=1_000_000).to_pandas()
+    ex = ex_view.labels().to_pandas()
+    cluster_of = dict(zip(mh["conv_id"], mh["cluster_id"]))
+    canon = ex["canonical_conv_id"].to_numpy(dtype=object)
+    conv = ex["conv_id"].to_numpy(dtype=object)
+    agree = [cluster_of.get(c) == cluster_of.get(k) for c, k in zip(conv, canon)]
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "canonical_conv_id": pa.array(canon, pa.string()),
+            "is_dup": pa.array(ex["is_dup"].to_numpy(), pa.bool_()),
+            "lsh_groups_exact_dups": pa.array(agree, pa.bool_()),
+        }
+    )
+
+
+def _minhash_invariant_oracle_sql(sf_name: str) -> str:
+    """The exact-dedup window-function oracle plus the always-TRUE LSH
+    invariant column (see _cdc_minhash_incremental)."""
+    return (
+        f"SELECT *, TRUE AS lsh_groups_exact_dups"
+        f" FROM ({_dedup_labels_oracle_sql(sf_name)})"
+    )
 
 def _cdc_curation_incremental(sf_dir: str):
     """Incrementally-maintained CURATED pretraining corpus (IVM over the
@@ -2738,6 +2871,8 @@ def oracle_sql() -> dict[str, str]:
         "assemble_conversations": _assemble_oracle_sql(sf),
         "cdc_corpus_incremental": _assemble_oracle_sql(sf),
         "cdc_dedup_incremental": _dedup_labels_oracle_sql(sf),
+        "cdc_minhash_incremental": _minhash_invariant_oracle_sql(sf),
+        "cdc_vector_search": _vector_search_oracle_sql(sf),
         "cdc_curation_incremental": _curation_oracle_sql(sf),
         "cdc_bm25_incremental": _bm25_cdc_oracle_sql(sf),
         "cdc_role_rollup_sets": _cdc_role_rollup_sets_oracle_sql(sf),

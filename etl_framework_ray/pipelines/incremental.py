@@ -1377,6 +1377,7 @@ class IncrementalVectorIndex(IncrementalRollup):
         if not query_texts:
             return out_schema.empty_table()
         Q = hash_embed(pd.Series(query_texts), kern.dim, kern.seed)  # (q, dim)
+        snap_scale = None if round_to is None else float(10**round_to)
         if radius is None:
             balls = None
         else:
@@ -1396,13 +1397,22 @@ class IncrementalVectorIndex(IncrementalRollup):
                         "score": pa.array([], pa.float64()),
                     }
                 )
+            # float64 matmul + snap BEFORE the per-block top-k, tie-broken
+            # by conv_id — the union of per-block top-k under the exact
+            # final order provably contains the global top-k, so the
+            # driver merge (same order) is exact, never heuristic
             V = np.asarray(
                 batch.column("vec").combine_chunks().flatten().to_numpy(
                     zero_copy_only=False
                 ),
-                dtype=np.float32,
+                dtype=np.float64,
             ).reshape(batch.num_rows, -1)
-            S = (V @ Qm.T).astype(np.float64)  # (rows, q)
+            S = V @ Qm.astype(np.float64).T  # (rows, q)
+            if snap_scale is not None:
+                S = np.round(S * snap_scale) / snap_scale
+            conv_np = batch.column("conv_id").to_numpy(zero_copy_only=False)
+            conv_rank = np.empty(batch.num_rows, np.int64)
+            conv_rank[np.argsort(conv_np, kind="stable")] = np.arange(batch.num_rows)
             bk = batch.column("bucket").to_numpy(zero_copy_only=False)
             qi_out: list[np.ndarray] = []
             row_out: list[np.ndarray] = []
@@ -1416,7 +1426,8 @@ class IncrementalVectorIndex(IncrementalRollup):
                 if not len(rows):
                     continue
                 s = S[rows, j]
-                top = rows[np.argsort(-s, kind="stable")[:k]]
+                order = np.lexsort((conv_rank[rows], -s))
+                top = rows[order[:k]]
                 qi_out.append(np.full(len(top), j, np.int64))
                 row_out.append(top)
                 sc_out.append(S[top, j])

@@ -53,7 +53,10 @@ def _assembled(eng) -> pd.DataFrame:
 def _brute_topk(docs: pd.DataFrame, query: str, k: int, dim: int, seed: int):
     V = hash_embed(docs["dialogue"], dim, seed)
     q = hash_embed([query], dim, seed)[0]
-    s = np.round((V @ q).astype(np.float64) * 1e6).astype(np.int64) / 1e6
+    s = (
+        np.round((V.astype(np.float64) @ q.astype(np.float64)) * 1e6).astype(np.int64)
+        / 1e6
+    )
     order = sorted(range(len(s)), key=lambda i: (-s[i], docs["conv_id"].iloc[i]))[:k]
     return [(docs["conv_id"].iloc[i], s[i]) for i in order]
 
