@@ -1198,6 +1198,7 @@ class CDCEngine:
         changefeed_retention_lsn: int | None | str = INHERIT,
         dq_mode: str | None = None,
         event_transform=None,
+        commit_backend=None,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -1233,7 +1234,10 @@ class CDCEngine:
         #: tombstones forever (always safe, grows with total deletes — at
         #: 10^10 events set this to the source's re-delivery horizon).
         self.tombstone_ttl_lsn = tombstone_ttl_lsn
-        self.store = ManifestStore(table_dir)
+        #: commit_backend: storage primitives for the MANIFEST LOG —
+        #: None = POSIX (local/NFS); state/backend.py's CAS flavor is the
+        #: object-store deployment (data files need no atomicity anywhere)
+        self.store = ManifestStore(table_dir, backend=commit_backend)
         self.run_context = run_context or RunContext()
         #: per-path schema cache — segment files are immutable, so the
         #: driver reads each footer at most once per replay (the serial

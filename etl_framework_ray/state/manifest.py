@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 
+from .backend import CommitBackend, PosixCommitBackend
 from .schema import schema_from_b64, schema_to_b64
 
 
@@ -147,17 +148,25 @@ class ManifestStore:
     """Load/commit manifest versions with an atomic CURRENT pointer.
 
     Multi-writer safe: the VERSION FILE is the commit point — created
-    with a hard link (atomic fail-if-exists), so of two concurrent
-    committers of v(N+1) exactly one wins and the loser gets
+    with the backend's atomic fail-if-exists put (``os.link`` on POSIX,
+    conditional PUT on object stores — see :mod:`.backend`), so of two
+    concurrent committers of v(N+1) exactly one wins and the loser gets
     :class:`CommitConflict`. CURRENT is a cached pointer written after
     the version file; a crash in between leaves a durable-but-unpointed
     version that the next reader or committer rolls forward
     (``current_version`` recovery) — the same "log entry is the commit"
-    protocol as Delta (Armbrust et al., VLDB 2020, §3.2)."""
+    protocol as Delta (Armbrust et al., VLDB 2020, §3.2).
 
-    def __init__(self, table_dir: str):
+    ``backend`` selects the storage primitives for the MANIFEST LOG only
+    (data files are immutable and invisible until referenced, so they
+    need no atomicity on any store): :class:`.backend.PosixCommitBackend`
+    by default; :class:`.backend.MemoryCommitBackend` is the CAS /
+    conditional-put flavor the object-store deployment uses."""
+
+    def __init__(self, table_dir: str, backend: CommitBackend | None = None):
         self.table_dir = table_dir
         self.manifest_dir = os.path.join(table_dir, "_manifest")
+        self.backend = backend if backend is not None else PosixCommitBackend()
 
     def _vpath(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version:08d}.json")
@@ -169,12 +178,10 @@ class ManifestStore:
         visible (tmp + fsync + link), so if v(CURRENT+1) exists the commit
         happened and only the pointer write was lost."""
         cur = os.path.join(self.manifest_dir, "CURRENT")
-        pointed: int | None = None
-        if os.path.exists(cur):
-            with open(cur) as f:
-                pointed = int(f.read().strip())
+        raw = self.backend.read_bytes(cur)
+        pointed = int(raw.decode().strip()) if raw is not None else None
         v = pointed or 0
-        while os.path.exists(self._vpath(v + 1)):
+        while self.backend.exists(self._vpath(v + 1)):
             v += 1
         if pointed is not None and v == pointed:
             return pointed
@@ -183,20 +190,10 @@ class ManifestStore:
         # roll the pointer forward — re-read first so a slow recoverer
         # cannot regress a pointer a faster committer already advanced
         # (a lost race here is self-healing: the next read recovers again)
-        if os.path.exists(cur):
-            with open(cur) as f:
-                if int(f.read().strip()) >= v:
-                    return v
-        import uuid
-
-        ptmp = os.path.join(
-            self.manifest_dir, f"CURRENT.rec-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        )
-        with open(ptmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptmp, cur)
+        raw = self.backend.read_bytes(cur)
+        if raw is not None and int(raw.decode().strip()) >= v:
+            return v
+        self.backend.put_overwrite(cur, str(v).encode())
         return v
 
     def version_at(self, ts: float) -> int | None:
@@ -219,11 +216,10 @@ class ManifestStore:
         v = version if version is not None else self.current_version()
         if v is None:
             return None
-        path = os.path.join(self.manifest_dir, f"v{v:08d}.json")
-        if not os.path.exists(path):
+        raw = self.backend.read_bytes(self._vpath(v))
+        if raw is None:
             raise FileNotFoundError(f"manifest version {v} does not exist for {self.table_dir}")
-        with open(path) as f:
-            return Manifest.from_json(json.load(f))
+        return Manifest.from_json(json.loads(raw))
 
     # -- write side (phase 2 of the 2PC) -----------------------------------
     def commit(self, manifest: Manifest) -> None:
@@ -231,12 +227,13 @@ class ManifestStore:
 
         Optimistic concurrency: ``manifest.version`` must be exactly
         ``current + 1`` AND this writer must be the one that creates the
-        version file — ``os.link`` is atomic fail-if-exists, so two
-        committers racing past the precheck still serialize and the loser
-        raises :class:`CommitConflict` (its staged data files stay
-        unreferenced; vacuum reclaims them).
+        version file — the backend's ``put_if_absent`` is atomic
+        fail-if-exists (``os.link`` on POSIX, conditional PUT on object
+        stores), so two committers racing past the precheck still
+        serialize and the loser raises :class:`CommitConflict` (its
+        staged data files stay unreferenced; vacuum reclaims them).
         """
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.backend.ensure_dir(self.manifest_dir)
         cur = self.current_version()
         expected = (cur or 0) + 1
         if manifest.version != expected:
@@ -244,33 +241,18 @@ class ManifestStore:
                 f"manifest version conflict: committing v{manifest.version}, expected v{expected}"
             )
         import time as _time
-        import uuid
 
         manifest.committed_at = _time.time()
-        vpath = self._vpath(manifest.version)
-        # unique per ATTEMPT (pid alone collides for same-process threads)
-        tmp = f"{vpath}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest.to_json(), f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, vpath)  # the commit point: atomic winner-take-all
-        except FileExistsError:
+        data = json.dumps(manifest.to_json()).encode()
+        # the commit point: atomic winner-take-all
+        if not self.backend.put_if_absent(self._vpath(manifest.version), data):
             raise CommitConflict(
                 f"manifest version conflict: v{manifest.version} was committed "
                 f"concurrently by another writer"
-            ) from None
-        finally:
-            os.remove(tmp)
-        ptmp = os.path.join(
-            self.manifest_dir, f"CURRENT.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            )
+        self.backend.put_overwrite(
+            os.path.join(self.manifest_dir, "CURRENT"), str(manifest.version).encode()
         )
-        with open(ptmp, "w") as f:
-            f.write(str(manifest.version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptmp, os.path.join(self.manifest_dir, "CURRENT"))
 
     def vacuum(self, manifest: Manifest, grace_s: float = 0.0) -> int:
         """Delete data files not referenced by the committed manifest

@@ -1,12 +1,31 @@
-"""Manifest store: atomic commit protocol, version conflicts, vacuum. No Ray."""
+"""Manifest store: atomic commit protocol, version conflicts, vacuum. No Ray.
 
+The whole OCC/crash/vacuum suite runs against BOTH commit backends — the
+POSIX link/replace flavor (local/NFS) and the conditional-put/CAS flavor
+(MemoryCommitBackend, modeling S3 If-None-Match / GCS ifGenerationMatch=0
+/ a DynamoDB version row) — so the exactly-once story is proven for the
+object-store deployment, not just this sandbox's filesystem."""
+
+import json
 import os
 
 import pyarrow as pa
 import pytest
 
-from etl_framework_ray.state.manifest import Manifest, ManifestStore, PartitionState
+from etl_framework_ray.state.backend import MemoryCommitBackend, PosixCommitBackend
+from etl_framework_ray.state.manifest import (
+    CommitConflict,
+    Manifest,
+    ManifestStore,
+    PartitionState,
+)
 from etl_framework_ray.state.schema import schema_to_b64
+
+
+@pytest.fixture(params=["posix", "memory"])
+def store(request, tmp_path):
+    backend = PosixCommitBackend() if request.param == "posix" else MemoryCommitBackend()
+    return ManifestStore(str(tmp_path), backend=backend)
 
 
 def _man(version=1, **kw):
@@ -19,8 +38,21 @@ def _man(version=1, **kw):
     )
 
 
-def test_roundtrip(tmp_path):
-    store = ManifestStore(str(tmp_path))
+def _drop_version_file(store: ManifestStore, version: int, manifest: Manifest) -> None:
+    """Simulate a racing writer that won ``version``: its complete version
+    file exists but OUR store has not seen it (exactly what a real winner
+    leaves behind on either backend)."""
+    data = json.dumps(manifest.to_json()).encode()
+    assert store.backend.put_if_absent(store._vpath(version), data)
+
+
+def _read_current(store: ManifestStore) -> str:
+    raw = store.backend.read_bytes(os.path.join(store.manifest_dir, "CURRENT"))
+    assert raw is not None
+    return raw.decode().strip()
+
+
+def test_roundtrip(store, tmp_path):
     assert store.load() is None
     m = _man()
     m.partitions[3] = PartitionState(files=["/x/f.parquet"], applied_lsn=7, rows=10)
@@ -31,8 +63,7 @@ def test_roundtrip(tmp_path):
     assert got.schema.names == ["a"]
 
 
-def test_version_conflict_rejected(tmp_path):
-    store = ManifestStore(str(tmp_path))
+def test_version_conflict_rejected(store):
     store.commit(_man(1))
     with pytest.raises(RuntimeError, match="conflict"):
         store.commit(_man(1))  # replay of same version
@@ -42,8 +73,7 @@ def test_version_conflict_rejected(tmp_path):
     assert store.load().version == 2
 
 
-def test_uncommitted_files_invisible_and_vacuumed(tmp_path):
-    store = ManifestStore(str(tmp_path))
+def test_uncommitted_files_invisible_and_vacuumed(store, tmp_path):
     data = tmp_path / "data" / "part=00001"
     data.mkdir(parents=True)
     live = data / "live.parquet"
@@ -59,15 +89,14 @@ def test_uncommitted_files_invisible_and_vacuumed(tmp_path):
     assert live.exists() and not orphan.exists()
 
 
-def test_history_and_watermark_roundtrip(tmp_path):
-    store = ManifestStore(str(tmp_path))
+def test_history_and_watermark_roundtrip(store):
     m = _man(1, applied_lsn=500)
     m.history.append({"epoch_id": 500, "events": 10})
     store.commit(m)
     got = store.load()
     assert got.applied_lsn == 500
     assert got.history == [{"epoch_id": 500, "events": 10}]
-    assert os.path.exists(tmp_path / "_manifest" / "CURRENT")
+    assert _read_current(store) == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -75,63 +104,70 @@ def test_history_and_watermark_roundtrip(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_commit_is_atomic_winner_take_all(tmp_path):
+def test_commit_is_atomic_winner_take_all(store):
     """Two committers racing past the version precheck must serialize: the
-    version-file link is fail-if-exists, so exactly one wins."""
-    import json
-
-    from etl_framework_ray.state.manifest import CommitConflict
-
-    store = ManifestStore(str(tmp_path))
+    version-file create is fail-if-exists, so exactly one wins."""
     store.commit(_man(1))
-    # simulate a racer that won v2 AFTER our precheck: drop its version
-    # file directly (complete JSON — exactly what a real winner leaves)
-    vpath = os.path.join(str(tmp_path), "_manifest", "v00000002.json")
-    with open(vpath, "w") as f:
-        json.dump(_man(2).to_json(), f)
+    # simulate a racer that won v2 AFTER our precheck
+    _drop_version_file(store, 2, _man(2))
     # our commit of v2 must lose — never clobber the winner's file
     with pytest.raises(CommitConflict):
         store.commit(_man(2, properties={"mine": True}))
     assert store.load().properties == {}  # the racer's v2 survived intact
 
 
-def test_crash_window_recovery_rolls_current_forward(tmp_path):
-    """A committer crashing between version-file link and CURRENT write
-    leaves a durable commit; the next reader finishes the pointer swap."""
-    import json
+def test_concurrent_threads_serialize(store):
+    """N threads all publishing v2 concurrently: exactly one backend
+    put_if_absent succeeds; every loser raises CommitConflict."""
+    import threading
 
-    store = ManifestStore(str(tmp_path))
     store.commit(_man(1))
-    vpath = os.path.join(str(tmp_path), "_manifest", "v00000002.json")
-    with open(vpath, "w") as f:
-        json.dump(_man(2).to_json(), f)
-    cur = os.path.join(str(tmp_path), "_manifest", "CURRENT")
-    with open(cur) as f:
-        assert f.read().strip() == "1"  # pointer is stale
+    results: list[str] = []
+    lock = threading.Lock()
+
+    def attempt(i: int) -> None:
+        try:
+            store.commit(_man(2, properties={"writer": i}))
+            with lock:
+                results.append("win")
+        except CommitConflict:
+            with lock:
+                results.append("lose")
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("win") == 1
+    assert results.count("lose") == 7
+    assert store.load().version == 2
+
+
+def test_crash_window_recovery_rolls_current_forward(store):
+    """A committer crashing between version-file create and CURRENT write
+    leaves a durable commit; the next reader finishes the pointer swap."""
+    store.commit(_man(1))
+    _drop_version_file(store, 2, _man(2))
+    assert _read_current(store) == "1"  # pointer is stale
     assert store.current_version() == 2  # read recovers
-    with open(cur) as f:
-        assert f.read().strip() == "2"  # and persists the roll-forward
+    assert _read_current(store) == "2"  # and persists the roll-forward
     store.commit(_man(3))  # next commit builds on the recovered version
     assert store.load().version == 3
 
 
-def test_first_commit_crash_window(tmp_path):
+def test_first_commit_crash_window(store):
     """v1 exists but CURRENT was never written (crash on the very first
     commit): recovery must still find it."""
-    import json
-
-    store = ManifestStore(str(tmp_path))
-    os.makedirs(os.path.join(str(tmp_path), "_manifest"))
-    with open(os.path.join(str(tmp_path), "_manifest", "v00000001.json"), "w") as f:
-        json.dump(_man(1).to_json(), f)
+    store.backend.ensure_dir(store.manifest_dir)
+    _drop_version_file(store, 1, _man(1))
     assert store.current_version() == 1
     assert store.load().version == 1
 
 
-def test_vacuum_grace_spares_fresh_unreferenced_files(tmp_path):
+def test_vacuum_grace_spares_fresh_unreferenced_files(store, tmp_path):
     """grace_s > 0 keeps young orphans (a concurrent writer's in-flight
     staging) and removes old ones."""
-    store = ManifestStore(str(tmp_path))
     data = tmp_path / "data" / "part=00001"
     data.mkdir(parents=True)
     fresh = data / "staging.parquet"
@@ -144,3 +180,17 @@ def test_vacuum_grace_spares_fresh_unreferenced_files(tmp_path):
     removed = store.vacuum(m, grace_s=3600)
     assert removed == 1
     assert fresh.exists() and not old.exists()
+
+
+def test_two_stores_share_memory_backend(tmp_path):
+    """Two ManifestStore instances over the same CAS backend see each
+    other's commits — the multi-writer object-store topology."""
+    be = MemoryCommitBackend()
+    a = ManifestStore(str(tmp_path), backend=be)
+    b = ManifestStore(str(tmp_path), backend=be)
+    a.commit(_man(1))
+    assert b.load().version == 1
+    b.commit(_man(2))
+    with pytest.raises(CommitConflict):
+        a.commit(_man(2))  # a is stale; precheck/CAS rejects
+    assert a.load().version == 2

@@ -257,3 +257,33 @@ def test_tail_keeps_views_fresh(tmp_path):
     )
     # and the emitting view's changefeed covered the incremental window
     assert roll.changes(v1).count() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_and_resume_on_cas_commit_backend(tmp_path):
+    """Full replay + kill/resume with the object-store (conditional-put)
+    commit backend: the engine's exactly-once semantics must not depend on
+    POSIX link/replace. The backend instance is shared across the "crash"
+    (an object store survives the process; MemoryCommitBackend models
+    that), the data files stay plain parquet on disk."""
+    from etl_framework_ray.state.backend import MemoryCommitBackend
+
+    log, clog = _setup(tmp_path)
+    backend = MemoryCommitBackend()
+
+    ref = CDCEngine(str(tmp_path / "ref"), num_partitions=4)
+    ref.replay(clog, segments_per_epoch=2)
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, commit_backend=backend)
+    for epoch in clog.epochs(2)[:2]:
+        eng.apply_epoch(epoch)
+    watermark = eng.manifest.applied_lsn
+    del eng
+
+    eng2 = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, commit_backend=backend)
+    assert eng2.manifest.applied_lsn == watermark  # durable checkpoint
+    stats = eng2.replay(clog, segments_per_epoch=2)
+    assert stats.epochs_applied == len(clog.epochs(2)) - 2
+    assert eng2.snapshot_arrow().equals(ref.snapshot_arrow())
+    # no POSIX manifest dir was ever created on the CAS backend
+    assert not os.path.exists(os.path.join(str(tmp_path / "tbl"), "_manifest"))
