@@ -1072,6 +1072,55 @@ def run_relops() -> dict:
     }
 
 
+def run_fuzzy() -> dict:
+    """Exact similarity self-join over the FULL documents table (the
+    round-4 verdict's weak spot: the synthetic 377-trigram vocabulary is
+    adversarial for prefix filtering — 244 s at sf0.1). The join now
+    counts its own prefix buckets and auto-routes to the exact dense tier
+    when pruning is not pruning; this leg records the routed full-corpus
+    run and a forced-prefix 500-doc slice as the (unchanged) oracle
+    tier."""
+    gb0 = _ambient_gbps()
+    ray = _bench_session()
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from etl_framework_ray.stages.fuzzy import similarity_join
+
+    path = os.path.join(SF_DIR, "documents.parquet")
+    full_stats: dict = {}
+    t0 = time.perf_counter()
+    n_full = similarity_join(
+        rd.read_parquet(path, columns=["doc_id", "text"]), 0.7,
+        stats_out=full_stats,
+    ).count()
+    full_s = round(time.perf_counter() - t0, 3)
+    slice_stats: dict = {}
+    t0 = time.perf_counter()
+    n_slice = similarity_join(
+        rd.read_parquet(
+            path, columns=["doc_id", "text"], filter=pads.field("doc_id") < 500
+        ),
+        0.7,
+        tier="prefix",
+        stats_out=slice_stats,
+    ).count()
+    slice_s = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "fuzzy_full_corpus_seconds",
+        "value": full_s,
+        "unit": "sec",
+        "full": {"pairs": int(n_full), **full_stats},
+        "prefix_slice_500": {
+            "seconds": slice_s, "pairs": int(n_slice), **slice_stats
+        },
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "ambient_membench_gbps": gb0,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1091,5 +1140,7 @@ if __name__ == "__main__":
         print(json.dumps(run_patch()))
     elif "--relops" in sys.argv:
         print(json.dumps(run_relops()))
+    elif "--fuzzy" in sys.argv:
+        print(json.dumps(run_fuzzy()))
     else:
         print(json.dumps(run_bench()))

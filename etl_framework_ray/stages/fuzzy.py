@@ -37,6 +37,22 @@ two sides of each surviving candidate. The one distribution hazard is a
 token whose bucket exceeds the pair cap — reported in ``stats_out``, and
 df-ascending ordering makes prefixes prefer RARE tokens precisely to
 keep those buckets small.
+
+DENSE-CORPUS AUTO-TIER: prefix filtering is output-sensitive — on a
+corpus whose pairwise similarity is broadly high (equivalently: a tiny
+n-gram vocabulary, so every prefix token is frequent), the candidate set
+approaches ALL pairs and the candidate exchange dwarfs the answer. The
+join therefore counts its own prefix buckets first (one vocabulary-
+bounded aggregate) and, when the candidate bound says pruning is not
+pruning, routes to an EXACT dense tier: block-nested-loop over the
+materialized token sets, per-block-pair intersection counts via one
+binary-matrix matmul (vocab-bounded columns), no candidate exchange, no
+truncation, every unordered pair evaluated exactly once. Same answer,
+bounded Θ(n²/p) cost with a tiny constant — the right shape for the
+regime where Θ(n²) is unavoidable. The switch is counter-reported in
+``stats_out['tier']`` and logged, never silent; corpora that are BOTH
+dense and large-vocabulary keep the capped prefix path (counted
+truncation) with MinHash (stages/dedup.py) as the scale escape hatch.
 """
 
 from __future__ import annotations
@@ -86,6 +102,92 @@ def _snap(v: np.ndarray, round_to: int) -> np.ndarray:
     return np.round(v * scale).astype(np.int64) / scale
 
 
+@ray.remote
+def _dense_block_pair(
+    ta: pa.Table,
+    tb: pa.Table | None,
+    vocab: np.ndarray,
+    threshold: float,
+    round_to: int,
+    id_col: str,
+) -> pa.Table:
+    """Exact similarities for every cross pair of two token-set blocks
+    (``tb=None``: within-block, upper triangle only). Intersection counts
+    come from ONE binary-matrix matmul over the vocab columns — counts
+    ≤ set size ≪ 2²⁴ are exact in float32."""
+    _single_threaded_arrow()
+    if ta.num_rows == 0 or (tb is not None and tb.num_rows == 0):
+        # repartition can hand back schema-less empty blocks
+        return pa.table(
+            {"id_a": pa.nulls(0, pa.int64()), "id_b": pa.nulls(0, pa.int64()),
+             "sim": pa.nulls(0, pa.float64())}
+        )
+
+    def mat(t: pa.Table):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        arr = t.column("toks")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        X = np.zeros((t.num_rows, len(vocab)), np.float32)
+        rows = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        X[rows, np.searchsorted(vocab, vals)] = 1.0
+        sz = t.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+        return ids, X, sz
+
+    ia, Xa, sa = mat(ta)
+    same = tb is None
+    ib, Xb, sb = (ia, Xa, sa) if same else mat(tb)
+    inter = (Xa @ Xb.T).astype(np.float64)
+    union = sa[:, None] + sb[None, :] - inter
+    sim = inter / np.maximum(union, 1.0)
+    keep = sim >= threshold
+    if same:
+        keep &= np.triu(np.ones_like(keep, dtype=bool), k=1)
+    ii, jj = np.nonzero(keep)
+    a, b = ia[ii], ib[jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    ne = lo != hi  # duplicate ids in a corpus: never self-pair
+    return pa.table(
+        {
+            "id_a": pa.array(lo[ne], pa.int64()),
+            "id_b": pa.array(hi[ne], pa.int64()),
+            "sim": pa.array(_snap(sim[ii[ne], jj[ne]], round_to), pa.float64()),
+        }
+    )
+
+
+def _dense_pairs(
+    sets: "ray.data.Dataset",
+    vocab: np.ndarray,
+    threshold: float,
+    round_to: int,
+    id_col: str,
+    n_docs: int,
+) -> "ray.data.Dataset":
+    """Exact dense tier: all C(nb+1, 2) block pairs in parallel tasks;
+    each unordered doc pair is evaluated exactly once (blocks partition
+    the rows), so there is no candidate exchange and no pair dedup."""
+    nb = max(4, min(64, math.ceil(n_docs / 400)))
+    blocks = _block_refs(sets.repartition(nb))
+    vocab_ref = ray.put(vocab)
+    futures = []
+    for i in range(len(blocks)):
+        futures.append(
+            _dense_block_pair.remote(
+                blocks[i], None, vocab_ref, threshold, round_to, id_col
+            )
+        )
+        for j in range(i + 1, len(blocks)):
+            futures.append(
+                _dense_block_pair.remote(
+                    blocks[i], blocks[j], vocab_ref, threshold, round_to, id_col
+                )
+            )
+    return ray.data.from_arrow_refs(futures)
+
+
 def similarity_join(
     ds: "ray.data.Dataset",
     threshold: float,
@@ -96,15 +198,28 @@ def similarity_join(
     round_to: int = 6,
     shuffle_buckets: int | None = None,
     stats_out: dict | None = None,
+    tier: str = "auto",
+    dense_max_vocab: int = 8192,
+    dense_route_factor: float = 0.25,
 ) -> "ray.data.Dataset":
     """All pairs ``(id_a, id_b, sim)`` with ``id_a < id_b`` and n-gram
-    Jaccard ``sim ≥ threshold`` — exact (prefix filtering prunes, the
-    verify pass decides). ``stats_out``: gets ``candidate_pairs``,
-    ``truncated_tokens``, ``truncated_pairs`` counters."""
+    Jaccard ``sim ≥ threshold`` — exact under EVERY tier (the dense tier
+    evaluates each pair, the prefix tier's verify pass decides).
+
+    ``tier``: ``"auto"`` (default) counts the prefix buckets and routes
+    to the dense tier when the candidate bound exceeds
+    ``dense_route_factor × C(n,2)`` (pruning is not pruning) and the
+    vocabulary fits ``dense_max_vocab`` matrix columns; ``"prefix"`` /
+    ``"dense"`` force a tier. ``stats_out``: gets ``tier``,
+    ``candidate_bound``, ``vocab_size``, ``n_docs``, plus the prefix
+    tier's ``candidate_pairs`` / ``truncated_tokens`` /
+    ``truncated_pairs`` counters."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
+    if tier not in ("auto", "prefix", "dense"):
+        raise ValueError(f"tier must be 'auto', 'prefix' or 'dense', got {tier!r}")
 
     def tokenize(batch: pa.Table) -> pa.Table:
         _single_threaded_arrow()
@@ -197,6 +312,65 @@ def similarity_join(
         )
 
     prefix_rows = sets.map_batches(emit_prefix, batch_format="pyarrow", batch_size=None)
+
+    # ---- tier routing: count the prefix buckets BEFORE paying for them ----
+    n_docs = sets.count()
+    vocab_size = len(toks_sorted)
+    chosen = tier
+    cand_bound: int | None = None
+    if tier == "auto":
+        def bucket_counts(batch: pa.Table) -> pa.Table:
+            _single_threaded_arrow()
+            vc = batch.column("tok").value_counts()
+            return pa.table(
+                {"tok": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+            )
+
+        cnt_refs = _block_refs(
+            prefix_rows.map_batches(bucket_counts, batch_format="pyarrow", batch_size=None)
+        )
+        if cnt_refs:
+            cnt_tbl = ray.get(_tree_reduce(cnt_refs, _merge_df.remote))
+            m = cnt_tbl.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+            cand_bound = int((m * (m - 1) / 2).sum())
+        else:
+            cand_bound = 0
+        total_pairs = n_docs * (n_docs - 1) / 2
+        dense_indicated = total_pairs > 0 and cand_bound > dense_route_factor * total_pairs
+        if dense_indicated and vocab_size <= dense_max_vocab:
+            chosen = "dense"
+        else:
+            chosen = "prefix"
+            if dense_indicated:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "similarity_join: candidate bound %d ≈ all pairs but the "
+                    "vocabulary (%d) exceeds dense_max_vocab=%d — staying on "
+                    "the capped prefix tier; minhash_dedup is the scale path",
+                    cand_bound, vocab_size, dense_max_vocab,
+                )
+    elif tier == "dense" and vocab_size > dense_max_vocab:
+        raise ValueError(
+            f"dense tier needs vocab ({vocab_size}) <= dense_max_vocab "
+            f"({dense_max_vocab}): per-block matrices are n×vocab"
+        )
+    if stats_out is not None:
+        stats_out["tier"] = chosen
+        stats_out["vocab_size"] = vocab_size
+        stats_out["n_docs"] = n_docs
+        if cand_bound is not None:
+            stats_out["candidate_bound"] = cand_bound
+    if chosen == "dense":
+        if tier == "auto":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "similarity_join: prefix candidate bound %d > %.0f%% of all "
+                "%d-doc pairs — routing to the exact dense tier (vocab %d)",
+                cand_bound, dense_route_factor * 100, n_docs, vocab_size,
+            )
+        return _dense_pairs(sets, toks_sorted, threshold, round_to, id_col, n_docs)
 
     pair_schema = [("id_a", pa.int64()), ("id_b", pa.int64())]
 

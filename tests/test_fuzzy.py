@@ -83,7 +83,8 @@ def test_truncation_is_counted_never_silent():
     })
     stats: dict = {}
     out = similarity_join(
-        ray.data.from_pandas(df), 0.3, max_bucket_pairs=3, stats_out=stats
+        ray.data.from_pandas(df), 0.3, max_bucket_pairs=3, stats_out=stats,
+        tier="prefix",  # this test exercises the capped prefix path
     ).to_pandas()
     assert stats["truncated_tokens"] > 0 and stats["truncated_pairs"] > 0
     assert stats["candidate_pairs"] >= len(out)
@@ -107,3 +108,56 @@ def test_validation():
         similarity_join(ds, 0.0)
     with pytest.raises(ValueError, match="ngram"):
         similarity_join(ds, 0.5, ngram=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("th", [0.5, 0.8])
+def test_dense_tier_equals_prefix_tier_and_bruteforce(th):
+    """The dense tier is EXACT: forced dense == forced prefix == brute
+    force on the same corpus, bit-for-bit after normalization."""
+    df = _corpus(seed=13, n_base=80, n_dups=30)
+    ds = ray.data.from_pandas(df).repartition(5)
+    stats: dict = {}
+    dense = _norm(similarity_join(ds, th, tier="dense", stats_out=stats).to_pandas())
+    assert stats["tier"] == "dense"
+    prefix = _norm(similarity_join(ds, th, tier="prefix").to_pandas())
+    exp = _norm(_brute(df, th))
+    pd.testing.assert_frame_equal(dense, exp)
+    pd.testing.assert_frame_equal(prefix, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_routes_dense_on_dense_corpus_and_reports():
+    """A mutually-similar tiny-vocab corpus must auto-route to the dense
+    tier (counter-reported) and still return the exact answer."""
+    rng = np.random.default_rng(3)
+    # every doc shares a long common core -> median pairwise sim is high
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [core + " " + "".join(rng.choice(list("abc"), 6)) for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype="int64"), "text": texts})
+    stats: dict = {}
+    got = _norm(similarity_join(
+        ray.data.from_pandas(df).repartition(4), 0.8, stats_out=stats
+    ).to_pandas())
+    assert stats["tier"] == "dense"
+    assert stats["candidate_bound"] > 0.25 * (120 * 119 / 2)
+    pd.testing.assert_frame_equal(got, _norm(_brute(df, 0.8)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_stays_prefix_on_sparse_corpus():
+    """A diverse corpus (wide vocab, low pairwise overlap — the realistic
+    regime) keeps the prefix tier: pruning works there."""
+    rng = np.random.default_rng(21)
+    alpha = list("abcdefghijklmnopqrstuvwxyz0123456789 ")
+    texts = ["".join(rng.choice(alpha, 60)) for _ in range(90)]
+    for i in range(10):  # planted near-copies so the answer is non-empty
+        texts.append(texts[i][:-2] + "zq")
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    stats: dict = {}
+    got = _norm(similarity_join(
+        ray.data.from_pandas(df), 0.8, stats_out=stats
+    ).to_pandas())
+    assert stats["tier"] == "prefix"
+    pd.testing.assert_frame_equal(got, _norm(_brute(df, 0.8)))
