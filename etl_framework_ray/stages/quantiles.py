@@ -144,21 +144,28 @@ def rank_select_quantiles(
     element at sorted rank ``floor(q × (n−1))``, where n counts NON-NULL
     values (nulls are excluded, like SQL aggregate quantiles; an all-null
     or empty column returns an empty table). Returns a small Arrow table
-    ``(q, v)``."""
-    import pyarrow.compute as pc
+    ``(q, v)``.
 
-    pruned = (
-        ds.select_columns([col])
-        .map_batches(
-            lambda b: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
-        )
-        .materialize()  # re-scanned per pass
+    Pass count (nothing is pinned in the object store — ``pruned`` is a
+    LAZY column-pruned read, re-executed per pass, which streams at any
+    scale where a full-column ``materialize()`` could not): 1 fused
+    (n, min, max) aggregate + 1 level-0 histogram + 1 batched bucket
+    collect, plus 2 more per refinement LEVEL (histogram + collect) for
+    the rare buckets over ``collect_limit``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    pruned = ds.select_columns([col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(col))), batch_format="pyarrow"
+    )  # lazy: re-executed per pass (see docstring)
+    agg = pruned.aggregate(
+        Count(alias_name="n"), Min(col, alias_name="mn"), Max(col, alias_name="mx")
     )
-    n = pruned.count()
+    n = int(agg["n"] or 0)
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()), "v": pa.array([], pa.float64())})
-    mn = float(pruned.min(col))
-    mx = float(pruned.max(col))
+    mn = float(agg["mn"])
+    mx = float(agg["mx"])
     # one level-0 histogram pass serves EVERY quantile; only refinements
     # and the final bucket collects are per-rank
     hist0 = (
@@ -203,21 +210,23 @@ def grouped_rank_select_quantiles(
     moves); only groups whose winning bucket exceeds ``collect_limit``
     pay further group-filtered refinement passes. Designed for
     low-cardinality group columns (segments, event types, languages) —
-    for millions of groups use an aggregate sketch instead."""
-    import pyarrow.compute as pc
+    for millions of groups use an aggregate sketch instead.
 
+    Pass count (NOTHING is pinned — ``pruned`` is a lazy column-pruned
+    read re-executed per pass; a ``materialize()`` here would pin the
+    whole 2-column table in the object store, which cannot stream at
+    100 TB): 1 per-group (n, min, max) groupby + 1 all-groups histogram
+    + 1 batched terminal-bucket collect, plus 2 per refinement level for
+    the rare over-populated (group, q) buckets."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Min
 
-    pruned = (
-        ds.select_columns([group_col, col])
-        .map_batches(
-            lambda b: b.filter(
-                pc.and_(pc.is_valid(b.column(col)), pc.is_valid(b.column(group_col)))
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()  # re-scanned per pass
-    )
+    pruned = ds.select_columns([group_col, col]).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b.column(col)), pc.is_valid(b.column(group_col)))
+        ),
+        batch_format="pyarrow",
+    )  # lazy: re-executed per pass (see docstring)
     g_type = pruned.schema().base_schema.field(group_col).type
     stats = pruned.groupby(group_col).aggregate(
         Count(alias_name="n"), Min(col, alias_name="mn"), Max(col, alias_name="mx")
