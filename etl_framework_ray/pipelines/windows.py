@@ -26,22 +26,65 @@ import pyarrow as pa
 import ray
 
 
+def _epoch_seconds(batch: pa.Table) -> "np.ndarray":
+    """Unit-safe TRUNCATING epoch seconds of ``ts``: normalize to [us]
+    then floor-divide (a datetime64[s] cast ROUNDS sub-seconds — boundary
+    events would land in the next window vs SQL's epoch() truncation)."""
+    import numpy as np
+
+    ts = batch.column("ts").cast(pa.timestamp("us"))
+    return ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+        np.int64
+    ) // 1_000_000
+
+
+def _grouped_window_partial(
+    batch: pa.Table, win_starts: "np.ndarray", row_idx: "np.ndarray"
+) -> pa.Table:
+    """Arrow/numpy pre-aggregation of (event_type, window_start) →
+    (n_events, sum_value) for one batch — no pandas round-trip. ``row_idx``
+    maps each (replicated) window row back to its source row; composite
+    group ids come from two ``np.unique`` inverse passes, counts and sums
+    from ``np.bincount``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    et = batch.column("event_type")
+    enc = pc.dictionary_encode(
+        et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[row_idx]
+    vals = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)[
+        row_idx
+    ]
+    vals = np.where(np.isnan(vals), 0.0, vals)  # sum skips nulls, size counts them
+    uw, wi = np.unique(win_starts, return_inverse=True)
+    key = codes * len(uw) + wi
+    uk, inv = np.unique(key, return_inverse=True)
+    return pa.table(
+        {
+            "event_type": enc.dictionary.take(pa.array(uk // len(uw))),
+            "window_start": pa.array(uw[uk % len(uw)] * 1_000_000).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(np.bincount(inv), pa.int64()),
+            "sum_value": pa.array(np.bincount(inv, weights=vals), pa.float64()),
+        }
+    )
+
+
 def tumbling_counts(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
-    """Events per (event_type, tumbling window): count + value sum."""
+    """Events per (event_type, tumbling window): count + value sum.
+    Partials are Arrow/numpy-native (dictionary-encode + bincount — the
+    same pattern session_windows got in round 4; no pandas round-trip)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        # unit-safe TRUNCATING epoch seconds: normalize to [us] then floor-
-        # divide (pandas' datetime64[s] cast ROUNDS sub-seconds — boundary
-        # events would land in the next window vs SQL's epoch() truncation)
-        epoch_s = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
-        df["window_start"] = pd.to_datetime((epoch_s // window_s) * window_s, unit="s")
-        g = (
-            df.groupby(["event_type", "window_start"], sort=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-            .reset_index()
+        import numpy as np
+
+        win = (_epoch_seconds(batch) // window_s) * window_s
+        return _grouped_window_partial(
+            batch, win, np.arange(batch.num_rows, dtype=np.int64)
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -89,26 +132,13 @@ def hopping_counts(
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        df = batch.to_pandas()
-        epoch_s = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
-        last_start = (epoch_s // hop_s) * hop_s
-        n = len(df)
-        starts = np.repeat(last_start.to_numpy(), m) - np.tile(
+        last_start = (_epoch_seconds(batch) // hop_s) * hop_s
+        n = batch.num_rows
+        starts = np.repeat(last_start, m) - np.tile(
             np.arange(m, dtype=np.int64) * hop_s, n
         )
-        rep = pd.DataFrame(
-            {
-                "event_type": np.repeat(df["event_type"].to_numpy(), m),
-                "window_start": pd.to_datetime(starts, unit="s"),
-                "value": np.repeat(df["value"].to_numpy(), m),
-            }
-        )
-        g = (
-            rep.groupby(["event_type", "window_start"], sort=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        return _grouped_window_partial(batch, starts, row_idx)
 
     from ray.data.aggregate import Sum
 
