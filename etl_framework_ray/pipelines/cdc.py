@@ -1773,9 +1773,23 @@ class CDCEngine:
         Stop conditions (both optional; pass neither to follow forever):
         ``max_polls`` bounds total polls, ``idle_stop_polls`` stops after
         that many CONSECUTIVE empty polls (drain-then-exit for batch
-        catch-up jobs). ``replay_kw`` forwards to :meth:`replay`
-        (``pipelined=True`` keeps the pool busy across epoch boundaries
-        within one poll). Returns the aggregate stats over all polls."""
+        catch-up jobs). ``replay_kw`` forwards to :meth:`replay`.
+
+        ``pipelined=True`` (ray exchange) pipelines ACROSS poll
+        boundaries, not just within one replay: while epoch N applies,
+        the tailer re-lists the log and prefetches the map round of
+        whatever segment arrived in the meantime — a fast producer never
+        stalls the poll cycle behind reduce+commit. Epoch boundaries may
+        differ from the serial tail (an epoch forms from the segments
+        visible at prefetch time), which is already the resume contract —
+        exactly-once is by watermark, never by boundary. Returns the
+        aggregate stats over all polls."""
+        if replay_kw.get("pipelined") and self.exchange == "ray":
+            kw = dict(replay_kw)
+            kw.pop("pipelined")
+            return self._tail_pipelined(
+                changelog, poll_s, max_polls, idle_stop_polls, views, **kw
+            )
         total = ReplayStats()
         polls = idle = 0
         while True:
@@ -1796,6 +1810,109 @@ class CDCEngine:
                 return total
             if poll_s > 0:
                 time.sleep(poll_s)
+
+    def _tail_pipelined(
+        self,
+        changelog: ChangeLog,
+        poll_s: float,
+        max_polls: int | None,
+        idle_stop_polls: int | None,
+        views: list | None,
+        segments_per_epoch: int = 4,
+        vacuum: bool = True,
+        auto_mitigate_skew: bool = False,
+    ) -> ReplayStats:
+        """The cross-poll pipelined tail loop (see :meth:`tail`): one
+        persistent prefetch window that survives poll boundaries. The
+        re-list while an epoch applies is what removes the serial tail's
+        bubble (apply → sleep → list → prep from cold); commits stay
+        strictly serialized through :meth:`apply_epoch`, so exactly-once
+        and crash-resume semantics are identical to the serial loop.
+        A poll = one listing attempt made with the queue empty; views
+        advance when the queue drains (same "within one poll of epochs"
+        retention shape as the serial tail)."""
+        total = ReplayStats()
+        t0 = time.perf_counter()
+        polls = idle = 0
+        applied_since_advance = 0
+        public = self._public_schema()
+        queue: list = []  # listed-but-not-prepped epochs
+        pending: tuple | None = None  # (epoch, schemas, prep) in flight
+        listed_through = self.manifest.applied_lsn  # newest lsn we've listed
+        any_applied = False
+
+        def _drain_views() -> None:
+            nonlocal applied_since_advance
+            if applied_since_advance and views:
+                for v in views:
+                    v.advance()
+            applied_since_advance = 0
+
+        while True:
+            if pending is None and not queue:
+                queue = changelog.epochs(segments_per_epoch, after_lsn=listed_through)
+                polls += 1
+                if not queue:
+                    _drain_views()
+                    idle += 1
+                    if max_polls is not None and polls >= max_polls:
+                        break
+                    if idle_stop_polls is not None and idle >= idle_stop_polls:
+                        break
+                    if poll_s > 0:
+                        time.sleep(poll_s)
+                    continue
+                idle = 0
+                listed_through = queue[-1].epoch_id
+                if max_polls is not None and polls >= max_polls:
+                    # honor the bound but finish what this poll listed
+                    max_polls = polls
+            if pending is None:
+                ep = queue.pop(0)
+                schemas = self._epoch_schemas(ep, public)
+                prep = self._submit_prep(ep, schemas[0])
+            else:
+                ep, schemas, prep = pending
+                pending = None
+            next_public = pa.schema(
+                [f for f in schemas[1] if f.name not in (LSN_COL, DELETED_COL)]
+            )
+            # prefetch the NEXT epoch while this one applies — re-listing
+            # the log when the local queue is dry, so segments that arrive
+            # DURING the apply overlap with it instead of waiting a poll
+            if not queue:
+                fresh = changelog.epochs(segments_per_epoch, after_lsn=listed_through)
+                if fresh:
+                    queue = fresh
+                    listed_through = queue[-1].epoch_id
+                    polls += 1
+                    idle = 0
+            if queue:
+                nxt = queue.pop(0)
+                nschemas = self._epoch_schemas(nxt, next_public)
+                pending = (nxt, nschemas, self._submit_prep(nxt, nschemas[0]))
+            info = self.apply_epoch(ep, _precomputed=(schemas, prep))
+            public = next_public
+            if info is None:
+                total.epochs_skipped += 1
+            else:
+                any_applied = True
+                applied_since_advance += 1
+                total.epochs_applied += 1
+                total.events += info["events"]
+                total.schema_changes.extend(info["schema_changes"])
+                if auto_mitigate_skew and self.mitigate_skew(epoch_id=ep.epoch_id):
+                    if pending is not None:
+                        nxt, nschemas, _stale = pending
+                        pending = (nxt, nschemas, self._submit_prep(nxt, nschemas[0]))
+            if pending is None and not queue:
+                _drain_views()
+                if max_polls is not None and polls >= max_polls:
+                    break
+        total.seconds = time.perf_counter() - t0
+        if vacuum and any_applied:
+            self.store.vacuum(self.manifest)
+        return total
 
     def snapshot(
         self,

@@ -287,3 +287,96 @@ def test_replay_and_resume_on_cas_commit_backend(tmp_path):
     assert eng2.snapshot_arrow().equals(ref.snapshot_arrow())
     # no POSIX manifest dir was ever created on the CAS backend
     assert not os.path.exists(os.path.join(str(tmp_path / "tbl"), "_manifest"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipelined_tail_equals_serial_and_oracle(tmp_path):
+    """The cross-poll pipelined tail (pipelined=True) must end in exactly
+    the serial tail's committed state: drain a half-staged log, grow it,
+    drain again, compare to the oracle; re-tailing is a no-op; a view
+    attached to the pipelined tail equals a from-scratch rebuild."""
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+    from etl_framework_ray.sources.generator import oracle_replay
+
+    log = generate_changelog(GenConfig(num_events=4000, seed=77))
+    half = log.num_rows // 2
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, half), segment_rows=500)
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+
+    s1 = eng.tail(
+        clog, poll_s=0, idle_stop_polls=1, segments_per_epoch=1,
+        pipelined=True, views=[view],
+    )
+    assert s1.epochs_applied > 0
+    mid_lsn = eng.manifest.applied_lsn
+    assert view.read_arrow().num_rows > 0  # advanced inside the tail
+
+    clog.write_segments(log.slice(half), segment_rows=500)
+    s2 = eng.tail(
+        clog, poll_s=0, idle_stop_polls=2, segments_per_epoch=1,
+        pipelined=True, views=[view],
+    )
+    assert s2.epochs_applied > 0
+    assert eng.manifest.applied_lsn > mid_lsn
+
+    oracle = oracle_replay(log)
+    state = eng.snapshot_arrow().to_pylist()
+    assert len(state) == len(oracle)
+    for row, k in zip(state, sorted(oracle)):
+        assert (row["conv_id"], row["turn_idx"]) == k
+        assert row["text"] == oracle[k]["text"]
+
+    # the view kept by the pipelined tail == a from-scratch rebuild
+    fresh = IncrementalRollup(eng, str(tmp_path / "view2"))
+    fresh.rebuild()
+    a = view.read_arrow().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = fresh.read_arrow().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+    s3 = eng.tail(clog, poll_s=0, idle_stop_polls=1, segments_per_epoch=1, pipelined=True)
+    assert s3.epochs_applied == 0 and s3.events == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipelined_tail_overlaps_midflight_arrivals(tmp_path):
+    """Segments that appear WHILE the pipelined tail is applying are
+    picked up by the in-flight re-list (no extra sleep cycle) and the
+    final state still equals the oracle."""
+    import pyarrow.parquet as _pq
+
+    from etl_framework_ray.sources.generator import oracle_replay
+
+    log = generate_changelog(GenConfig(num_events=3000, seed=55))
+    third = log.num_rows // 3
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, third), segment_rows=250)
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4)
+    orig_apply = eng.apply_epoch
+    grown = {"n": 0}
+
+    def apply_and_grow(epoch, **kw):
+        # producer races the applier: new segments land mid-apply
+        if grown["n"] == 0:
+            clog.write_segments(log.slice(third, third), segment_rows=250)
+        elif grown["n"] == 1:
+            clog.write_segments(log.slice(2 * third), segment_rows=250)
+        grown["n"] += 1
+        return orig_apply(epoch, **kw)
+
+    eng.apply_epoch = apply_and_grow
+    stats = eng.tail(
+        clog, poll_s=0, idle_stop_polls=2, segments_per_epoch=2, pipelined=True
+    )
+    eng.apply_epoch = orig_apply
+    assert stats.epochs_applied > 0
+    oracle = oracle_replay(log)
+    state = eng.snapshot_arrow().to_pylist()
+    assert len(state) == len(oracle)
+    for row, k in zip(state, sorted(oracle)):
+        assert (row["conv_id"], row["turn_idx"]) == k
+        assert row["text"] == oracle[k]["text"]
