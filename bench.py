@@ -1133,6 +1133,77 @@ def run_relops() -> dict:
     }
 
 
+def run_refmatrix() -> dict:
+    """Direct-exchange ref-matrix headroom (round-4 verdict #5): the map
+    round emits segments × partitions object refs per epoch; this leg
+    replays ONE fixed epoch (32 segments, BENCH_REFMATRIX_EVENTS events)
+    at rising partition counts under BOTH exchanges and reports where the
+    direct exchange knees against the consolidated sort exchange — the
+    measurement behind CDCEngine's ``auto_sort_refs`` default."""
+    gb0 = _ambient_gbps()
+    ray = _bench_session()
+
+    from etl_framework_ray.pipelines.cdc import CDCEngine
+    from etl_framework_ray.sources.changelog import ChangeLog
+    from etl_framework_ray.sources.generator import GenConfig, generate_changelog
+
+    n = int(os.environ.get("BENCH_REFMATRIX_EVENTS", "1000000"))
+    segs = 32
+    d = f"/tmp/etl_bench_cache/refmatrix-{n}/changelog"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        log = generate_changelog(
+            GenConfig(num_events=n, num_conversations=max(1000, n // 50), seed=7,
+                      hot_key_frac=0.1, out_of_order=True)
+        )
+        ChangeLog(d).write_segments(log, segment_rows=n // segs)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+        del log
+    runs = []
+    for p in (64, 256, 1024, 4096):
+        for mode in ("ray", "sort"):
+            work = tempfile.mkdtemp(prefix="refmatrix_")
+            eng = CDCEngine(
+                os.path.join(work, "t"), num_partitions=p, exchange=mode,
+                auto_sort_refs=None, compact_every=1_000_000,
+            )
+            t0 = time.perf_counter()
+            st = eng.replay(ChangeLog(d), segments_per_epoch=segs, vacuum=False)
+            dt = time.perf_counter() - t0
+            assert st.epochs_applied == 1 and st.events >= n  # generator pads a little
+            runs.append(
+                {
+                    "partitions": p,
+                    "exchange": mode,
+                    "refs_per_epoch": segs * p,
+                    "sec": round(dt, 2),
+                    "events_per_sec": round(st.events / dt),
+                }
+            )
+            shutil.rmtree(work, ignore_errors=True)
+    # knee: the smallest ref matrix where the direct exchange loses to sort
+    knee = None
+    by_p: dict = {}
+    for r in runs:
+        by_p.setdefault(r["partitions"], {})[r["exchange"]] = r
+    for p in sorted(by_p):
+        pair = by_p[p]
+        if pair["ray"]["sec"] > pair["sort"]["sec"] and knee is None:
+            knee = pair["ray"]["refs_per_epoch"]
+    out = {
+        "metric": "refmatrix_knee_refs_per_epoch",
+        "value": knee,
+        "unit": "refs (segments x partitions)",
+        "events": n,
+        "segments_per_epoch": segs,
+        "runs": runs,
+        "num_cpus": NUM_CPUS,
+        "ambient_membench_gbps": gb0,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_fuzzy() -> dict:
     """Exact similarity self-join over the FULL documents table (the
     round-4 verdict's weak spot: the synthetic 377-trigram vocabulary is
@@ -1203,5 +1274,7 @@ if __name__ == "__main__":
         print(json.dumps(run_relops()))
     elif "--fuzzy" in sys.argv:
         print(json.dumps(run_fuzzy()))
+    elif "--refmatrix" in sys.argv:
+        print(json.dumps(run_refmatrix()))
     else:
         print(json.dumps(run_bench()))

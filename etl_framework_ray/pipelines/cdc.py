@@ -32,10 +32,20 @@ partition-local by design).
 Two exchange implementations (``exchange=`` ctor arg):
 - ``"ray"`` (default): the direct two-round map/reduce above — minimal
   scheduling rounds; assumes segments_per_epoch × num_partitions object
-  refs stay bounded (≲1e5 per epoch).
+  refs stay bounded.
 - ``"sort"``: ``Dataset.groupby("pid").map_groups`` sort-shuffle — more
   fixed cost per epoch, but consolidates for cluster-scale epochs where
   the ref-matrix would explode.
+
+The crossover is MEASURED, not assumed (``bench --refmatrix``: one 1M-
+event epoch of 32 segments at P ∈ {64…4096} under both exchanges): the
+direct exchange wins through 8 192 refs/epoch, loses from 32 768
+(1.75 s vs 1.33 s) and collapses at 131 072 (7.7 s vs 2.4 s — the
+scheduler knees on the ref matrix). ``auto_sort_refs`` (ctor, default
+the measured 32 768 knee) routes any epoch past the bound through the
+sort exchange automatically — counted in ``auto_sort_switches`` and
+logged, never silent; pipelined replay/tail gate their prefetch on the
+same bound.
 
 Scale notes (100 TB): ``num_partitions`` bounds the merge unit — size it
 so one partition's live data fits a worker (4096+ partitions for a 100 TB
@@ -1199,6 +1209,7 @@ class CDCEngine:
         dq_mode: str | None = None,
         event_transform=None,
         commit_backend=None,
+        auto_sort_refs: int | None = 32_768,
     ):
         self.table_dir = table_dir
         self.spec = spec
@@ -1227,6 +1238,15 @@ class CDCEngine:
         if exchange not in ("ray", "sort"):
             raise ValueError(f"exchange must be 'ray' or 'sort', got {exchange!r}")
         self.exchange = exchange
+        #: direct-exchange ref-matrix guard: an epoch's map round emits
+        #: segments × num_partitions object refs; past this bound the
+        #: scheduler knees (measured: `bench --refmatrix`, BASELINE.md
+        #: round 5) and the epoch auto-routes to the "sort" exchange,
+        #: counted in :attr:`auto_sort_switches` and logged once.
+        #: None disables the auto-switch (always honor ``exchange``).
+        self.auto_sort_refs = auto_sort_refs
+        self.auto_sort_switches = 0
+        self._auto_sort_warned = False
         #: tombstone GC horizon: at compaction, delete-markers whose _lsn is
         #: more than this many LSNs behind the epoch watermark are dropped.
         #: A tombstone only matters while an OLDER event for its key can
@@ -1462,6 +1482,36 @@ class CDCEngine:
         return refs
 
     # ------------------------------------------------------------------
+    def _ray_refs_ok(self, n_segments: int) -> bool:
+        """True when an epoch of ``n_segments`` stays within the direct
+        exchange's ref-matrix bound (pure predicate — no counters)."""
+        return (
+            self.auto_sort_refs is None
+            or n_segments * self.manifest.num_partitions <= self.auto_sort_refs
+        )
+
+    def _effective_exchange(self, n_segments: int) -> str:
+        """The exchange an epoch of ``n_segments`` actually uses: "ray"
+        until the ref matrix (segments × partitions) crosses
+        ``auto_sort_refs``, then "sort" — counted and logged, never
+        silent. Callers that prefetched a "ray" map round (pipelined
+        replay/tail) gate on the same bound before prefetching."""
+        if self.exchange != "ray" or self._ray_refs_ok(n_segments):
+            return self.exchange
+        refs = n_segments * self.manifest.num_partitions
+        self.auto_sort_switches += 1
+        if not self._auto_sort_warned:
+            self._auto_sort_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "CDCEngine: epoch ref-matrix %d (= %d segments × %d partitions) "
+                "exceeds auto_sort_refs=%d — using the consolidated 'sort' "
+                "exchange for such epochs (see bench --refmatrix / BASELINE.md)",
+                refs, n_segments, self.manifest.num_partitions, self.auto_sort_refs,
+            )
+        return "sort"
+
     def apply_epoch(self, epoch: Epoch, _precomputed: tuple | None = None) -> dict | None:
         """Apply one epoch exactly once. Returns commit info, or ``None`` if
         the epoch is already committed (resume / duplicate delivery).
@@ -1499,7 +1549,11 @@ class CDCEngine:
             }
         )
 
-        if self.exchange == "ray":
+        use_exchange = (
+            "ray" if pre_prep is not None  # prefetched map round: already routed
+            else self._effective_exchange(len(epoch.segments))
+        )
+        if use_exchange == "ray":
             # direct hash exchange: one map task per segment (hash-split by
             # conv_id via num_returns), one reduce task per partition
             prep_refs = pre_prep if pre_prep is not None else self._submit_prep(epoch, chg_schema)
@@ -1692,7 +1746,9 @@ class CDCEngine:
         stats = ReplayStats()
         t0 = time.perf_counter()
         epochs = changelog.epochs(segments_per_epoch, after_lsn=self.manifest.applied_lsn)
-        if not (pipelined and self.exchange == "ray"):
+        if not (
+            pipelined and self.exchange == "ray" and self._ray_refs_ok(segments_per_epoch)
+        ):
             for epoch in epochs:
                 info = self.apply_epoch(epoch)
                 if info is None:
@@ -1784,7 +1840,11 @@ class CDCEngine:
         visible at prefetch time), which is already the resume contract —
         exactly-once is by watermark, never by boundary. Returns the
         aggregate stats over all polls."""
-        if replay_kw.get("pipelined") and self.exchange == "ray":
+        if (
+            replay_kw.get("pipelined")
+            and self.exchange == "ray"
+            and self._ray_refs_ok(replay_kw.get("segments_per_epoch", 4))
+        ):
             kw = dict(replay_kw)
             kw.pop("pipelined")
             return self._tail_pipelined(

@@ -102,3 +102,30 @@ def test_compaction_composes_with_schema_evolution(tmp_path):
     for r in got:
         exp = oracle[(r["conv_id"], r["turn_idx"])]
         assert r["text"] == exp["text"] and r["tool"] == exp["tool"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_sort_switch_past_ref_bound(tmp_path):
+    """An epoch whose ref matrix (segments × partitions) exceeds
+    auto_sort_refs must route through the 'sort' exchange — counted,
+    state identical to the pure-ray engine; pipelined replay respects
+    the same bound (no prefetched ray map round sneaks past it)."""
+    log = generate_changelog(GenConfig(num_events=4000, num_conversations=80, seed=21))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)  # 4 segments
+
+    ref = CDCEngine(str(tmp_path / "ref"), num_partitions=4, auto_sort_refs=None)
+    ref.replay(clog, segments_per_epoch=2)
+    assert ref.auto_sort_switches == 0
+
+    # 2 segments × 4 partitions = 8 refs > bound of 7 → every epoch sorts
+    a = CDCEngine(str(tmp_path / "a"), num_partitions=4, auto_sort_refs=7)
+    a.replay(clog, segments_per_epoch=2, pipelined=True)
+    assert a.auto_sort_switches == 2
+    assert a.snapshot_arrow().equals(ref.snapshot_arrow())
+
+    # under the bound: stays on the direct exchange
+    b = CDCEngine(str(tmp_path / "b"), num_partitions=4, auto_sort_refs=8)
+    b.replay(clog, segments_per_epoch=2)
+    assert b.auto_sort_switches == 0
+    assert b.snapshot_arrow().equals(ref.snapshot_arrow())
