@@ -161,3 +161,30 @@ def test_auto_stays_prefix_on_sparse_corpus():
     ).to_pandas())
     assert stats["tier"] == "prefix"
     pd.testing.assert_frame_equal(got, _norm(_brute(df, 0.8)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dense_tier_property_random_corpora():
+    """Fuzz the dense tier: random corpora across density regimes and
+    thresholds must equal brute force exactly (seeded loop — hypothesis
+    adds little over seeds here and the Ray session makes per-example
+    shrinking expensive)."""
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        th = [0.4, 0.6, 0.75, 0.9][seed]
+        vocab_sz = [4, 12, 30, 200][seed]  # denser -> sparser
+        vocab = [
+            "".join(rng.choice(list("abcdefghijklmnop"), 4)) for _ in range(vocab_sz)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 12))) for _ in range(50)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}
+        )
+        raw = similarity_join(
+            ray.data.from_pandas(df).repartition(3), th, tier="dense"
+        ).to_pandas()
+        if raw.empty:  # a 0-row Dataset drops its column names in pandas
+            raw = pd.DataFrame(columns=["id_a", "id_b", "sim"])
+        pd.testing.assert_frame_equal(_norm(raw), _norm(_brute(df, th)))
