@@ -129,3 +129,43 @@ def test_auto_sort_switch_past_ref_bound(tmp_path):
     b.replay(clog, segments_per_epoch=2)
     assert b.auto_sort_switches == 0
     assert b.snapshot_arrow().equals(ref.snapshot_arrow())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_exchange_parity_event_transform_and_multisource(tmp_path):
+    """The sort exchange (now the auto-selected path past the ref-matrix
+    bound) must agree with the direct exchange on the two remaining
+    feature planes it lacked parity tests for: the map-side event
+    transform (SCD2 history envelope) and the multi-source merged feed."""
+    from etl_framework_ray.pipelines.history import HistoryTable
+    from etl_framework_ray.sources.multisource import MultiSourceFeed
+
+    log = generate_changelog(
+        GenConfig(num_events=5000, num_conversations=100, seed=33, out_of_order=True)
+    )
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+
+    # event_transform (history envelope) under both exchanges
+    ha = HistoryTable(str(tmp_path / "ha"), num_partitions=4, exchange="ray")
+    ha.replay(clog, segments_per_epoch=2)
+    hb = HistoryTable(str(tmp_path / "hb"), num_partitions=4, exchange="sort")
+    hb.replay(clog, segments_per_epoch=2)
+    assert ha.read_arrow().equals(hb.read_arrow())
+
+    # multisource merged feed under both exchanges
+    n = log.num_rows
+    shard_a = ChangeLog(str(tmp_path / "sa"))
+    shard_a.write_segments(log.slice(0, n // 2), segment_rows=700)
+    shard_b = ChangeLog(str(tmp_path / "sb"))
+    shard_b.write_segments(log.slice(n // 2), segment_rows=700)
+    outs = []
+    for mode in ("ray", "sort"):
+        feed = MultiSourceFeed(
+            [str(tmp_path / "sa"), str(tmp_path / "sb")],
+            str(tmp_path / f"merged_{mode}"),
+        )
+        eng = CDCEngine(str(tmp_path / f"ms_{mode}"), num_partitions=4, exchange=mode)
+        eng.replay(feed, segments_per_epoch=2)
+        outs.append(eng.snapshot_arrow())
+    assert outs[0].equals(outs[1])
