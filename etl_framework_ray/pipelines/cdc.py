@@ -1980,8 +1980,18 @@ class CDCEngine:
         columns: list[str] | None = None,
         predicate: list | None = None,
         prune_stats: dict | None = None,
+        version: int | None = None,
+        as_of_ts: float | None = None,
     ) -> "ray.data.Dataset":
         """Committed live rows as a streaming Dataset.
+
+        ``version`` / ``as_of_ts`` time-travel the STREAMING reader to an
+        older committed manifest (same semantics as ``snapshot_arrow``:
+        every commit leaves its manifest snapshot; valid until vacuum
+        removes the superseded data files) — at 100 TB this path, not the
+        driver-side Arrow read, is how time travel is actually consumed.
+        The projected schema is the RESOLVED version's (a snapshot taken
+        before a schema evolution has the old columns).
 
         Merge-on-read: each task resolves ONE hash partition — reads its
         manifest-listed base+delta files, LWW-reduces, drops tombstones,
@@ -2021,8 +2031,20 @@ class CDCEngine:
 
         ``prune_stats`` (optional dict) receives the skip counters:
         ``partitions_total/read``, ``files_total/read``."""
-        public = self._public_schema()
-        man = self.manifest
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.store.version_at(as_of_ts)
+            if version is None:
+                raise ValueError(
+                    f"no version of {self.table_dir!r} was committed at or "
+                    f"before ts={as_of_ts}"
+                )
+        man = self.manifest if version is None else self.store.load(version)
+        full_public = pa.schema(
+            [f for f in man.schema if f.name not in (LSN_COL, DELETED_COL)]
+        )
+        public = full_public
         if columns is not None:
             bad = [c for c in columns if c not in public.names]
             if bad:
@@ -2033,13 +2055,13 @@ class CDCEngine:
         predicate = list(predicate or [])
         if predicate:
             zone.validate_predicate(predicate)
-            bad = [c[0] for c in predicate if c[0] not in self._public_schema().names]
+            bad = [c[0] for c in predicate if c[0] not in full_public.names]
             if bad:
                 raise ValueError(
                     f"predicate on unknown or internal columns {bad}; "
-                    f"available: {self._public_schema().names}"
+                    f"available: {full_public.names}"
                 )
-        key_cols = self.key_cols
+        key_cols = tuple(man.primary_key)
         # PK conjuncts may prune FILES under merge-on-read; on a PK-less
         # (append-only, concat) table every conjunct is file-safe
         file_cj, _ = (
@@ -2075,7 +2097,7 @@ class CDCEngine:
             # predicate columns must survive the projected merge even when
             # the caller's output columns don't include them
             pred_cols = [c[0] for c in predicate if c[0] not in columns]
-            lake = pruned_lake_schema(lake, self.key_cols, columns + pred_cols)
+            lake = pruned_lake_schema(lake, key_cols, columns + pred_cols)
 
         def post(t: pa.Table) -> pa.Table:
             if predicate:

@@ -412,3 +412,74 @@ def test_changefeed_since_ts(tmp_path):
     full = eng.changefeed_since_ts(0.0).to_pandas()
     assert len(full) >= len(via_ts)
     assert full["_lsn"].min() >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_snapshot_time_travel_matches_arrow(tmp_path):
+    """snapshot(version=/as_of_ts=) — the STREAMING reader's time travel
+    (the only path that exists at scale) — must equal the driver-side
+    snapshot_arrow at every retained version, project the RESOLVED
+    version's schema across a schema evolution, and compose with column
+    pruning and predicates."""
+    import pyarrow.parquet as pq
+
+    from etl_framework_ray.sources.generator import CHANGELOG_SCHEMA
+
+    log, clog, eng = _setup(tmp_path)
+    epochs = clog.epochs(1)
+    commits = []  # (version, committed_at)
+    for ep in epochs:
+        eng.apply_epoch(ep)
+        commits.append((eng.manifest.version, eng.manifest.committed_at))
+
+    for version, _ts in commits:
+        got = (
+            eng.snapshot(version=version)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = eng.snapshot_arrow(version=version).to_pandas().reset_index(drop=True)
+        assert got.equals(exp), version
+
+    # as_of_ts resolves to the same version the wall-clock saw
+    v_mid, ts_mid = commits[len(commits) // 2]
+    got = eng.snapshot(as_of_ts=ts_mid).to_pandas()
+    assert len(got) == eng.snapshot_arrow(version=v_mid).num_rows
+    with pytest.raises(ValueError, match="not both"):
+        eng.snapshot(version=2, as_of_ts=ts_mid)
+
+    # column pruning + PK predicate still push down on an old version
+    some_conv = eng.snapshot_arrow(version=v_mid).column("conv_id")[0].as_py()
+    stats: dict = {}
+    pruned = eng.snapshot(
+        version=v_mid,
+        columns=["conv_id", "text"],
+        predicate=[("conv_id", "==", some_conv)],
+        prune_stats=stats,
+    ).to_pandas()
+    assert list(pruned.columns) == ["conv_id", "text"]
+    assert len(pruned) and set(pruned["conv_id"]) == {some_conv}
+    assert stats["partitions_read"] <= stats["partitions_total"]
+
+    # schema evolution: a version taken BEFORE a new column exists must
+    # project the OLD schema from the streaming reader
+    pre_evo_version = eng.manifest.version
+    seg = pa.Table.from_pylist(
+        [
+            {
+                "lsn": 1_000_000, "op": "I", "ts": 0, "conv_id": "zz", "turn_idx": 0,
+                "role": "user", "text": "new era", "tool": None, "channel": "api",
+            }
+        ],
+        schema=pa.schema(
+            [*[f.with_nullable(True) for f in CHANGELOG_SCHEMA],
+             pa.field("channel", pa.string())]
+        ),
+    )
+    pq.write_table(seg, str(tmp_path / "log" / "segment-000001000000-000001000000.parquet"))
+    eng.replay(clog)
+    assert "channel" in eng.snapshot().schema().names  # evolved head
+    old = eng.snapshot(version=pre_evo_version)
+    assert "channel" not in old.schema().names
+    assert old.count() == eng.snapshot_arrow(version=pre_evo_version).num_rows
