@@ -2826,7 +2826,13 @@ class CDCEngine:
             "applied_lsn": new_man.applied_lsn,
         }
 
-    def clone(self, dst_dir: str, version: int | None = None, shallow: bool = False) -> dict:
+    def clone(
+        self,
+        dst_dir: str,
+        version: int | None = None,
+        shallow: bool = False,
+        commit_backend=None,
+    ) -> dict:
         """CLONE this table (at ``version``, default current) into a new
         independent table at ``dst_dir`` — Delta-style CREATE TABLE CLONE.
 
@@ -2845,6 +2851,10 @@ class CDCEngine:
         registry is not cloned (floor = cloned watermark: changefeed
         coverage starts at the clone point). Returns the clone's commit
         info; fails loud if ``dst_dir`` already holds a table.
+
+        ``commit_backend``: manifest-log backend for the CLONE (defaults
+        to the SOURCE engine's backend, so a CAS-backed table clones onto
+        the same commit primitives; pass explicitly to cross stores).
         """
         src_man = self.store.load(version) if version is not None else self.manifest
         if src_man is None:
@@ -2855,7 +2865,10 @@ class CDCEngine:
                 f"cannot clone version {src_man.version}: {len(missing)} data "
                 f"files were vacuumed (first: {os.path.basename(missing[0])!r})"
             )
-        dst_store = ManifestStore(dst_dir)
+        dst_store = ManifestStore(
+            dst_dir,
+            backend=commit_backend if commit_backend is not None else self.store.backend,
+        )
         if dst_store.load() is not None:
             raise ValueError(f"{dst_dir!r} already holds a table — refusing to clone over it")
 

@@ -138,3 +138,27 @@ def test_clone_refuses_existing_table(tmp_path):
     _, _, eng = _setup(tmp_path)
     with pytest.raises(ValueError, match="already holds a table"):
         eng.clone(eng.table_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clone_inherits_cas_backend(tmp_path):
+    """A CAS-backed table clones onto the SAME commit primitives: the
+    clone's manifest lives in the shared backend (no POSIX _manifest
+    dir), is readable through it, and the clone replays independently."""
+    from etl_framework_ray.state.backend import MemoryCommitBackend
+    from etl_framework_ray.state.manifest import ManifestStore
+
+    log = generate_changelog(GenConfig(num_events=3000, num_conversations=50, seed=4))
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log, segment_rows=1000)
+    be = MemoryCommitBackend()
+    eng = CDCEngine(str(tmp_path / "src"), num_partitions=4, commit_backend=be)
+    eng.replay(clog, segments_per_epoch=2)
+
+    info = eng.clone(str(tmp_path / "dst"))
+    assert info["src_version"] == eng.manifest.version
+    assert not os.path.exists(os.path.join(str(tmp_path / "dst"), "_manifest"))
+    dst = CDCEngine(str(tmp_path / "dst"), num_partitions=4, commit_backend=be)
+    assert dst.snapshot_arrow().equals(eng.snapshot_arrow())
+    # and the clone's manifest really is in the shared CAS store
+    assert ManifestStore(str(tmp_path / "dst"), backend=be).current_version() is not None
