@@ -1783,13 +1783,103 @@ def _q_langid(sf_dir: str):
 
 
 def _q_quality_score(sf_dir: str):
+    """Heuristic quality scoring — ORACLE-CHECKED (round 5): the score is
+    deterministic regex arithmetic (RE2 counts + a 12-word stopword list
+    + fixed weights), so DuckDB reproduces it exactly on this ASCII
+    corpus; the three float columns snap to 1e-9 on both sides
+    (CLAUDE.md float rule)."""
+    import pyarrow as pa
     import ray.data
 
     from etl_framework_ray.functions.text import QualityScorer
     from etl_framework_ray.stages.util import cached_stage
 
+    import numpy as np
+
+    def snap(batch: pa.Table) -> pa.Table:
+        for col in ("punct_ratio", "stop_ratio", "quality_score"):
+            i = batch.schema.get_field_index(col)
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            batch = batch.set_column(
+                i, col, pa.array(np.round(v * 1e9).astype(np.int64) / 1e9)
+            )
+        return batch
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow").drop_columns(["text"])
+    return (
+        ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow")
+        .drop_columns(["text"])
+        .map_batches(snap, batch_format="pyarrow")
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """LangId is deterministic stopword-hit argmax (ties alphabetical —
+    pandas ``idxmax`` over lexicographically-ordered unstacked columns)
+    with a CJK codepoint-ratio override; every step is SQL on this ASCII
+    corpus (RE2 vs Python-re class semantics agree on ASCII)."""
+    from etl_framework_ray.functions.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH profile(token, lang) AS (VALUES {rows}),
+        toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_extract_all(lower(COALESCE(text, '')), '[^\\W\\d_]+')) AS token
+            FROM documents
+        ), hits AS (
+            SELECT t.doc_id, p.lang, COUNT(*) AS n
+            FROM toks t JOIN profile p ON p.token = t.token
+            GROUP BY t.doc_id, p.lang
+        ), best AS (
+            SELECT doc_id, lang
+            FROM hits
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, lang ASC
+            ) = 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN len(regexp_extract_all(COALESCE(d.text, ''), '[一-鿿]')) * 1.0
+                         / GREATEST(length(COALESCE(d.text, '')), 1) > 0.2
+                    THEN 'zh'
+                    ELSE COALESCE(b.lang, 'unknown')
+               END AS lang_pred
+        FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """
+
+
+def _quality_score_oracle_sql() -> str:
+    from etl_framework_ray.functions.text import _STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    snap = "CAST(ROUND(({x}) * 1000000000) AS BIGINT) / 1000000000.0"
+    return f"""
+        WITH q AS (
+            SELECT doc_id,
+                   GREATEST(length(COALESCE(text, '')), 1) AS n_chars,
+                   len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS n_tokens,
+                   len(regexp_extract_all(COALESCE(text, ''), '[^\\w\\s]')) AS n_punct,
+                   len(list_filter(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'),
+                                   t -> list_contains([{stop}], t))) AS n_stop
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   n_punct * 1.0 / n_chars AS punct_ratio,
+                   n_stop * 1.0 / GREATEST(n_tokens, 1) AS stop_ratio,
+                   SQRT(LEAST(n_tokens, 512) / 512.0) AS len_score
+            FROM q
+        )
+        SELECT doc_id,
+               {snap.format(x="punct_ratio")} AS punct_ratio,
+               {snap.format(x="stop_ratio")} AS stop_ratio,
+               {snap.format(x="0.4 * len_score + 0.3 * (1.0 - LEAST(punct_ratio, 1.0))"
+                              " + 0.3 * LEAST(stop_ratio, 1.0)")} AS quality_score
+        FROM r
+    """
 
 
 def _q_fingerprint(sf_dir: str):
@@ -3200,6 +3290,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "redact_pii": f"""
             SELECT doc_id, {redacted} AS text FROM documents""",
+        "quality_score": _quality_score_oracle_sql(),
+        "langid": _langid_oracle_sql(),
         "decontaminate_docs": """
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
