@@ -1813,6 +1813,40 @@ def _q_quality_score(sf_dir: str):
     )
 
 
+def _lm_perplexity_oracle_sql() -> str:
+    """The bigram LM as SQL (valid because the corpus vocab fits the cut
+    — see _q_lm_perplexity): seq = (prev, cur) per token with a BOS
+    sentinel no real token can equal (tokens never contain spaces)."""
+    from etl_framework_ray.functions.text import TOKEN_PATTERN
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(COALESCE(text, '')), '{TOKEN_PATTERN}') AS t
+            FROM documents
+        ), seq AS (
+            SELECT doc_id, t[i] AS cur,
+                   CASE WHEN i = 1 THEN ' BOS ' ELSE t[i - 1] END AS prev
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        ), uni AS (SELECT cur AS tok, COUNT(*) AS n FROM seq GROUP BY 1),
+        bi AS (SELECT prev, cur, COUNT(*) AS n FROM seq GROUP BY 1, 2),
+        v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        logp AS (
+            SELECT s.doc_id,
+                   log2((b.n + 0.1) / (COALESCE(u.n, 0) + 0.1 * (v.v + 1))) AS lp
+            FROM seq s
+            JOIN bi b ON b.prev = s.prev AND b.cur = s.cur
+            LEFT JOIN uni u ON u.tok = s.prev
+            CROSS JOIN v
+        ), agg AS (
+            SELECT doc_id, POWER(2.0, -AVG(lp)) AS ppl FROM logp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(ROUND(a.ppl * 10000) AS BIGINT) / 10000.0 AS ppl
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
 def _langid_oracle_sql() -> str:
     """LangId is deterministic stopword-hit argmax (ties alphabetical —
     pandas ``idxmax`` over lexicographically-ordered unstacked columns)
@@ -2022,9 +2056,16 @@ def _q_lm_perplexity(sf_dir: str):
     """Bigram-LM perplexity scoring (stages/lm.py — the CCNet-family
     quality filter): train on the documents corpus (bounded vocab,
     tree-merged counts, ONE broadcast), score every doc in one
-    vectorized pass. Deterministic; no SQL oracle (the model is not
-    SQL-expressible) — accuracy pytest-verified against a row-at-a-time
-    reference and an OOV-gibberish separation bound."""
+    vectorized pass.
+
+    ORACLE-CHECKED (round 5): this corpus's vocabulary (~31 word tokens +
+    punctuation) sits far below the 65 536 cut, so the trained model is
+    EXACTLY the corpus bigram/unigram counts and DuckDB reproduces the
+    whole thing — counts, add-k smoothing, BOS context falling back to
+    prev-count 0, 2^(−mean log2 p) — with ppl snapped to 1e-4 on both
+    sides. (On a corpus that DOES overflow the cut, the top-V tie-break
+    happens in hash order and the oracle would no longer apply — the
+    pytest row-at-a-time parity suite covers that regime.)"""
     import pyarrow as pa
     import ray.data
 
@@ -3292,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {redacted} AS text FROM documents""",
         "quality_score": _quality_score_oracle_sql(),
         "langid": _langid_oracle_sql(),
+        "lm_perplexity_docs": _lm_perplexity_oracle_sql(),
         "decontaminate_docs": """
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
