@@ -884,17 +884,16 @@ def _cdc_vector_search(sf_dir: str):
     view = _half_log_ivm(sf_dir, "IncrementalVectorIndex", "ivmv", result="__view__")
     res = view.search(_VEC_QUERIES, k=_VEC_K, radius=None)
 
-    # oracle artifacts (driver tier: O(convs) rows, 64 floats each)
+    # oracle artifacts (driver tier: O(convs) rows, 64 floats each) —
+    # assembled through THE shared line/dialogue helpers (publish.py's
+    # single-definition contract: a format change there moves this
+    # oracle with it instead of silently drifting)
+    from etl_framework_ray.pipelines.publish import join_dialogues, render_turn_lines
+
     kern = view.kernel
     snap = view.engine.snapshot_arrow().to_pandas()
-    snap["line"] = snap["role"].fillna("") + ": " + snap["text"].fillna("")
-    snap = snap.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    docs = (
-        snap.groupby("conv_id", sort=True)["line"]
-        .apply("\n".join)
-        .rename("dialogue")
-        .reset_index()
-    )
+    snap["line"] = render_turn_lines(snap["role"], snap["text"])
+    docs = join_dialogues(snap[["conv_id", "turn_idx", "line"]]).to_pandas()
     V = hash_embed(docs["dialogue"], kern.dim, kern.seed)
     Q = hash_embed(_VEC_QUERIES, kern.dim, kern.seed)
     d = _vecsearch_dir(_sf_name(sf_dir))
@@ -1011,7 +1010,13 @@ def _cdc_minhash_incremental(sf_dir: str):
     cluster_of = dict(zip(mh["conv_id"], mh["cluster_id"]))
     canon = ex["canonical_conv_id"].to_numpy(dtype=object)
     conv = ex["conv_id"].to_numpy(dtype=object)
-    agree = [cluster_of.get(c) == cluster_of.get(k) for c, k in zip(conv, canon)]
+    # membership is part of the invariant: a conversation MISSING from the
+    # signature view (a maintenance bug that drops rows) must read False,
+    # never vacuously True via None == None
+    agree = [
+        c in cluster_of and k in cluster_of and cluster_of[c] == cluster_of[k]
+        for c, k in zip(conv, canon)
+    ]
     return pa.table(
         {
             "conv_id": pa.array(conv, pa.string()),

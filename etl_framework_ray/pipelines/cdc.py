@@ -1888,9 +1888,15 @@ class CDCEngine:
         bubble (apply → sleep → list → prep from cold); commits stay
         strictly serialized through :meth:`apply_epoch`, so exactly-once
         and crash-resume semantics are identical to the serial loop.
-        A poll = one listing attempt made with the queue empty; views
-        advance when the queue drains (same "within one poll of epochs"
-        retention shape as the serial tail)."""
+        A poll = one listing attempt (queue-empty at the loop top, or the
+        in-flight re-list that found fresh segments); ``max_polls`` bounds
+        BOTH kinds, so a sustained producer cannot keep a bounded-poll
+        call alive — once the bound is hit, no further listing happens
+        and the loop drains what it already listed. Views advance at
+        every poll boundary (before each fresh listing and at drain), the
+        same "never more than one poll of epochs behind" retention shape
+        the serial tail gives — the changefeed-horizon contract rests on
+        it."""
         total = ReplayStats()
         t0 = time.perf_counter()
         polls = idle = 0
@@ -1939,10 +1945,15 @@ class CDCEngine:
             )
             # prefetch the NEXT epoch while this one applies — re-listing
             # the log when the local queue is dry, so segments that arrive
-            # DURING the apply overlap with it instead of waiting a poll
-            if not queue:
+            # DURING the apply overlap with it instead of waiting a poll.
+            # The re-list is a POLL: it respects max_polls (else a
+            # sustained producer would keep a bounded call alive forever)
+            # and advances views first, so a view never lags more than
+            # one poll of epochs (the retention-horizon contract).
+            if not queue and (max_polls is None or polls < max_polls):
                 fresh = changelog.epochs(segments_per_epoch, after_lsn=listed_through)
                 if fresh:
+                    _drain_views()
                     queue = fresh
                     listed_through = queue[-1].epoch_id
                     polls += 1

@@ -49,6 +49,9 @@ def _grouped_window_partial(
     import numpy as np
     import pyarrow.compute as pc
 
+    from ..stages.joins import _single_threaded_arrow
+
+    _single_threaded_arrow()
     et = batch.column("event_type")
     enc = pc.dictionary_encode(
         et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et

@@ -168,8 +168,15 @@ def _dense_pairs(
 ) -> "ray.data.Dataset":
     """Exact dense tier: all C(nb+1, 2) block pairs in parallel tasks;
     each unordered doc pair is evaluated exactly once (blocks partition
-    the rows), so there is no candidate exchange and no pair dedup."""
-    nb = max(4, min(64, math.ceil(n_docs / 400)))
+    the rows), so there is no candidate exchange and no pair dedup.
+
+    Blocks target ~400 ROWS each (per-task memory is quadratic in block
+    rows: three rows_a×rows_b float64 matrices), with the block COUNT
+    capped at 256 so the task grid stays ≤ ~33k — past ~100k docs block
+    rows grow and per-task memory with them, which is why the auto
+    router also bounds ``n_docs`` (``dense_max_docs``); a forced
+    ``tier="dense"`` beyond that accepts the documented quadratic cost."""
+    nb = max(4, min(256, math.ceil(n_docs / 400)))
     blocks = _block_refs(sets.repartition(nb))
     vocab_ref = ray.put(vocab)
     futures = []
@@ -201,6 +208,7 @@ def similarity_join(
     tier: str = "auto",
     dense_max_vocab: int = 8192,
     dense_route_factor: float = 0.25,
+    dense_max_docs: int = 50_000,
 ) -> "ray.data.Dataset":
     """All pairs ``(id_a, id_b, sim)`` with ``id_a < id_b`` and n-gram
     Jaccard ``sim ≥ threshold`` — exact under EVERY tier (the dense tier
@@ -208,8 +216,11 @@ def similarity_join(
 
     ``tier``: ``"auto"`` (default) counts the prefix buckets and routes
     to the dense tier when the candidate bound exceeds
-    ``dense_route_factor × C(n,2)`` (pruning is not pruning) and the
-    vocabulary fits ``dense_max_vocab`` matrix columns; ``"prefix"`` /
+    ``dense_route_factor × C(n,2)`` (pruning is not pruning), the
+    vocabulary fits ``dense_max_vocab`` matrix columns, AND the corpus
+    fits ``dense_max_docs`` (the dense tier is Θ(n²) with per-task
+    memory quadratic in block rows — past the bound the capped prefix
+    path stays, with minhash as the scale escape hatch); ``"prefix"`` /
     ``"dense"`` force a tier. ``stats_out``: gets ``tier``,
     ``candidate_bound``, ``vocab_size``, ``n_docs``, plus the prefix
     tier's ``candidate_pairs`` / ``truncated_tokens`` /
@@ -337,7 +348,7 @@ def similarity_join(
             cand_bound = 0
         total_pairs = n_docs * (n_docs - 1) / 2
         dense_indicated = total_pairs > 0 and cand_bound > dense_route_factor * total_pairs
-        if dense_indicated and vocab_size <= dense_max_vocab:
+        if dense_indicated and vocab_size <= dense_max_vocab and n_docs <= dense_max_docs:
             chosen = "dense"
         else:
             chosen = "prefix"
@@ -346,9 +357,11 @@ def similarity_join(
 
                 logging.getLogger(__name__).warning(
                     "similarity_join: candidate bound %d ≈ all pairs but the "
-                    "vocabulary (%d) exceeds dense_max_vocab=%d — staying on "
-                    "the capped prefix tier; minhash_dedup is the scale path",
-                    cand_bound, vocab_size, dense_max_vocab,
+                    "corpus is outside the dense tier's envelope (vocab %d vs "
+                    "dense_max_vocab=%d, docs %d vs dense_max_docs=%d) — "
+                    "staying on the capped prefix tier; minhash_dedup is the "
+                    "scale path",
+                    cand_bound, vocab_size, dense_max_vocab, n_docs, dense_max_docs,
                 )
     elif tier == "dense" and vocab_size > dense_max_vocab:
         raise ValueError(

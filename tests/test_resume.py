@@ -380,3 +380,50 @@ def test_pipelined_tail_overlaps_midflight_arrivals(tmp_path):
     for row, k in zip(state, sorted(oracle)):
         assert (row["conv_id"], row["turn_idx"]) == k
         assert row["text"] == oracle[k]["text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipelined_tail_max_polls_bounds_a_sustained_producer(tmp_path):
+    """max_polls must bound BOTH the loop-top listings and the in-flight
+    re-lists: against a producer that writes a new segment during every
+    apply, tail(max_polls=2, pipelined=True) stops after draining what
+    those two polls listed instead of following the producer forever."""
+    from etl_framework_ray.pipelines.incremental import IncrementalRollup
+
+    log = generate_changelog(GenConfig(num_events=8000, seed=21))
+    step = log.num_rows // 16
+    clog = ChangeLog(str(tmp_path / "log"))
+    clog.write_segments(log.slice(0, step), segment_rows=step)
+
+    eng = CDCEngine(str(tmp_path / "tbl"), num_partitions=4, compact_every=1_000_000)
+    view = IncrementalRollup(eng, str(tmp_path / "view"))
+    advances = []
+    orig_advance = view.advance
+    view.advance = lambda: advances.append(eng.manifest.applied_lsn) or orig_advance()
+
+    orig_apply = eng.apply_epoch
+    written = {"n": 1}
+
+    def apply_and_produce(epoch, **kw):
+        # the producer never stops: one fresh segment lands per apply
+        if written["n"] < 16:
+            clog.write_segments(
+                log.slice(written["n"] * step, step), segment_rows=step
+            )
+            written["n"] += 1
+        return orig_apply(epoch, **kw)
+
+    eng.apply_epoch = apply_and_produce
+    stats = eng.tail(
+        clog, poll_s=0, max_polls=2, segments_per_epoch=1,
+        pipelined=True, views=[view],
+    )
+    eng.apply_epoch = orig_apply
+
+    # bounded: two polls listed at most a few epochs; the producer's
+    # later segments were NOT chased
+    assert 0 < stats.epochs_applied < 10
+    assert written["n"] < 16
+    # the view advanced at every poll boundary, not just at the end —
+    # never more than one poll of epochs behind
+    assert len(advances) >= 2
